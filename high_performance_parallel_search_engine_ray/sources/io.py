@@ -1,0 +1,81 @@
+"""Table IO: Lance when available, Parquet otherwise.
+
+The north rule specifies Lance tables of interleaved documents. The ``lance``
+package is not installed in this container (no network / no pip), so IO goes
+through this gate: identical schemas and layouts, Parquet on disk, and the
+Lance path activates automatically when ``import lance`` succeeds. Layout is
+resumable per the checkpoint contract: one directory per logical table, one
+file per partition, plus an atomically-renamed JSON manifest marking a
+partition set complete (ray_guide: write temp, rename).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+try:  # pragma: no cover - not installed in this sandbox
+    import lance  # type: ignore
+
+    HAVE_LANCE = True
+except ImportError:
+    lance = None
+    HAVE_LANCE = False
+
+
+def write_table(table: pa.Table, path: str) -> str:
+    """Write one partition file. ``path`` excludes extension."""
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    if HAVE_LANCE:
+        uri = path + ".lance"
+        lance.write_dataset(table, uri, mode="overwrite")
+        return uri
+    uri = path + ".parquet"
+    tmp = uri + ".tmp"
+    pq.write_table(table, tmp)
+    os.replace(tmp, uri)
+    return uri
+
+
+def read_table(path_no_ext: str) -> pa.Table:
+    if HAVE_LANCE and os.path.exists(path_no_ext + ".lance"):
+        return lance.dataset(path_no_ext + ".lance").to_table()
+    return pq.read_table(path_no_ext + ".parquet")
+
+
+def table_uri(path_no_ext: str) -> str:
+    if HAVE_LANCE and os.path.exists(path_no_ext + ".lance"):
+        return path_no_ext + ".lance"
+    return path_no_ext + ".parquet"
+
+
+def read_ray(path_no_ext: str, **kwargs):
+    """ray.data reader over a table written by write_table."""
+    import ray.data as rd
+
+    if HAVE_LANCE and os.path.exists(path_no_ext + ".lance"):
+        return rd.read_lance(path_no_ext + ".lance", **kwargs)
+    return rd.read_parquet(path_no_ext + ".parquet", **kwargs)
+
+
+def write_manifest(dir_path: str, payload: dict) -> None:
+    """Atomic manifest write: the presence of MANIFEST.json marks the
+    directory's partition set complete (crash between data files and the
+    rename leaves a resumable, ignorable partial)."""
+    os.makedirs(dir_path, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=dir_path, suffix=".manifest.tmp")
+    with os.fdopen(fd, "w") as f:
+        json.dump(payload, f, indent=2, sort_keys=True)
+    os.replace(tmp, os.path.join(dir_path, "MANIFEST.json"))
+
+
+def read_manifest(dir_path: str) -> dict | None:
+    p = os.path.join(dir_path, "MANIFEST.json")
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)

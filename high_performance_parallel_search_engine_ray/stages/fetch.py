@@ -1,0 +1,234 @@
+"""Simulated fetch + parse + link-extraction stage (actor pool).
+
+``FetchParse`` is a callable class for ``map_batches(FetchParse, concurrency=N,
+batch_format="pyarrow")``: per-actor state (the bucket-file cache and compiled
+kernels) is built once in ``__init__``, per-batch work in ``__call__``
+(ray_guide "Stateful stages = actor pools").
+
+In production this stage would issue HTTP requests (the reference's libcurl
+fetch, `Serial Version/src/crawler.c:876-976,1095-1113`); in this sandbox it
+random-accesses the synthetic web stored as hash-bucketed parquet files —
+each batch only opens the buckets its URLs hash into, standing in for
+random-access fetches without holding the whole corpus per actor.
+
+Outputs one Arrow table per batch with a ``kind`` column:
+- kind='link':    candidate link rows (url, host, depth, priority,
+                  parent_seq, link_ord, shard) for frontier admission
+- kind='outcome': one row per frontier URL with the fetch result (ok flag in
+                  ``link_ord``: 1/0) routed to the host's home shard for the
+                  failure circuit breaker
+
+Document rows (doc_id, spans, url, depth, fetch metadata) are written as a
+side-effect partitioned by crawl round (resumable layout; re-running a round
+overwrites only that round's directory).
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..functions.htmltext import html_to_spans
+from ..functions.urlnorm import (
+    combined_priority,
+    extract_base_domain,
+    extract_links,
+    host_of,
+    is_html_content,
+    is_valid_crawl_url,
+)
+from ..functions.hashing import stable_hash64
+from ..sources.corpus import N_BUCKETS
+from ..state.frontier import shard_for
+
+SPAN_TYPE = pa.list_(
+    pa.struct(
+        [
+            ("kind", pa.string()),
+            ("text", pa.string()),
+            ("media_ref", pa.string()),
+            ("offset", pa.int32()),
+        ]
+    )
+)
+
+LINKS_SCHEMA = pa.schema(
+    [
+        ("kind", pa.string()),
+        ("url", pa.string()),
+        ("host", pa.string()),
+        ("depth", pa.int32()),
+        ("priority", pa.int32()),
+        ("parent_seq", pa.int64()),
+        ("link_ord", pa.int64()),
+        ("shard", pa.int64()),
+    ]
+)
+
+
+class PageStore:
+    """Bucket-file cache over the corpus pages table."""
+
+    def __init__(self, corpus_dir: str):
+        self.corpus_dir = corpus_dir
+        self._buckets: dict[int, dict[str, tuple]] = {}
+
+    def _load_bucket(self, b: int) -> dict[str, tuple]:
+        cached = self._buckets.get(b)
+        if cached is not None:
+            return cached
+        from ..sources.io import table_uri
+
+        path = table_uri(os.path.join(self.corpus_dir, "pages", f"bucket={b:03d}"))
+        t = pq.read_table(
+            path, columns=["url", "status", "content_type", "html", "latency_ms"]
+        )
+        d = t.to_pydict()
+        lookup = {
+            d["url"][i]: (
+                d["status"][i],
+                d["content_type"][i],
+                d["html"][i],
+                d["latency_ms"][i],
+            )
+            for i in range(len(d["url"]))
+        }
+        self._buckets[b] = lookup
+        return lookup
+
+    def get(self, url: str):
+        return self._load_bucket(stable_hash64(url) % N_BUCKETS).get(url)
+
+
+class FetchParse:
+    def __init__(
+        self,
+        corpus_dir: str,
+        docs_dir: str,
+        num_shards: int,
+        hot_hosts: dict[str, int] | None = None,
+        max_link_candidates: int = 1000,
+        per_page_link_cap: int = 20,
+        max_depth: int = 3,
+    ):
+        self.store = PageStore(corpus_dir)
+        self.docs_dir = docs_dir
+        self.num_shards = num_shards
+        self.hot_hosts = dict(hot_hosts or {})
+        self.max_link_candidates = max_link_candidates
+        self.per_page_link_cap = per_page_link_cap
+        self.max_depth = max_depth
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls = batch["url"].to_pylist()
+        depths = batch["depth"].to_pylist()
+        seqs = batch["discovered_seq"].to_pylist()
+
+        out = {k: [] for k in LINKS_SCHEMA.names}
+        doc_rows = {
+            "doc_id": [],
+            "url": [],
+            "host": [],
+            "depth": [],
+            "spans": [],
+            "n_spans": [],
+            "fetch_status": [],
+        }
+
+        for u, depth, seq in zip(urls, depths, seqs):
+            page = self.store.get(u)
+            host = host_of(u)
+            ok = False
+            if page is not None:
+                status, ctype, html_b, _latency = page
+                size = len(html_b)
+                # inline-fetch gate (crawler.c:1115) + download_url gates
+                # (crawler.c:936): >100 bytes, HTML content type.
+                if status != -1 and size > 100 and is_html_content(u, ctype):
+                    ok = True
+                    html = html_b.decode("utf-8")
+                    base_domain = extract_base_domain(u)
+                    candidates = (
+                        extract_links(html, u, self.max_link_candidates)
+                        if depth < self.max_depth
+                        else []
+                    )
+                    doc_rows["doc_id"].append(u)
+                    doc_rows["url"].append(u)
+                    doc_rows["host"].append(host)
+                    doc_rows["depth"].append(depth)
+                    spans = html_to_spans(html, candidates)
+                    doc_rows["spans"].append(spans)
+                    doc_rows["n_spans"].append(len(spans))
+                    doc_rows["fetch_status"].append(status)
+                    # Per-page admission cap applied in candidate order: the
+                    # sharded engine caps CANDIDATES (scale semantics); the
+                    # exact mode reproduces the reference's admitted-only cap
+                    # in pipelines/crawl.py (divergence documented there).
+                    kept = 0
+                    for ord_, cand in enumerate(candidates):
+                        if kept >= self.per_page_link_cap:
+                            break
+                        if not is_valid_crawl_url(cand, base_domain):
+                            continue
+                        kept += 1
+                        chost = host_of(cand)
+                        out["kind"].append("link")
+                        out["url"].append(cand)
+                        out["host"].append(chost)
+                        out["depth"].append(depth + 1)
+                        out["priority"].append(
+                            combined_priority(cand, u, base_domain)
+                        )
+                        out["parent_seq"].append(seq)
+                        out["link_ord"].append(ord_)
+                        out["shard"].append(
+                            shard_for(
+                                stable_hash64(cand),
+                                stable_hash64(chost),
+                                self.hot_hosts.get(chost, 1),
+                                self.num_shards,
+                            )
+                        )
+            out["kind"].append("outcome")
+            out["url"].append(u)
+            out["host"].append(host)
+            out["depth"].append(depth)
+            out["priority"].append(0)
+            out["parent_seq"].append(seq)
+            out["link_ord"].append(1 if ok else 0)
+            # Route the outcome to the shard that owns this URL's queue so
+            # quarantine applies where the host's (sub-)queue lives.
+            out["shard"].append(
+                shard_for(
+                    stable_hash64(u),
+                    stable_hash64(host),
+                    self.hot_hosts.get(host, 1),
+                    self.num_shards,
+                )
+            )
+
+        if doc_rows["doc_id"]:
+            self._write_docs(doc_rows)
+        return pa.table({f.name: pa.array(out[f.name], f.type) for f in LINKS_SCHEMA})
+
+    def _write_docs(self, doc_rows: dict) -> None:
+        os.makedirs(self.docs_dir, exist_ok=True)
+        t = pa.table(
+            {
+                "doc_id": pa.array(doc_rows["doc_id"], pa.string()),
+                "url": pa.array(doc_rows["url"], pa.string()),
+                "host": pa.array(doc_rows["host"], pa.string()),
+                "depth": pa.array(doc_rows["depth"], pa.int32()),
+                "spans": pa.array(doc_rows["spans"], SPAN_TYPE),
+                "n_spans": pa.array(doc_rows["n_spans"], pa.int32()),
+                "fetch_status": pa.array(doc_rows["fetch_status"], pa.int32()),
+            }
+        )
+        part = os.path.join(self.docs_dir, f"part-{uuid.uuid4().hex}.parquet")
+        tmp = part + ".tmp"
+        pq.write_table(t, tmp)
+        os.replace(tmp, part)

@@ -1,0 +1,118 @@
+"""Cuckoo filter (4-way buckets, 16-bit fingerprints, partial-key eviction).
+
+Second stage of the frontier's URL-seen hybrid (north rule): the counting
+bloom is the cheap front gate, the cuckoo filter supports deletes and lower
+sustained false-positive rates, and an exact per-shard store confirms
+positives so a bloom/cuckoo false positive can never drop a URL the
+reference crawler would visit (SURVEY.md §7 "hard parts").
+
+Deterministic: the eviction victim choice uses an internal LCG, not
+``random``, so snapshots and replays are bit-stable.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_MASK64 = 0xFFFFFFFFFFFFFFFF
+BUCKET_SIZE = 4
+MAX_KICKS = 500
+
+
+def _mix(h: int) -> int:
+    h = (h ^ (h >> 30)) * 0xBF58476D1CE4E5B9 & _MASK64
+    h = (h ^ (h >> 27)) * 0x94D049BB133111EB & _MASK64
+    return h ^ (h >> 31)
+
+
+class CuckooFilter:
+    def __init__(self, capacity: int):
+        # Power-of-two bucket count sized for ~95% load headroom.
+        nbuckets = 1
+        while nbuckets * BUCKET_SIZE < max(8, int(capacity / 0.95)):
+            nbuckets <<= 1
+        self.nbuckets = nbuckets
+        self.table = np.zeros((nbuckets, BUCKET_SIZE), dtype=np.uint16)  # 0 = empty
+        self.n_items = 0
+        self._lcg = 0x9E3779B97F4A7C15
+
+    def _fingerprint(self, h: int) -> int:
+        fp = _mix(h) & 0xFFFF
+        return fp if fp != 0 else 1
+
+    def _index1(self, h: int) -> int:
+        return _mix(h ^ 0xA5A5A5A5) & (self.nbuckets - 1)
+
+    def _alt_index(self, idx: int, fp: int) -> int:
+        return (idx ^ _mix(fp)) & (self.nbuckets - 1)
+
+    def _rand(self, bound: int) -> int:
+        self._lcg = (self._lcg * 6364136223846793005 + 1442695040888963407) & _MASK64
+        return (self._lcg >> 33) % bound
+
+    def _bucket_insert(self, idx: int, fp: int) -> bool:
+        row = self.table[idx]
+        empty = np.nonzero(row == 0)[0]
+        if empty.size:
+            row[empty[0]] = fp
+            return True
+        return False
+
+    def add(self, h: int) -> bool:
+        """Insert; False when the filter is full (caller should grow/rotate)."""
+        fp = self._fingerprint(h)
+        i1 = self._index1(h)
+        i2 = self._alt_index(i1, fp)
+        if self._bucket_insert(i1, fp) or self._bucket_insert(i2, fp):
+            self.n_items += 1
+            return True
+        idx = i1 if self._rand(2) == 0 else i2
+        for _ in range(MAX_KICKS):
+            slot = self._rand(BUCKET_SIZE)
+            fp, self.table[idx, slot] = int(self.table[idx, slot]), fp
+            idx = self._alt_index(idx, fp)
+            if self._bucket_insert(idx, fp):
+                self.n_items += 1
+                return True
+        return False
+
+    def contains(self, h: int) -> bool:
+        fp = self._fingerprint(h)
+        i1 = self._index1(h)
+        if (self.table[i1] == fp).any():
+            return True
+        i2 = self._alt_index(i1, fp)
+        return bool((self.table[i2] == fp).any())
+
+    def remove(self, h: int) -> bool:
+        fp = self._fingerprint(h)
+        for idx in (self._index1(h), self._alt_index(self._index1(h), fp)):
+            row = self.table[idx]
+            hit = np.nonzero(row == fp)[0]
+            if hit.size:
+                row[hit[0]] = 0
+                self.n_items -= 1
+                return True
+        return False
+
+    # -- snapshot / restore ------------------------------------------------
+    def to_state(self) -> dict:
+        return {
+            "nbuckets": self.nbuckets,
+            "n_items": self.n_items,
+            "lcg": self._lcg,
+            "table": self.table.tobytes(),
+        }
+
+    @classmethod
+    def from_state(cls, state: dict) -> "CuckooFilter":
+        f = cls.__new__(cls)
+        f.nbuckets = state["nbuckets"]
+        f.table = (
+            np.frombuffer(state["table"], dtype=np.uint16)
+            .reshape(state["nbuckets"], BUCKET_SIZE)
+            .copy()
+        )
+        f.n_items = state["n_items"]
+        f._lcg = state["lcg"]
+        return f

@@ -1,0 +1,279 @@
+"""Frontier shard: URL-seen dedup + politeness + robots + priority queue.
+
+One instance per shard, run as a Ray actor (wrapped in pipelines/crawl.py).
+This is the engine's replacement for the reference's process-global visited
+array + circular FIFO (`Serial Version/src/crawler.c:443-484,1040-1079`),
+redesigned for a 10^10-URL frontier per the north rule:
+
+- URL-seen = counting-bloom front gate -> cuckoo filter -> exact per-shard
+  store. Negatives from the filters are authoritative; positives are
+  CONFIRMED against the exact store, so a filter false positive can never
+  drop a URL the reference would crawl. At test scale the exact store is an
+  in-memory set; at design scale it is the shard's sorted Lance-backed hash
+  log compacted at checkpoint time (same confirm API, documented here).
+- Politeness = per-host virtual-time release scheduling: host h releases at
+  most one URL per `crawl_delay_ms(h) * salt_k(h)` of virtual time
+  (reference analog: the 200-500 ms sleep, `Serial Version/src/crawler.c:1380`).
+- Robots = per-host disallow prefixes (north-rule addition; see state/robots.py).
+- Priority = (depth asc, priority desc, discovered_seq asc) heap per host —
+  the "depth/priority-ordered URL queue"; priority comes from the OpenMP
+  pattern scorer (`OpenMP Version/src/crawler.c:650-732`).
+- Failure circuit breaker = per-host consecutive-failure quarantine
+  (reference: global 10-consecutive-failure abort, `crawler.c:1075`).
+
+Shard routing & skew (salt splitting): a URL's shard is derived from its
+HOST's hash so politeness state is local to one actor; a configured hot host
+is salt-split over `salt_k` sub-shards keyed by the URL hash, each sub-shard
+enforcing `delay * salt_k`, so the combined fetch rate still respects the
+per-host delay with zero cross-actor coordination. See `shard_for`.
+"""
+
+from __future__ import annotations
+
+import heapq
+import pickle
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions.hashing import stable_hash64
+from .bloom import CountingBloomFilter
+from .cuckoo import CuckooFilter
+from .robots import DEFAULT_CRAWL_DELAY_MS, RobotsCache
+
+_SALT_STRIDE = 0x9E3779B1
+
+RELEASE_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("host", pa.string()),
+        ("depth", pa.int32()),
+        ("priority", pa.int32()),
+        ("discovered_seq", pa.int64()),
+    ]
+)
+
+
+def shard_for(url_hash: int, host_hash: int, salt_k: int, num_shards: int) -> int:
+    """Shard id for a canonical URL. salt_k=1 for normal hosts (pure host
+    routing); hot hosts fan over salt_k sub-shards keyed by the URL hash."""
+    if salt_k > 1:
+        sub = url_hash % salt_k
+        return (host_hash + sub * _SALT_STRIDE) % num_shards
+    return host_hash % num_shards
+
+
+class FrontierShard:
+    """Plain object (Ray-agnostic) so it unit-tests without a cluster."""
+
+    def __init__(
+        self,
+        shard_id: int,
+        num_shards: int,
+        expected_urls: int = 100_000,
+        robots_rows=None,
+        hot_hosts: dict[str, int] | None = None,
+        quarantine_after: int = 10,
+        use_filters: bool = True,
+    ):
+        self.shard_id = shard_id
+        self.num_shards = num_shards
+        self.bloom = CountingBloomFilter(expected_urls)
+        self.cuckoo = CuckooFilter(expected_urls)
+        self.seen_exact: set[str] = set()
+        self.use_filters = use_filters
+        self.pending: dict[str, list] = {}
+        self.robots = RobotsCache.from_rows(robots_rows or [])
+        self.hot_hosts = dict(hot_hosts or {})
+        self.clock_ms = 0.0
+        self.next_free_ms: dict[str, float] = {}
+        self.host_failures: dict[str, int] = {}
+        self.quarantined: set[str] = set()
+        self.quarantine_after = quarantine_after
+        # Per-shard admission counter; discovered_seq = n*num_shards+shard_id
+        # is globally unique and monotone within a shard — deterministic
+        # because each shard admits its round's candidates in one sorted call.
+        self._next_seq = 0
+        self.stats = {
+            "admitted": 0,
+            "dup": 0,
+            "robots_blocked": 0,
+            "quarantined_drop": 0,
+            "released": 0,
+            "filter_false_positives": 0,
+        }
+
+    # -- seen-set hybrid ---------------------------------------------------
+    def _seen(self, url: str, h: int) -> bool:
+        if self.use_filters:
+            if not self.bloom.might_contain(h):
+                return False  # authoritative negative
+            if not self.cuckoo.contains(h):
+                return False  # authoritative negative
+            # Filter positive: confirm against the exact store.
+            if url in self.seen_exact:
+                return True
+            self.stats["filter_false_positives"] += 1
+            return False
+        return url in self.seen_exact
+
+    def _mark(self, url: str, h: int) -> None:
+        if self.use_filters:
+            self.bloom.add(h)
+            self.cuckoo.add(h)
+        self.seen_exact.add(url)
+
+    # -- admission ---------------------------------------------------------
+    def admit(self, batch: dict) -> dict:
+        """Admit a batch of candidate URLs (dict columns: url, host, depth,
+        priority). Caller must pre-sort by discovery order (parent_seq,
+        link_ord) so first-discovery-wins is deterministic; discovered_seq is
+        assigned here from the shard-local counter. Returns outcome counts."""
+        urls = batch["url"]
+        hosts = batch["host"]
+        depths = batch["depth"]
+        prios = batch["priority"]
+        admitted = dup = robots_blocked = quarantined = 0
+        for i in range(len(urls)):
+            url = str(urls[i])
+            host = str(hosts[i])
+            if host in self.quarantined:
+                quarantined += 1
+                continue
+            if not self.robots.allowed(host, url):
+                robots_blocked += 1
+                continue
+            h = stable_hash64(url)
+            if self._seen(url, h):
+                dup += 1
+                continue
+            self._mark(url, h)
+            seq = self._next_seq * self.num_shards + self.shard_id
+            self._next_seq += 1
+            heapq.heappush(
+                self.pending.setdefault(host, []),
+                (int(depths[i]), -int(prios[i]), seq, url),
+            )
+            admitted += 1
+        self.stats["admitted"] += admitted
+        self.stats["dup"] += dup
+        self.stats["robots_blocked"] += robots_blocked
+        self.stats["quarantined_drop"] += quarantined
+        return {
+            "shard": self.shard_id,
+            "admitted": admitted,
+            "dup": dup,
+            "robots_blocked": robots_blocked,
+            "quarantined_drop": quarantined,
+        }
+
+    # -- politeness-gated release -------------------------------------------
+    def _effective_delay(self, host: str) -> float:
+        return float(self.robots.crawl_delay_ms(host)) * self.hot_hosts.get(host, 1)
+
+    def release(self, budget_ms: float, max_urls: int | None = None) -> pa.Table:
+        """Advance the virtual clock by ``budget_ms`` and release every
+        pending URL whose host's politeness window opens inside it, in
+        (depth, -priority, seq) order per host."""
+        end = self.clock_ms + budget_ms
+        out = {k: [] for k in ("url", "host", "depth", "priority", "discovered_seq")}
+        n = 0
+        for host in sorted(self.pending.keys()):
+            if host in self.quarantined:
+                continue
+            heap = self.pending[host]
+            delay = self._effective_delay(host)
+            t = max(self.next_free_ms.get(host, self.clock_ms), self.clock_ms)
+            while heap and t < end:
+                if max_urls is not None and n >= max_urls:
+                    break
+                depth, negp, seq, url = heapq.heappop(heap)
+                out["url"].append(url)
+                out["host"].append(host)
+                out["depth"].append(depth)
+                out["priority"].append(-negp)
+                out["discovered_seq"].append(seq)
+                t += delay
+                n += 1
+            self.next_free_ms[host] = t
+            if max_urls is not None and n >= max_urls:
+                break
+        self.clock_ms = end
+        self.stats["released"] += n
+        return pa.table(
+            {
+                "url": pa.array(out["url"], pa.string()),
+                "host": pa.array(out["host"], pa.string()),
+                "depth": pa.array(out["depth"], pa.int32()),
+                "priority": pa.array(out["priority"], pa.int32()),
+                "discovered_seq": pa.array(out["discovered_seq"], pa.int64()),
+            }
+        )
+
+    def record_outcomes(self, hosts: list[str], ok_flags: list[bool]) -> None:
+        """Per-host failure circuit breaker (reference analog: abort after 10
+        consecutive failures; here: quarantine the host)."""
+        for host, ok in zip(hosts, ok_flags):
+            if ok:
+                self.host_failures[host] = 0
+            else:
+                c = self.host_failures.get(host, 0) + 1
+                self.host_failures[host] = c
+                if c >= self.quarantine_after:
+                    self.quarantined.add(host)
+
+    def pending_count(self) -> int:
+        return sum(len(v) for v in self.pending.values())
+
+    def get_stats(self) -> dict:
+        return dict(self.stats, pending=self.pending_count(), shard=self.shard_id)
+
+    def seen_count(self) -> int:
+        return len(self.seen_exact)
+
+    # -- snapshot / restore (per-partition checkpoint payload) -------------
+    def snapshot(self) -> bytes:
+        return pickle.dumps(
+            {
+                "shard_id": self.shard_id,
+                "num_shards": self.num_shards,
+                "bloom": self.bloom.to_state(),
+                "cuckoo": self.cuckoo.to_state(),
+                "seen_exact": sorted(self.seen_exact),
+                "use_filters": self.use_filters,
+                "pending": {h: sorted(v) for h, v in self.pending.items()},
+                "robots": self.robots,
+                "hot_hosts": self.hot_hosts,
+                "clock_ms": self.clock_ms,
+                "next_free_ms": self.next_free_ms,
+                "host_failures": self.host_failures,
+                "quarantined": sorted(self.quarantined),
+                "quarantine_after": self.quarantine_after,
+                "stats": self.stats,
+                "next_seq": self._next_seq,
+            }
+        )
+
+    @classmethod
+    def restore(cls, payload: bytes) -> "FrontierShard":
+        st = pickle.loads(payload)
+        f = cls.__new__(cls)
+        f.shard_id = st["shard_id"]
+        f.num_shards = st["num_shards"]
+        f.bloom = CountingBloomFilter.from_state(st["bloom"])
+        f.cuckoo = CuckooFilter.from_state(st["cuckoo"])
+        f.seen_exact = set(st["seen_exact"])
+        f.use_filters = st["use_filters"]
+        f.pending = {h: list(v) for h, v in st["pending"].items()}
+        for heap in f.pending.values():
+            heapq.heapify(heap)
+        f.robots = st["robots"]
+        f.hot_hosts = st["hot_hosts"]
+        f.clock_ms = st["clock_ms"]
+        f.next_free_ms = st["next_free_ms"]
+        f.host_failures = st["host_failures"]
+        f.quarantined = set(st["quarantined"])
+        f.quarantine_after = st["quarantine_after"]
+        f.stats = st["stats"]
+        f._next_seq = st["next_seq"]
+        return f

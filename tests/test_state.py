@@ -1,0 +1,177 @@
+"""Counting bloom, cuckoo filter, frontier shard: admit/dedupe/politeness/
+robots/snapshot semantics (SURVEY.md §5.4)."""
+
+import numpy as np
+import pyarrow as pa
+
+from high_performance_parallel_search_engine_ray.functions.hashing import stable_hash64
+from high_performance_parallel_search_engine_ray.state.bloom import CountingBloomFilter
+from high_performance_parallel_search_engine_ray.state.cuckoo import CuckooFilter
+from high_performance_parallel_search_engine_ray.state.frontier import (
+    FrontierShard,
+    shard_for,
+)
+
+
+def test_bloom_membership_and_counting():
+    f = CountingBloomFilter(10_000, 0.01)
+    keys = [stable_hash64(f"url-{i}") for i in range(5000)]
+    for k in keys:
+        f.add(k)
+    assert all(f.might_contain(k) for k in keys)
+    others = np.array([stable_hash64(f"other-{i}") for i in range(5000)], dtype=np.uint64)
+    fp = int(f.might_contain_many(others).sum())
+    assert fp < 200  # ~1% design rate
+    # counting: remove restores negatives (unsaturated counters)
+    f2 = CountingBloomFilter(1000, 0.01)
+    h = stable_hash64("x")
+    f2.add(h)
+    assert f2.might_contain(h)
+    f2.remove(h)
+    assert not f2.might_contain(h)
+
+
+def test_bloom_vectorized_agrees_with_scalar():
+    f = CountingBloomFilter(2000, 0.01)
+    keys = [stable_hash64(f"k{i}") for i in range(1000)]
+    for k in keys[:500]:
+        f.add(k)
+    arr = np.array(keys, dtype=np.uint64)
+    vec = f.might_contain_many(arr)
+    for k, v in zip(keys, vec):
+        assert f.might_contain(k) == bool(v)
+
+
+def test_cuckoo_add_contains_remove():
+    f = CuckooFilter(10_000)
+    keys = [stable_hash64(f"url-{i}") for i in range(8000)]
+    for k in keys:
+        assert f.add(k)
+    assert all(f.contains(k) for k in keys)
+    fp = sum(f.contains(stable_hash64(f"nope-{i}")) for i in range(5000))
+    assert fp < 100
+    for k in keys[:1000]:
+        assert f.remove(k)
+    assert f.n_items == 7000
+
+
+def test_cuckoo_snapshot_roundtrip():
+    f = CuckooFilter(1000)
+    for i in range(500):
+        f.add(stable_hash64(f"u{i}"))
+    g = CuckooFilter.from_state(f.to_state())
+    assert all(g.contains(stable_hash64(f"u{i}")) for i in range(500))
+    assert (g.table == f.table).all()
+
+
+def _mk_shard(**kw):
+    return FrontierShard(
+        0,
+        4,
+        expected_urls=10_000,
+        robots_rows=[
+            {"host": "a.example", "disallow": ["/private/"], "crawl_delay_ms": 100},
+            {"host": "b.example", "disallow": [], "crawl_delay_ms": 200},
+        ],
+        **kw,
+    )
+
+
+def _admit(sh, urls, hosts, depth=1, prio=1):
+    return sh.admit(
+        {
+            "url": urls,
+            "host": hosts,
+            "depth": [depth] * len(urls),
+            "priority": [prio] * len(urls),
+        }
+    )
+
+
+def test_frontier_admit_dedup_and_robots():
+    sh = _mk_shard()
+    r = _admit(
+        sh,
+        ["https://a.example/x", "https://a.example/x", "https://a.example/private/y"],
+        ["a.example"] * 3,
+    )
+    assert r["admitted"] == 1
+    assert r["dup"] == 1
+    assert r["robots_blocked"] == 1
+
+
+def test_frontier_filter_positive_confirmed_by_exact_store():
+    sh = _mk_shard()
+    _admit(sh, ["https://a.example/x"], ["a.example"])
+    # second admit of same URL must be dup via exact confirmation
+    r = _admit(sh, ["https://a.example/x"], ["a.example"])
+    assert r["dup"] == 1 and r["admitted"] == 0
+
+
+def test_frontier_politeness_release_rate():
+    sh = _mk_shard()
+    urls = [f"https://a.example/p{i}" for i in range(10)]
+    _admit(sh, urls, ["a.example"] * 10)
+    t = sh.release(450)  # delay 100ms -> at most ceil(450/100) = 5 in window
+    assert t.num_rows == 5
+    t2 = sh.release(450)
+    assert t2.num_rows in (4, 5)
+    total = t.num_rows + t2.num_rows
+    t3 = sh.release(10_000)
+    assert total + t3.num_rows == 10
+
+
+def test_frontier_release_order_depth_priority_seq():
+    sh = _mk_shard()
+    sh.admit(
+        {
+            "url": ["https://b.example/low", "https://b.example/high", "https://b.example/d2"],
+            "host": ["b.example"] * 3,
+            "depth": [1, 1, 2],
+            "priority": [1, 5, 9],
+        }
+    )
+    t = sh.release(10_000)
+    assert t["url"].to_pylist() == [
+        "https://b.example/high",  # depth 1, priority 5
+        "https://b.example/low",  # depth 1, priority 1
+        "https://b.example/d2",  # depth 2 (depth dominates priority)
+    ]
+
+
+def test_frontier_quarantine():
+    sh = _mk_shard(quarantine_after=3)
+    sh.record_outcomes(["a.example"] * 3, [False, False, False])
+    r = _admit(sh, ["https://a.example/z"], ["a.example"])
+    assert r["quarantined_drop"] == 1
+    # success resets the counter for another host
+    sh.record_outcomes(["b.example", "b.example"], [False, True])
+    assert sh.host_failures["b.example"] == 0
+
+
+def test_frontier_snapshot_roundtrip():
+    sh = _mk_shard()
+    _admit(sh, [f"https://a.example/{i}" for i in range(20)], ["a.example"] * 20)
+    sh.release(250)
+    snap = sh.snapshot()
+    sh2 = FrontierShard.restore(snap)
+    assert sh2.seen_exact == sh.seen_exact
+    assert sh2.pending_count() == sh.pending_count()
+    assert sh2.clock_ms == sh.clock_ms
+    # restored shard continues identically
+    a = sh.release(1000)
+    b = sh2.release(1000)
+    assert a.to_pydict() == b.to_pydict()
+
+
+def test_shard_for_salt_split():
+    # normal host: every URL of the host lands on its home shard
+    hh = stable_hash64("x.example")
+    shards = {shard_for(stable_hash64(f"u{i}"), hh, 1, 16) for i in range(50)}
+    assert len(shards) == 1
+    # hot host with salt_k=4 fans over up to 4 shards, deterministically
+    shards4 = {shard_for(stable_hash64(f"u{i}"), hh, 4, 16) for i in range(200)}
+    assert 1 < len(shards4) <= 4
+    assert shard_for(stable_hash64("u1"), hh, 4, 16) == shard_for(
+        stable_hash64("u1"), hh, 4, 16
+    )
