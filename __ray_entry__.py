@@ -1,16 +1,11 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
-
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+``entry()`` runs the flagship search pipeline (tokenize -> inverted index ->
+BM25 top-k) over /root/testdata/sf0.001. ``queries()`` exposes every
+implemented pipeline from SURVEY.md §2 plus the training-data additions;
+``oracle_sql()`` gives the DuckDB-equivalent SQL for all SQL-expressible
+entries (column names match exactly; floats rounded identically on both
+sides). Ray is initialised by the driver — nothing here calls ray.init().
 """
 
 from __future__ import annotations
@@ -18,27 +13,479 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+
+SF0001 = "/root/testdata/sf0.001"
+
+# Serial-tokenizer delimiter class for RE2 (used verbatim in oracle SQL).
+_TOKEN_RE_SQL = r"[ \t\n\r.,;:!?\"()\[\]{}<>]+"
+
+_TOKS_CTE = f"""
+toks AS (
+  SELECT doc_id, t AS term FROM (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(lower(text), '{_TOKEN_RE_SQL}')) AS t
+    FROM documents
+  )
+  WHERE t <> '' AND length(t) <= 62
+    AND t NOT IN ('the','a','an','in','of')
+)
+"""
+
+
+def _docs(sf_dir: str):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+
+def _emb(sf_dir: str):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _query_vectors(sf_dir: str, n: int = 5) -> np.ndarray:
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    d = {v: e for v, e in zip(t["vec_id"].to_pylist(), t["embedding"].to_pylist())}
+    return np.array([d[i] for i in range(n)], dtype=np.float64)
+
+
+def _pairs_table(ds, cols: list[str]):
+    """Materialize a small pair-result Dataset to an Arrow table with a
+    stable schema even when empty (ids int64, metric float64)."""
+    import pyarrow as pa
+
+    fields = [(c, pa.int64()) for c in cols[:2]] + [(cols[2], pa.float64())]
+    rows = ds.take_all()
+    return pa.Table.from_pylist(
+        [{c: r[c] for c in cols} for r in rows], schema=pa.schema(fields)
+    )
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: tokenize -> index -> BM25 top-10 over the sf0.001
+    documents table (query drawn from the corpus vocabulary)."""
+    from high_performance_parallel_search_engine_ray.pipelines.rank import bm25_topk
+
+    return bm25_topk(_docs(SF0001), "hash join", k=10)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from high_performance_parallel_search_engine_ray.pipelines import (
+        ann,
+        dedup,
+        index,
+        multimodal,
+        rank,
+        relational,
+        text,
+    )
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def tf_table(sf_dir):
+        return index.term_doc_tf(_docs(sf_dir))
+
+    def dl_table(sf_dir):
+        return index.doc_lengths(_docs(sf_dir))
+
+    def df_table(sf_dir):
+        return index.term_df(_docs(sf_dir))
+
+    def top_terms(sf_dir):
+        from ray.data.aggregate import Sum
+
+        tf = index.term_doc_tf(_docs(sf_dir))
+        agg = tf.groupby("term").aggregate(Sum("tf", alias_name="total_tf"))
+        return agg.sort(["total_tf", "term"], descending=[True, False]).limit(50)
+
+    def bm25_q(query):
+        def run(sf_dir):
+            return rank.bm25_topk(_docs(sf_dir), query, k=10)
+
+        return run
+
+    def bm25_reference_suite(sf_dir):
+        # the reference's 5 fixed eval queries (`Serial Version/src/
+        # evaluate.c:12-19`) -- vocabulary-dependent, so rows-only check
+        import pyarrow as pa
+
+        parts = []
+        for q in rank.bm25_eval_queries():
+            t = rank.bm25_topk(_docs(sf_dir), q, k=5)
+            parts.append(t.append_column("query", pa.array([q] * t.num_rows)))
+        return pa.concat_tables(parts)
+
+    def ann_topk(sf_dir):
+        return ann.brute_force_topk(_emb(sf_dir), _query_vectors(sf_dir), k=10)
+
+    def ann_ivf(sf_dir):
+        return ann.ivf_topk(_emb(sf_dir), _query_vectors(sf_dir), k=10)
+
+    def minhash_pairs(sf_dir):
+        return _pairs_table(
+            dedup.minhash_lsh_pairs(_docs(sf_dir), jaccard_threshold=0.4),
+            ["doc_a", "doc_b", "jaccard"],
+        )
+
+    def simhash_sigs(sf_dir):
+        return dedup.simhash_signatures(_docs(sf_dir))
+
+    def jaccard_pairs(sf_dir):
+        return _pairs_table(
+            dedup.ngram_jaccard_pairs(_docs(sf_dir), threshold=0.6, block_prefix=16),
+            ["doc_a", "doc_b", "jaccard"],
+        )
+
+    def emb_dups(sf_dir):
+        return _pairs_table(
+            dedup.embedding_dup_pairs(_emb(sf_dir), threshold=0.3),
+            ["id_a", "id_b", "cosine"],
+        )
+
+    def langs(sf_dir):
+        return text.lang_id_table(_docs(sf_dir))
+
+    def fingerprints(sf_dir):
+        return text.fingerprint_table(_docs(sf_dir))
+
+    def media_feats(sf_dir):
+        return multimodal.media_features(_docs(sf_dir))
+
+    def crawl_smoke(sf_dir):
+        # Sharded frontier crawl over the deterministic synthetic web
+        # (sf_dir-independent; the crawl's own corpus is the input contract).
+        import ray.data as rd
+        import pyarrow as pa
+        from high_performance_parallel_search_engine_ray.pipelines.crawl import (
+            CrawlConfig,
+            ShardedCrawl,
+        )
+        from high_performance_parallel_search_engine_ray.sources.corpus import (
+            generate_corpus,
+        )
+
+        corpus = generate_corpus("t1-smoke", seed=42)
+        eng = ShardedCrawl(
+            CrawlConfig(
+                corpus_dir=corpus,
+                out_dir="/tmp/hppse_query_crawl",
+                num_shards=4,
+                fetch_concurrency=2,
+                round_budget_ms=5000,
+                max_rounds=20,
+            )
+        )
+        eng.run()
+        docs = eng.docs_dataset()
+        rows = sorted(
+            (
+                {"doc_id": r["doc_id"], "depth": r["depth"], "n_spans": r["n_spans"]}
+                for r in docs.take_all()
+            ),
+            key=lambda r: r["doc_id"],
+        )
+        eng.shutdown()
+        return pa.Table.from_pylist(rows)
+
+    def crawl_exact_trace(sf_dir):
+        import pyarrow as pa
+        from high_performance_parallel_search_engine_ray.pipelines.crawl import (
+            crawl_exact,
+        )
+        from high_performance_parallel_search_engine_ray.pipelines.refcrawler import (
+            PolitenessBudget,
+        )
+        from high_performance_parallel_search_engine_ray.sources.corpus import (
+            generate_corpus,
+            load_seeds,
+        )
+
+        corpus = generate_corpus("t1-smoke", seed=42)
+        s = load_seeds(corpus).to_pylist()[0]
+        tr = crawl_exact(
+            corpus, s["url"], int(s["max_depth"]), int(s["max_pages"]),
+            PolitenessBudget(1),
+        )
+        return pa.Table.from_pylist(tr.visits)
+
+    return {
+        # relational / TPC-H-ish
+        "pricing_summary": relational.pricing_summary,
+        "top_revenue_orders": relational.top_revenue_orders,
+        "region_nation_revenue": relational.region_nation_revenue,
+        "top_customers": relational.top_customers,
+        "events_hourly": relational.events_hourly,
+        "user_stats": relational.user_stats,
+        "sessionize": relational.sessionize,
+        "running_order_totals": relational.running_order_totals,
+        "segment_counts": relational.segment_counts,
+        "distinct_brands": relational.distinct_brands,
+        "high_value_orders": relational.high_value_orders,
+        "supplier_part_join": relational.supplier_part_join,
+        "order_priority_share": relational.order_priority_share,
+        # search-engine path (tokenize/index/rank)
+        "term_doc_tf": tf_table,
+        "doc_lengths": dl_table,
+        "term_df": df_table,
+        "top_terms": top_terms,
+        "bm25_hash_join": bm25_q("hash join"),
+        "bm25_vector_scan": bm25_q("vector merge scan"),
+        "bm25_reference_queries": bm25_reference_suite,
+        # text analysis
+        "quality_scores": lambda sf: text.quality_scores(_docs(sf)),
+        "token_counts": lambda sf: text.token_count_table(_docs(sf)),
+        "lang_id": langs,
+        "fingerprints": fingerprints,
+        # dedup family
+        "dedup_exact": lambda sf: dedup.exact_dedup(_docs(sf)),
+        "ngram_jaccard_pairs": jaccard_pairs,
+        "minhash_lsh_pairs": minhash_pairs,
+        "simhash_signatures": simhash_sigs,
+        "embedding_dup_pairs": emb_dups,
+        # similarity search
+        "ann_brute_topk": ann_topk,
+        "ann_ivf_topk": ann_ivf,
+        # multimodal plumbing
+        "media_features": media_feats,
+        # crawl engine (non-SQL: stateful iterative dataflow)
+        "crawl_sharded_smoke": crawl_smoke,
+        "crawl_exact_trace": crawl_exact_trace,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "pricing_summary": """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)                          AS sum_qty,
+       round(sum(l_extendedprice), 2)                     AS sum_base_price,
+       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+       round(round(sum(l_quantity), 2) / count(*), 6)      AS avg_qty,
+       round(round(sum(l_extendedprice), 2) / count(*), 6) AS avg_price,
+       round(round(sum(l_discount), 6) / count(*), 6)      AS avg_disc,
+       count(*)                                           AS count_order
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+""",
+        "top_revenue_orders": """
+SELECT l.l_orderkey AS o_orderkey,
+       round(sum(l.l_extendedprice * (1.0 - l.l_discount)), 6) AS revenue
+FROM lineitem l
+JOIN orders o   ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+WHERE c.c_mktsegment = 'BUILDING'
+GROUP BY l.l_orderkey
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+""",
+        "region_nation_revenue": """
+SELECT n.n_name,
+       round(sum(l.l_extendedprice * (1.0 - l.l_discount)), 2) AS revenue
+FROM lineitem l
+JOIN orders o   ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n   ON n.n_nationkey = c.c_nationkey
+JOIN region r   ON r.r_regionkey = n.n_regionkey
+WHERE r.r_name = 'ASIA'
+GROUP BY n.n_name
+""",
+        "top_customers": """
+SELECT o.o_custkey, c.c_name,
+       round(sum(o.o_totalprice), 2) AS total_spent,
+       count(*) AS n_orders
+FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+GROUP BY o.o_custkey, c.c_name
+ORDER BY total_spent DESC, o_custkey
+LIMIT 10
+""",
+        "events_hourly": """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       round(sum(value), 6) AS sum_value,
+       count(*) AS n_events
+FROM events
+GROUP BY 1, 2
+""",
+        "user_stats": """
+SELECT user_id,
+       count(*) AS n_events,
+       round(sum(value), 6) AS sum_value,
+       round(round(sum(value), 6) / count(*), 6) AS avg_value,
+       round(max(value), 6) AS max_value
+FROM events
+GROUP BY user_id
+""",
+        "sessionize": """
+WITH ordered AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL 30 MINUTE OR
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+), labeled AS (
+  SELECT user_id,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM ordered
+), sizes AS (
+  SELECT user_id, sess_id, count(*) AS n FROM labeled GROUP BY 1, 2
+)
+SELECT user_id,
+       count(*) AS n_sessions,
+       max(n)   AS max_session_events
+FROM sizes GROUP BY user_id
+""",
+        "running_order_totals": """
+SELECT o_custkey, o_orderkey,
+       round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey ROWS UNBOUNDED PRECEDING), 6)
+             AS running_total
+FROM orders WHERE o_custkey < 200
+""",
+        "segment_counts": """
+SELECT c_mktsegment, count(*) AS n FROM customer GROUP BY c_mktsegment
+""",
+        "distinct_brands": """
+SELECT DISTINCT p_brand FROM part
+""",
+        "high_value_orders": """
+SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+FROM orders WHERE o_totalprice > 400000.0
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 20
+""",
+        "supplier_part_join": """
+SELECT n.n_name, count(DISTINCT p.p_brand) AS n_brands
+FROM lineitem l
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN part p     ON p.p_partkey = l.l_partkey
+JOIN nation n   ON n.n_nationkey = s.s_nationkey
+GROUP BY n.n_name
+""",
+        "order_priority_share": """
+SELECT o_orderpriority, count(*) AS n,
+       round(count(*) * 1.0 / (SELECT count(*) FROM orders), 6) AS share
+FROM orders GROUP BY o_orderpriority
+""",
+        "term_doc_tf": f"""
+WITH {_TOKS_CTE},
+tf AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1)
+SELECT tf.term, tf.doc_id, tf.tf, dl.dl
+FROM tf JOIN dl ON dl.doc_id = tf.doc_id
+""",
+        "doc_lengths": f"""
+WITH {_TOKS_CTE}
+SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id
+""",
+        "term_df": f"""
+WITH {_TOKS_CTE}
+SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term
+""",
+        "top_terms": f"""
+WITH {_TOKS_CTE}
+SELECT term, count(*) AS total_tf FROM toks GROUP BY term
+ORDER BY total_tf DESC, term LIMIT 50
+""",
+        "bm25_hash_join": _bm25_sql(["hash", "join"]),
+        "bm25_vector_scan": _bm25_sql(["vector", "merge", "scan"]),
+        "quality_scores": """
+SELECT doc_id,
+       length(text) AS n_chars,
+       len(regexp_extract_all(text, '\\S+')) AS n_ws_tokens,
+       round(len(regexp_extract_all(text, '[A-Za-z]')) * 1.0 / length(text), 6) AS alpha_ratio,
+       round(len(regexp_extract_all(text, '[0-9]')) * 1.0 / length(text), 6)   AS digit_ratio,
+       round(len(regexp_extract_all(text, '[.,;:!?]')) * 1.0 / length(text), 6) AS punct_ratio
+FROM documents
+""",
+        "token_counts": """
+SELECT doc_id,
+       len(regexp_extract_all(text, '\\S+')) AS n_ws_tokens,
+       len(regexp_extract_all(text,
+           '[a-z]+|[A-Z][a-z]*|[0-9]{1,3}|[^\\sa-zA-Z0-9]')) AS n_bpeish_tokens
+FROM documents
+""",
+        "dedup_exact": """
+SELECT md5(text) AS content_hash,
+       min(doc_id) AS keeper_doc_id,
+       count(*) AS n_copies
+FROM documents GROUP BY md5(text)
+""",
+        "ngram_jaccard_pairs": """
+WITH g AS (
+  SELECT DISTINCT doc_id, substr(text, 1, 16) AS blk, substr(text, i, 3) AS gram
+  FROM documents, generate_series(1, 100000) AS s(i)
+  WHERE i <= length(text) - 2
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM g a JOIN g b ON a.blk = b.blk AND a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id)
+SELECT doc_a, doc_b,
+       round(inter * 1.0 / (sa.n + sb.n - inter), 6) AS jaccard
+FROM pairs
+JOIN sizes sa ON sa.doc_id = pairs.doc_a
+JOIN sizes sb ON sb.doc_id = pairs.doc_b
+WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.6
+""",
+        "embedding_dup_pairs": """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
+FROM embeddings a
+JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.3
+""",
+        "ann_brute_topk": """
+WITH q AS (SELECT vec_id AS query_idx, embedding FROM embeddings WHERE vec_id < 5),
+sims AS (
+  SELECT q.query_idx, e.vec_id,
+         list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) AS c
+  FROM embeddings e CROSS JOIN q
+),
+ranked AS (
+  SELECT query_idx, vec_id, round(c, 6) AS cosine,
+         row_number() OVER (PARTITION BY query_idx ORDER BY c DESC, vec_id) AS rank
+  FROM sims
+)
+SELECT CAST(query_idx AS INT) AS query_idx, vec_id, cosine, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 10
+""",
+        # lang_id / fingerprints / minhash / simhash / ann_ivf / media /
+        # crawl_*: non-SQL-expressible (heuristic, probabilistic-but-seeded,
+        # stateful iterative, or stubbed-decode) -> driver rows-only check.
+    }
+
+
+def _bm25_sql(terms: list[str]) -> str:
+    terms_sql = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+WITH {_TOKS_CTE},
+tf AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT count(*) FROM toks) * 1.0 /
+         (SELECT count(*) FROM documents) AS avgdl
+),
+df AS (SELECT term, count(*) AS df FROM tf
+       WHERE term IN ({terms_sql}) GROUP BY term),
+scores AS (
+  SELECT tf.doc_id,
+         sum( ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+              * (tf.tf * 2.5)
+              / (tf.tf + 1.5 * (0.25 + 0.75 * dl.dl / stats.avgdl)) ) AS score
+  FROM tf
+  JOIN df ON df.term = tf.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(score, 6) AS score FROM scores
+WHERE score > 0
+ORDER BY score DESC, doc_id
+LIMIT 10
+"""

@@ -1,0 +1,120 @@
+"""Inverted-index pipelines over a (doc_id, text) Dataset.
+
+Reference: `build_index`/`add_token` accumulate a global mutable array
+(`Serial Version/src/index.c:15-114`); the MPI version hash-partitions terms
+with explicit sends (`MPI Version/src/dist_index.c:71-145`). Here the same
+result is a Ray Data dataflow:
+
+  tokenize (vectorized Arrow kernels, per batch)
+    -> (term, doc_id, tf, dl) rows        [no shuffle: a document's text
+                                           lives in one row, so per-batch
+                                           counts are globally correct]
+    -> groupby('term')                    [THE shuffle, = dist_index's
+                                           hash-partition by term owner]
+    -> postings lists / df
+
+Tokenization semantics = the serial tokenizer (`Serial Version/src/parser.c:
+51-76` + add_token's 62-char term cut, `src/index.c:103`): split on the
+serial delimiter set, lowercase, drop the 5 stopwords.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.tokenize import MAX_TERM_LEN, SERIAL_DELIMS, STOPWORDS
+
+# Arrow re2 character class for the serial delimiter set.
+SERIAL_TOKEN_SPLIT_RE = "[ \t\n\r.,;:!?\"()\\[\\]{}<>]+"
+_STOP_ARR = pa.array(list(STOPWORDS))
+
+
+def tokenize_batch(batch: pa.Table, id_col: str = "doc_id", text_col: str = "text") -> pa.Table:
+    """Vectorized: docs batch -> (doc_id, term) exploded rows (serial
+    tokenizer semantics, zero Python loops)."""
+    lower = pc.utf8_lower(batch[text_col])
+    toks = pc.split_pattern_regex(lower, SERIAL_TOKEN_SPLIT_RE)
+    flat = pc.list_flatten(toks)
+    parents = pc.list_parent_indices(toks)
+    ids = pc.take(batch[id_col], parents)
+    ln = pc.utf8_length(flat)
+    mask = pc.and_(
+        pc.and_(pc.greater(ln, 0), pc.less_equal(ln, MAX_TERM_LEN)),
+        pc.invert(pc.is_in(flat, value_set=_STOP_ARR)),
+    )
+    return pa.table({"doc_id": pc.filter(ids, mask), "term": pc.filter(flat, mask)})
+
+
+def tf_dl_batch(batch: pa.Table, id_col: str = "doc_id", text_col: str = "text") -> pa.Table:
+    """Docs batch -> (term, doc_id, tf, dl) rows. tf and dl are complete (not
+    partial) because each document is wholly inside its batch — the engine's
+    'pre-aggregate inside map_batches' rule with zero merge step needed."""
+    tok = tokenize_batch(batch, id_col, text_col)
+    tf = tok.group_by(["term", "doc_id"]).aggregate([([], "count_all")])
+    tf = tf.rename_columns(["term", "doc_id", "tf"])
+    dl = tok.group_by(["doc_id"]).aggregate([([], "count_all")]).rename_columns(["doc_id", "dl"])
+    return tf.join(dl, keys="doc_id", join_type="inner").select(
+        ["term", "doc_id", "tf", "dl"]
+    )
+
+
+def tokens_dataset(docs, id_col: str = "doc_id", text_col: str = "text"):
+    return docs.map_batches(
+        lambda b: tokenize_batch(b, id_col, text_col), batch_format="pyarrow"
+    )
+
+
+def term_doc_tf(docs, id_col: str = "doc_id", text_col: str = "text"):
+    """Dataset of (term, doc_id, tf, dl)."""
+    return docs.map_batches(
+        lambda b: tf_dl_batch(b, id_col, text_col), batch_format="pyarrow"
+    )
+
+
+def doc_lengths(docs, id_col: str = "doc_id", text_col: str = "text"):
+    """Dataset of (doc_id, dl) — `doc_lengths[]` (`Serial Version/src/index.c:12`)."""
+
+    def dl_batch(batch: pa.Table) -> pa.Table:
+        tok = tokenize_batch(batch, id_col, text_col)
+        dl = tok.group_by(["doc_id"]).aggregate([([], "count_all")])
+        return dl.rename_columns(["doc_id", "dl"])
+
+    return docs.map_batches(dl_batch, batch_format="pyarrow")
+
+
+def term_df(docs, id_col: str = "doc_id", text_col: str = "text"):
+    """Dataset of (term, df) — posting_count per term. One groupby shuffle
+    over already-unique (term, doc) rows."""
+    from ray.data.aggregate import Count
+
+    tf = term_doc_tf(docs, id_col, text_col)
+    return tf.groupby("term").aggregate(Count(alias_name="df"))
+
+
+def build_inverted_index(docs, id_col: str = "doc_id", text_col: str = "text"):
+    """Dataset of (term, df, postings list<struct<doc_id, tf>>) — the full
+    index table (`InvertedIndex`, `Serial Version/include/index.h:19-32`),
+    built by the hash-partitioned term shuffle. Postings are doc_id-sorted
+    (the reference's are in first-encounter order — an array-layout artifact,
+    not a semantic; sorted is deterministic under parallelism)."""
+    import pandas as pd
+
+    tf = term_doc_tf(docs, id_col, text_col)
+
+    def collect(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values("doc_id")
+        return pd.DataFrame(
+            {
+                "term": [g["term"].iloc[0]],
+                "df": [len(g)],
+                "postings": [
+                    [
+                        {"doc_id": int(d), "tf": int(t)}
+                        for d, t in zip(g["doc_id"], g["tf"])
+                    ]
+                ],
+            }
+        )
+
+    return tf.groupby("term").map_groups(collect, batch_format="pandas")

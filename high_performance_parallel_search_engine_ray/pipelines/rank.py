@@ -1,0 +1,127 @@
+"""BM25 ranking as a Ray Data pipeline.
+
+Formula transliterated from `rank_bm25` (`Serial Version/src/ranking.c:27-91`):
+
+  idf   = ln((N - df + 0.5) / (df + 0.5) + 1.0)        (ranking.c:55)
+  score = idf * (tf * (1.5+1)) / (tf + 1.5*(1 - 0.75 + 0.75*dl/avgdl))
+                                                        (ranking.c:61)
+  k1 = 1.5, b = 0.75 hardcoded (config.ini's BM25_K1=1.2 is never parsed —
+  SURVEY.md §2.9); query tokenized on whitespace only (ranking.c:36);
+  results sorted score-desc, zero scores dropped (ranking.c:87-90).
+
+Dataflow (broadcast-small-side join, SURVEY.md §2.4 J1):
+  tf rows for the query's terms only (vectorized is_in filter — tiny slice)
+  -> df per term (small aggregate, broadcast as a dict)
+  -> per-row score in map_batches (numpy, float64, same expression shape as
+     the DuckDB oracle so doubles agree bit-for-bit)
+  -> groupby(doc_id).sum -> sort(score desc, doc_id asc) -> limit k
+
+avgdl = total kept tokens / total docs (docs with zero kept tokens count in
+the denominator, as the reference's loop over 0..total_docs does,
+ranking.c:39-42). Tie-break doc_id asc (the C qsort is unstable; ties are
+rare and the deterministic rule is documented here).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.rounding import round_half_away
+from ..functions.tokenize import tokenize_query
+from .index import term_doc_tf
+
+K1 = 1.5
+B = 0.75
+
+
+def bm25_topk(
+    docs,
+    query: str,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_to: int | None = 6,
+):
+    """Top-k (doc_id, score) for one query over a (doc_id, text) Dataset.
+    Returns a pyarrow Table (small result; schema stable even when empty)."""
+    import ray
+
+    id_type = docs.schema().base_schema.field(id_col).type
+    out_schema = pa.schema([(id_col, id_type), ("score", pa.float64())])
+
+    qterms = tokenize_query(query)
+    if not qterms:
+        return out_schema.empty_table()
+    qset = pa.array(sorted(set(qterms)))
+
+    tf = term_doc_tf(docs, id_col, text_col)
+
+    def only_query_terms(b: pa.Table) -> pa.Table:
+        return b.filter(pc.is_in(b["term"], value_set=qset))
+
+    tf_q = tf.map_batches(only_query_terms, batch_format="pyarrow")
+
+    # Global corpus stats: N docs, total kept tokens. Small aggregates.
+    n_docs = docs.count()
+    total_tokens = tf.map_batches(
+        lambda b: pa.table({"s": [pc.sum(b["tf"]).as_py() or 0]}),
+        batch_format="pyarrow",
+    ).sum("s")
+    avgdl = (total_tokens or 0) / n_docs
+
+    from ray.data.aggregate import Count
+
+    df_rows = tf_q.groupby("term").aggregate(Count(alias_name="df")).take_all()
+    df_map = {r["term"]: r["df"] for r in df_rows}
+    # A query term can appear multiple times (each occurrence re-scores in
+    # the C loop, ranking.c:46-79) — weight = occurrences.
+    weights = {}
+    for t in qterms:
+        weights[t] = weights.get(t, 0) + 1
+    df_ref = ray.put((df_map, weights, n_docs, avgdl))
+
+    def score_batch(b: pa.Table) -> pa.Table:
+        dfm, w, n, adl = ray.get(df_ref)
+        terms = b["term"].to_pylist()
+        tf_v = b["tf"].to_numpy().astype(np.float64)
+        dl_v = b["dl"].to_numpy().astype(np.float64)
+        df_v = np.array([dfm[t] for t in terms], dtype=np.float64)
+        w_v = np.array([w[t] for t in terms], dtype=np.float64)
+        idf = np.log((n - df_v + 0.5) / (df_v + 0.5) + 1.0)
+        score = idf * (tf_v * (K1 + 1)) / (tf_v + K1 * (1 - B + B * dl_v / adl)) * w_v
+        return pa.table({id_col: b["doc_id"], "score_part": pa.array(score, pa.float64())})
+
+    scored = tf_q.map_batches(score_batch, batch_format="pyarrow")
+    from ray.data.aggregate import Sum
+
+    agg = scored.groupby(id_col).aggregate(Sum("score_part", alias_name="score"))
+    if round_to is not None:
+        agg = agg.map_batches(
+            lambda b: b.set_column(
+                b.schema.get_field_index("score"),
+                "score",
+                round_half_away(b["score"], round_to),
+            ),
+            batch_format="pyarrow",
+        )
+    out = agg.map_batches(
+        lambda b: b.filter(pc.greater(b["score"], 0.0)), batch_format="pyarrow"
+    )
+    rows = out.sort(["score", id_col], descending=[True, False]).limit(k).take_all()
+    return pa.Table.from_pylist(
+        [{id_col: r[id_col], "score": r["score"]} for r in rows], schema=out_schema
+    )
+
+
+def bm25_eval_queries() -> list[str]:
+    """The reference's fixed evaluation queries (`Serial Version/src/
+    evaluate.c:12-19`)."""
+    return [
+        "circuit breaker",
+        "distributed tracing",
+        "linux wake up",
+        "parallel computing",
+        "microservices",
+    ]

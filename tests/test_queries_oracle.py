@@ -1,0 +1,92 @@
+"""Driver-style correctness gate, run locally at sf0.001: every queries()
+entry with an oracle_sql() runs through Ray AND DuckDB; row count, column
+names, and order-insensitive values must match."""
+
+import math
+
+import duckdb
+import pandas as pd
+import pytest
+
+import __ray_entry__ as entry_mod
+
+SF = "/root/testdata/sf0.001"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _duck(sql: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    return con.execute(sql).fetchdf()
+
+
+def _to_pandas(result) -> pd.DataFrame:
+    import pyarrow as pa
+    import ray.data
+
+    if isinstance(result, ray.data.Dataset):
+        return result.to_pandas()
+    if isinstance(result, pa.Table):
+        return result.to_pandas()
+    return result
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def _values_equal(a, b) -> bool:
+    # EXACT equality (the driver hashes values; rounding on both sides must
+    # make them bit-identical)
+    if isinstance(a, float) or isinstance(b, float):
+        fa, fb = float(a), float(b)
+        if math.isnan(fa) and math.isnan(fb):
+            return True
+        return fa == fb
+    return a == b
+
+
+ORACLE_KEYS = sorted(entry_mod.oracle_sql().keys())
+
+
+@pytest.mark.parametrize("name", ORACLE_KEYS)
+def test_query_matches_oracle(ray_session, name):
+    q = entry_mod.queries()[name]
+    sql = entry_mod.oracle_sql()[name]
+    got = _canon(_to_pandas(q(SF)))
+    want = _canon(_duck(sql))
+    assert len(got) == len(want), f"{name}: rows {len(got)} != {len(want)}"
+    assert list(got.columns) == list(want.columns), (
+        f"{name}: columns {list(got.columns)} != {list(want.columns)}"
+    )
+    for col in got.columns:
+        ga, wa = got[col].tolist(), want[col].tolist()
+        bad = [
+            (i, x, y) for i, (x, y) in enumerate(zip(ga, wa)) if not _values_equal(x, y)
+        ]
+        assert not bad, f"{name}.{col}: first mismatches {bad[:5]}"
+
+
+NON_SQL = sorted(set(entry_mod.queries().keys()) - set(ORACLE_KEYS))
+
+
+@pytest.mark.parametrize("name", [n for n in NON_SQL if not n.startswith("crawl")])
+def test_non_sql_queries_run(ray_session, name):
+    q = entry_mod.queries()[name]
+    df = _to_pandas(q(SF))
+    assert len(df) >= 0
+    assert len(df.columns) > 0
+
+
+def test_entry_smoke(ray_session):
+    df = _to_pandas(entry_mod.entry())
+    assert len(df) >= 0
+    assert "score" in df.columns
