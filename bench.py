@@ -1,0 +1,216 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Default: runs the headline crawl (sharded frontier engine over the bench
+synthetic web) plus a representative query suite over $GRAFT_SF_DIR
+(default /root/testdata/sf0.1), under
+ray.init(address="local", num_cpus=$RAY_GRAFT_CPUS or 32), and prints ONE
+JSON line:
+
+  {"metric": "...", "value": <headline crawl sec>, "unit": "sec",
+   "queries": {...per-pipeline sec...}, "sf": ..., "num_cpus": N,
+   "crawl": {...pages, urls/sec, rounds...}}
+
+--scaling: runs the same job at num_cpus=8 and num_cpus=32 in FRESH
+processes on the same (pre-generated, page-cache-warmed) input and prints
+throughputs at both plus scaling efficiency (sandbox stand-in for N vs 4N
+nodes; see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+BENCH_QUERIES = [
+    "pricing_summary",
+    "top_revenue_orders",
+    "region_nation_revenue",
+    "events_hourly",
+    "user_stats",
+    "sessionize",
+    "bm25_hash_join",
+    "term_doc_tf",
+    "dedup_exact",
+    "minhash_lsh_pairs",
+    "quality_scores",
+    "ann_brute_topk",
+]
+
+
+def _consume(result) -> int:
+    import pyarrow as pa
+    import ray.data
+
+    if isinstance(result, ray.data.Dataset):
+        n = 0
+        for batch in result.iter_batches(batch_size=65536, batch_format="pyarrow"):
+            n += batch.num_rows
+        return n
+    if isinstance(result, pa.Table):
+        return result.num_rows
+    return len(result)
+
+
+def run_crawl_bench(num_cpus: int) -> dict:
+    from high_performance_parallel_search_engine_ray.pipelines.crawl import (
+        CrawlConfig,
+        ShardedCrawl,
+    )
+    from high_performance_parallel_search_engine_ray.sources.corpus import (
+        generate_corpus,
+    )
+
+    corpus = generate_corpus("bench", seed=42)  # cached across runs
+    cfg = CrawlConfig(
+        corpus_dir=corpus,
+        out_dir=f"/tmp/hppse_bench_crawl_{num_cpus}",
+        num_shards=32,
+        fetch_concurrency=num_cpus,
+        fetch_batch_size=256,
+        round_budget_ms=20_000_000.0,  # virtual politeness window per round
+        max_rounds=40,
+        max_depth=64,
+        hot_hosts={"hot.medium.com": 4},
+        expected_urls_per_shard=50_000,
+        checkpoint_interval=5,
+    )
+    # Warm-up: a short crawl first so the measured run excludes Ray worker
+    # process spawning (the ~130-process pool startup is a per-session
+    # constant that would otherwise swamp the 8-vs-32-CPU comparison).
+    warm_cfg = CrawlConfig(**{**cfg.__dict__, "out_dir": cfg.out_dir + "_warm", "max_rounds": 3})
+    warm = ShardedCrawl(warm_cfg)
+    warm.run()
+    warm.shutdown()
+
+    eng = ShardedCrawl(cfg)
+    t0 = time.perf_counter()
+    res = eng.run()
+    sec = time.perf_counter() - t0
+    stats = res["shard_stats"]
+    dups = sum(s["dup"] for s in stats)
+    admitted = sum(s["admitted"] for s in stats)
+    eng.shutdown()
+    import shutil
+
+    shutil.rmtree(cfg.out_dir, ignore_errors=True)  # bench output is scratch
+    shutil.rmtree(warm_cfg.out_dir, ignore_errors=True)
+    pages = res["pages_crawled"]
+    return {
+        "sec": round(sec, 3),
+        "pages_crawled": pages,
+        "urls_admitted": admitted,
+        "dups_filtered": dups,
+        "rounds": res["rounds"],
+        "seen_total": res["seen_total"],
+        "pages_per_sec": round(pages / sec, 1),
+        "urls_per_sec": round((pages + dups) / sec, 1),
+    }
+
+
+def run_bench() -> dict:
+    import logging
+
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    import __ray_entry__ as em
+
+    qs = em.queries()
+
+    # warm the OS page cache so we measure compute+shuffle, not first disk read
+    for t in ("lineitem", "orders", "events", "documents", "embeddings"):
+        with open(f"{SF_DIR}/{t}.parquet", "rb") as f:
+            f.read()
+
+    # warm up Ray worker pool so the first timed query excludes startup
+    import ray.data as _rd
+
+    _rd.range(1000).map_batches(lambda b: b, batch_format="pyarrow").count()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        t0 = time.perf_counter()
+        _consume(qs[name](SF_DIR))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    crawl = run_crawl_bench(NUM_CPUS)
+    timings["crawl"] = crawl["sec"]
+
+    out = {
+        "metric": "headline crawl wall sec (URLs fetched+deduped over bench web corpus)",
+        "value": crawl["sec"],
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "crawl": crawl,
+    }
+    ray.shutdown()
+    return out
+
+
+def run_scaling() -> dict:
+    # pre-generate the corpus (and warm it) so both runs see a hot cache
+    from high_performance_parallel_search_engine_ray.sources.corpus import (
+        generate_corpus,
+    )
+
+    generate_corpus("bench", seed=42)
+
+    def one(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        # taskset pins the whole process tree to ncpu PHYSICAL cores:
+        # num_cpus only caps Ray's scheduler bookkeeping, and zero-cpu
+        # actors would otherwise spill onto all 32 cores, silently
+        # inflating the low-parallelism run.
+        out = subprocess.run(
+            ["taskset", "-c", f"0-{ncpu - 1}", sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo, r_hi = one(lo), one(hi)
+    thr_lo = r_lo["crawl"]["pages_per_sec"]
+    thr_hi = r_hi["crawl"]["pages_per_sec"]
+    eff = (thr_hi / thr_lo) / (hi / lo)
+    return {
+        "metric": "crawl pages/sec scaling efficiency (8 vs 32 CPUs, fresh processes)",
+        "cpus_lo": lo,
+        "cpus_hi": hi,
+        "pages_per_sec_lo": thr_lo,
+        "pages_per_sec_hi": thr_hi,
+        "urls_per_sec_lo": r_lo["crawl"]["urls_per_sec"],
+        "urls_per_sec_hi": r_hi["crawl"]["urls_per_sec"],
+        "sec_lo": r_lo["crawl"]["sec"],
+        "sec_hi": r_hi["crawl"]["sec"],
+        "scaling_efficiency": round(eff, 3),
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

@@ -1,0 +1,160 @@
+"""CLI entry points (reference analog: `Serial Version/src/main.c:18-148`
+flags -c/-d/-p for crawl and stdin queries; `ray job submit`-able).
+
+  python -m high_performance_parallel_search_engine_ray corpus --profile t1-smoke
+  python -m high_performance_parallel_search_engine_ray crawl  --corpus <dir> --out /tmp/crawl
+  python -m high_performance_parallel_search_engine_ray search --docs <parquet-or-crawl-out> -q "hash join"
+  python -m high_performance_parallel_search_engine_ray status --out /tmp/crawl
+
+The CLI owns the Ray session (guarded init); library code never calls
+ray.init.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def _ray_init(num_cpus: int | None):
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+
+
+def cmd_corpus(args) -> int:
+    from .sources.corpus import generate_corpus
+
+    d = generate_corpus(args.profile, seed=args.seed)
+    print(json.dumps({"corpus_dir": d, "profile": args.profile, "seed": args.seed}))
+    return 0
+
+
+def cmd_crawl(args) -> int:
+    _ray_init(args.num_cpus)
+    from .pipelines.crawl import CrawlConfig, ShardedCrawl
+    from .sources.corpus import generate_corpus
+
+    corpus = args.corpus
+    if corpus in ("t1-smoke", "t2-correctness", "bench"):
+        corpus = generate_corpus(corpus, seed=42)
+    cfg = CrawlConfig(
+        corpus_dir=corpus,
+        out_dir=args.out,
+        num_shards=args.num_shards,
+        fetch_concurrency=args.fetch_concurrency,
+        round_budget_ms=args.round_budget_ms,
+        max_rounds=args.max_rounds,
+        max_depth=args.max_depth,
+        max_pages_total=args.max_pages,
+    )
+    eng = ShardedCrawl(cfg)
+    res = eng.run(resume=args.resume)
+    out = {
+        "rounds": res["rounds"],
+        "pages_crawled": res["pages_crawled"],
+        "seen_total": res["seen_total"],
+        "wall_s": round(res["wall_s"], 2),
+        "out_dir": args.out,
+    }
+    eng.shutdown()
+    print(json.dumps(out))
+    return 0
+
+
+def _docs_dataset(path: str):
+    """Accept a documents parquet (doc_id, text) or a crawl out_dir (span
+    rows get flattened to text)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    if os.path.isdir(os.path.join(path, "docs")):
+        import glob
+
+        parts = sorted(glob.glob(os.path.join(path, "docs", "*", "*.parquet")))
+        ds = rd.read_parquet(parts)
+
+        def flatten(b: pa.Table) -> pa.Table:
+            texts = []
+            for spans in b["spans"].to_pylist():
+                texts.append(" ".join(s["text"] for s in spans if s["text"]))
+            return pa.table({"doc_id": b["doc_id"], "text": pa.array(texts, pa.string())})
+
+        return ds.map_batches(flatten, batch_format="pyarrow")
+    return rd.read_parquet(path, columns=["doc_id", "text"])
+
+
+def cmd_search(args) -> int:
+    _ray_init(args.num_cpus)
+    from .pipelines.rank import bm25_topk, bm25_topk_expanded
+
+    docs = _docs_dataset(args.docs)
+    fn = bm25_topk_expanded if args.expand_terms else bm25_topk
+    queries = [args.query] if args.query else [line.strip() for line in sys.stdin if line.strip()]
+    for q in queries:
+        t = fn(docs, q, k=args.k)
+        print(json.dumps({"query": q, "results": t.to_pylist()}))
+    return 0
+
+
+def cmd_status(args) -> int:
+    from .sources.io import read_manifest
+
+    man = read_manifest(args.out)
+    print(json.dumps(man or {"error": f"no manifest under {args.out}"}))
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="high_performance_parallel_search_engine_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pc = sub.add_parser("corpus", help="generate the synthetic web corpus")
+    pc.add_argument("--profile", default="t1-smoke",
+                    choices=["t1-smoke", "t2-correctness", "bench"])
+    pc.add_argument("--seed", type=int, default=42)
+    pc.set_defaults(fn=cmd_corpus)
+
+    pw = sub.add_parser("crawl", help="run the sharded frontier crawl")
+    pw.add_argument("--corpus", required=True,
+                    help="corpus dir or profile name (t1-smoke/t2-correctness/bench)")
+    pw.add_argument("--out", required=True)
+    pw.add_argument("--num-shards", type=int, default=8)
+    pw.add_argument("--fetch-concurrency", type=int, default=4)
+    pw.add_argument("--round-budget-ms", type=float, default=60_000.0)
+    pw.add_argument("--max-rounds", type=int, default=60)
+    pw.add_argument("--max-depth", type=int, default=3)
+    pw.add_argument("--max-pages", type=int, default=None)
+    pw.add_argument("--resume", action="store_true")
+    pw.add_argument("--num-cpus", type=int, default=None)
+    pw.set_defaults(fn=cmd_crawl)
+
+    ps = sub.add_parser("search", help="BM25 search over a docs table or crawl output")
+    ps.add_argument("--docs", required=True)
+    ps.add_argument("-q", "--query", default=None,
+                    help="query string (default: read queries from stdin)")
+    ps.add_argument("-k", type=int, default=10)
+    ps.add_argument("--expand-terms", action="store_true",
+                    help="plural/singular fallback (OpenMP ranking semantics)")
+    ps.add_argument("--num-cpus", type=int, default=None)
+    ps.set_defaults(fn=cmd_search)
+
+    pst = sub.add_parser("status", help="show a crawl checkpoint manifest")
+    pst.add_argument("--out", required=True)
+    pst.set_defaults(fn=cmd_status)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

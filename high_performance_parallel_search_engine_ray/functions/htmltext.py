@@ -50,7 +50,13 @@ def _is_c_punct(ch: str) -> bool:
 
 def is_useful_content(text: str) -> bool:
     """`Serial Version/src/crawler.c:110-131`. Counts are over the first 200
-    chars but the ratios divide by the FULL length (as in the C)."""
+    chars but the ratios divide by the FULL length, and — critically — the C
+    computes the ratios in 32-bit float: a paragraph whose alpha ratio is
+    exactly 174/435 = 0.4 PASSES in C (float32 rounds up past the double
+    0.4) but would fail in float64. Found by differential testing against
+    the compiled reference."""
+    import numpy as np
+
     length = len(text)
     if length < 10:
         return False
@@ -60,8 +66,8 @@ def is_useful_content(text: str) -> bool:
             alpha += 1
         elif _is_c_space(ch):
             space += 1
-    alpha_ratio = alpha / length
-    space_ratio = space / length
+    alpha_ratio = float(np.float32(alpha) / np.float32(length))
+    space_ratio = float(np.float32(space) / np.float32(length))
     return alpha_ratio > 0.4 and 0.05 < space_ratio < 0.3
 
 
@@ -70,7 +76,7 @@ def _istarts(html: str, i: int, prefix: str) -> bool:
     return html[i : i + len(prefix)].lower() == prefix
 
 
-def html_to_events(html: str) -> list[tuple[str, str]]:
+def html_to_events_slow(html: str) -> list[tuple[str, str]]:
     """Run the C state machine; return write events in emission order.
 
     Events: ('title'|'h1'|'h2'|'p', text) for buffered elements and
@@ -430,3 +436,325 @@ def get_medium_filename(url: str, html: str) -> str:
         if out:
             return "medium_profile_" + "".join(out) + ".txt"
     return get_url_filename(url)
+
+
+_WS_RUN = __import__("re").compile(r"[ \t\n\x0b\x0c\r]+")
+
+
+def html_to_events(html: str) -> list[tuple[str, str]]:
+    """Fast scanner: semantically identical to `html_to_events_slow` (which
+    is the line-by-line C transliteration kept as the in-repo oracle), but
+    with pattern checks gated on '<' and run-chunked jumps for comments,
+    tags, and text runs. Equality fast==slow is property-tested against the
+    compiled reference C binary and a fuzz corpus in tests/test_htmltext.py;
+    the hot fetch/parse stage uses this version (~50x faster)."""
+    html_len = len(html)  # strlen BEFORE any pointer shift (crawler.c:145)
+
+    article_found = False
+    if "medium.com" in html:
+        idx = html.find("<article")
+        if idx == -1:
+            idx = html.find('<section class="section-inner')
+        if idx != -1:
+            html = html[idx:]
+            article_found = True
+    if not article_found:
+        b = html.find("<body")
+        if b != -1:
+            html = html[b:]
+
+    is_medium = "medium.com" in html
+
+    events: list[tuple[str, str]] = []
+    raw: list[str] = []
+    buf: list[str] = []
+    buf_len = 0
+
+    def flush_raw() -> None:
+        if raw:
+            events.append(("body", "".join(raw)))
+            raw.clear()
+
+    def emit(kind: str, text: str) -> None:
+        flush_raw()
+        events.append((kind, text))
+
+    in_tag = in_script = in_style = in_head = in_comment = False
+    in_title = in_heading = in_paragraph = False
+    consecutive_spaces = 0
+    content_written = False
+
+    n = len(html)
+    i = 0
+    while i < n:
+        if in_comment:
+            j = html.find("-->", i)
+            if j == -1:
+                break  # unterminated comment swallows the rest
+            in_comment = False
+            i = j + 3
+            continue
+
+        ch = html[i]
+        if ch == "<":
+            # comment open (crawler.c:180)
+            if not in_tag and i + 3 < html_len and html[i : i + 4] == "<!--":
+                in_comment = True
+                i += 4
+                continue
+            # section / buffered-element chain (crawler.c:195-303)
+            if not in_tag and i + 6 < html_len and _istarts(html, i, "<head>"):
+                in_head = True
+                in_tag = True
+                i += 1
+                continue
+            elif in_head and i + 7 < html_len and _istarts(html, i, "</head>"):
+                in_head = False
+                in_tag = True
+                i += 7
+                continue
+            elif not in_tag and i + 8 < html_len and _istarts(html, i, "<script"):
+                in_script = True
+                in_tag = True
+                i += 1  # falls into the skip block on '<' in the C
+                continue
+            elif not in_tag and i + 7 < html_len and _istarts(html, i, "<style"):
+                in_style = True
+                in_tag = True
+                i += 1
+                continue
+            elif in_script and i + 9 < html_len and _istarts(html, i, "</script>"):
+                in_script = False
+                i += 9
+                continue
+            elif in_style and i + 8 < html_len and _istarts(html, i, "</style>"):
+                in_style = False
+                i += 8
+                continue
+            elif not in_tag and i + 7 < html_len and _istarts(html, i, "<title>"):
+                in_title = True
+                buf.clear()
+                buf_len = 0
+                i += 7
+                continue
+            elif in_title and i + 8 < html_len and _istarts(html, i, "</title>"):
+                in_title = False
+                if buf:
+                    emit("title", "".join(buf))
+                    content_written = True
+                buf.clear()
+                buf_len = 0
+                i += 8
+                continue
+            elif not in_tag and is_medium:
+                if i + 3 < html_len and _istarts(html, i, "<h1"):
+                    in_heading = True
+                    buf.clear()
+                    buf_len = 0
+                    in_tag = True
+                    i += 3
+                    continue
+                elif in_heading and i + 5 < html_len and _istarts(html, i, "</h1>"):
+                    in_heading = False
+                    if buf:
+                        emit("h1", "".join(buf))
+                        content_written = True
+                    buf.clear()
+                    buf_len = 0
+                    i += 5
+                    continue
+                elif i + 3 < html_len and _istarts(html, i, "<h2"):
+                    in_heading = True
+                    buf.clear()
+                    buf_len = 0
+                    in_tag = True
+                    i += 3
+                    continue
+                elif in_heading and i + 5 < html_len and _istarts(html, i, "</h2>"):
+                    in_heading = False
+                    if buf:
+                        emit("h2", "".join(buf))
+                        content_written = True
+                    buf.clear()
+                    buf_len = 0
+                    i += 5
+                    continue
+                elif i + 3 < html_len and _istarts(html, i, "<p>"):
+                    in_paragraph = True
+                    buf.clear()
+                    buf_len = 0
+                    i += 3
+                    continue
+                elif in_paragraph and i + 4 < html_len and _istarts(html, i, "</p>"):
+                    in_paragraph = False
+                    if buf:
+                        text = "".join(buf)
+                        if is_useful_content(text):
+                            emit("p", text)
+                            content_written = True
+                    buf.clear()
+                    buf_len = 0
+                    i += 4
+                    continue
+            if in_head or in_script or in_style:
+                in_tag = True  # skip-block '<' (crawler.c:307)
+                i += 1
+                continue
+            # tag open + paragraph-break tags (crawler.c:316-331)
+            in_tag = True
+            if i + 4 < html_len and (
+                _istarts(html, i, "<p>")
+                or _istarts(html, i, "<br")
+                or _istarts(html, i, "<li")
+                or _istarts(html, i, "<h")
+            ):
+                if not in_title and not in_heading and not in_paragraph:
+                    raw.append("\n\n")
+                consecutive_spaces = 0
+            i += 1
+            continue
+
+        # ---- non-'<' characters ------------------------------------------
+        if in_head or in_script or in_style:
+            if in_tag:
+                jl = html.find("<", i)
+                jg = html.find(">", i)
+                if jg != -1 and (jl == -1 or jg < jl):
+                    in_tag = False
+                    i = jg + 1
+                elif jl != -1:
+                    i = jl  # '<' may match a chain pattern — re-dispatch
+                else:
+                    i = n
+            else:
+                jl = html.find("<", i)
+                i = jl if jl != -1 else n
+            continue
+
+        if in_tag:
+            jl = html.find("<", i)
+            jg = html.find(">", i)
+            if jg != -1 and (jl == -1 or jg < jl):
+                in_tag = False
+                i = jg + 1
+            elif jl != -1:
+                i = jl
+            else:
+                i = n
+            continue
+
+        if in_title or in_heading or in_paragraph:
+            if ch == "&":
+                if buf_len < _BUF_CAP:
+                    if i + 5 < html_len and html[i : i + 5] == "&amp;":
+                        buf.append("&")
+                        buf_len += 1
+                        i += 5
+                    elif i + 4 < html_len and html[i : i + 4] == "&lt;":
+                        buf.append("<")
+                        buf_len += 1
+                        i += 4
+                    elif i + 4 < html_len and html[i : i + 4] == "&gt;":
+                        buf.append(">")
+                        buf_len += 1
+                        i += 4
+                    elif i + 6 < html_len and html[i : i + 6] == "&quot;":
+                        buf.append('"')
+                        buf_len += 1
+                        i += 6
+                    elif i + 6 < html_len and html[i : i + 6] == "&nbsp;":
+                        buf.append(" ")
+                        buf_len += 1
+                        i += 6
+                    elif i + 6 < html_len and html[i : i + 6] == "&#039;":
+                        buf.append("'")
+                        buf_len += 1
+                        i += 6
+                    else:
+                        j = i
+                        while j < n and html[j] != ";" and j - i < 10:
+                            j += 1
+                        if j < n and html[j] == ";":
+                            i = j + 1
+                        else:
+                            buf.append(ch)
+                            buf_len += 1
+                            i += 1
+                else:
+                    i += 1
+                continue
+            jl = html.find("<", i)
+            ja = html.find("&", i)
+            j = min(x for x in (jl, ja, n) if x != -1)
+            run = html[i : j]
+            if buf_len + len(run) < _BUF_CAP:
+                collapsed = _WS_RUN.sub(" ", run)
+                if collapsed.startswith(" ") and (
+                    not buf or _is_c_space(buf[-1][-1])
+                ):
+                    collapsed = collapsed[1:]
+                if collapsed:
+                    buf.append(collapsed)
+                    buf_len += len(collapsed)
+            else:
+                for c in run:
+                    if buf_len < _BUF_CAP:
+                        if _is_c_space(c):
+                            if buf and not _is_c_space(buf[-1][-1]):
+                                buf.append(" ")
+                                buf_len += 1
+                        else:
+                            buf.append(c)
+                            buf_len += 1
+            i = j
+            continue
+
+        # ---- regular body text -------------------------------------------
+        if ch == "&":
+            if i + 5 < html_len and html[i : i + 5] == "&amp;":
+                raw.append("&")
+                i += 5
+            elif i + 4 < html_len and html[i : i + 4] == "&lt;":
+                raw.append("<")
+                i += 4
+            elif i + 4 < html_len and html[i : i + 4] == "&gt;":
+                raw.append(">")
+                i += 4
+            elif i + 6 < html_len and html[i : i + 6] == "&quot;":
+                raw.append('"')
+                i += 6
+            elif i + 6 < html_len and html[i : i + 6] == "&nbsp;":
+                raw.append(" ")
+                i += 6
+            elif i + 6 < html_len and html[i : i + 6] == "&#039;":
+                raw.append("'")
+                i += 6
+            else:
+                j = i
+                while j < n and html[j] != ";" and j - i < 10:
+                    j += 1
+                if j < n and html[j] == ";":
+                    i = j + 1
+                else:
+                    raw.append(ch)
+                    i += 1
+            consecutive_spaces = 0
+            content_written = True
+            continue
+        jl = html.find("<", i)
+        ja = html.find("&", i)
+        j = min(x for x in (jl, ja, n) if x != -1)
+        run = html[i : j]
+        collapsed = _WS_RUN.sub(" ", run)
+        if collapsed.startswith(" ") and consecutive_spaces == 1:
+            collapsed = collapsed[1:]
+        if collapsed:
+            raw.append(collapsed)
+            content_written = True
+        consecutive_spaces = 1 if _is_c_space(run[-1]) else 0
+        i = j
+
+    flush_raw()
+    if not content_written:
+        events.append(("body", _FALLBACK))
+    return events

@@ -19,11 +19,21 @@ by the reference's own 1000-URL arrays.
 politeness in virtual time, robots gating, priority queues, hot-host salt
 splitting). Each round:
 
-  release (politeness window)  ->  Dataset of frontier rows
-  map_batches(FetchParse, actor pool)  ->  links + outcomes (docs written
-                                            per-round as a side-effect)
-  groupby('shard').map_groups(admit)   ->  per-shard sorted admission
+  release (politeness window)      -> per-shard frontier Arrow tables
+  persistent fetch actors (bucket-routed; see _spawn_fetchers) -> links +
+                                      outcomes; docs written per-round
+  direct object-store shuffle      -> every shard actor selects its rows
+                                      from the fetcher outputs and admits
+                                      in discovery order (admit_tables)
   checkpoint: shard snapshots + metrics + manifest (atomic rename)
+
+The inner loop deliberately uses actors + the object store instead of
+per-round Dataset executions: a BFS frontier is a feedback loop (round N's
+output is round N+1's input), which Ray Data cannot express in one lazy
+pipeline; re-creating a Dataset + all-to-all per round costs 1-2s of fixed
+scheduling latency per round regardless of data size. Ray Data remains the
+engine for everything that IS a dataflow: exact-mode fetch/parse, the docs
+dataset, and all downstream pipelines (index/rank/dedup/ann/text).
 
 Divergence from exact mode, by design: the 20-link/page cap counts VALID
 CANDIDATES in document order (computable per page in parallel) instead of
@@ -95,55 +105,13 @@ class CrawlConfig:
     use_filters: bool = True
     expected_urls_per_shard: int = 200_000
     checkpoint: bool = True
+    checkpoint_interval: int = 1  # rounds between checkpoints (last round always)
     use_robots: bool = True
 
 
 # ---------------------------------------------------------------------------
 # Sharded (scale) mode
 # ---------------------------------------------------------------------------
-
-def _make_admit_fn(handles: dict[int, "ray.actor.ActorHandle"]):
-    """Group fn for links.groupby('shard').map_groups: sorts the shard's
-    round candidates by discovery order, splits outcomes from links, and
-    performs the two actor calls. Returns one stats row."""
-
-    def admit_group(group: pa.Table) -> pa.Table:
-        if group.num_rows == 0:
-            return pa.table({"shard": pa.array([], pa.int64())})
-        shard = int(group["shard"][0].as_py())
-        handle = handles[shard]
-        import pyarrow.compute as pc
-
-        group = group.sort_by([("parent_seq", "ascending"), ("link_ord", "ascending")])
-        is_link = pc.equal(group["kind"], "link")
-        links = group.filter(is_link)
-        outcomes = group.filter(pc.invert(is_link))
-        ok_flags = [bool(x) for x in outcomes["link_ord"].to_pylist()]
-        stats_ref = None
-        if outcomes.num_rows:
-            handle.record_outcomes.remote(outcomes["host"].to_pylist(), ok_flags)
-        if links.num_rows:
-            stats_ref = handle.admit.remote(
-                {
-                    "url": links["url"].to_pylist(),
-                    "host": links["host"].to_pylist(),
-                    "depth": links["depth"].to_pylist(),
-                    "priority": links["priority"].to_pylist(),
-                }
-            )
-        stats = ray.get(stats_ref) if stats_ref is not None else {"admitted": 0, "dup": 0}
-        return pa.table(
-            {
-                "shard": pa.array([shard], pa.int64()),
-                "admitted": pa.array([stats.get("admitted", 0)], pa.int64()),
-                "dup": pa.array([stats.get("dup", 0)], pa.int64()),
-                "robots_blocked": pa.array([stats.get("robots_blocked", 0)], pa.int64()),
-                "fetched_ok": pa.array([sum(ok_flags)], pa.int64()),
-                "fetch_failed": pa.array([len(ok_flags) - sum(ok_flags)], pa.int64()),
-            }
-        )
-
-    return admit_group
 
 
 class ShardedCrawl:
@@ -153,6 +121,7 @@ class ShardedCrawl:
         self.pages_crawled = 0
         self.metrics_rows: list[dict] = []
         self._actors: list = []
+        self._fetchers: list = []
 
     # -- lifecycle ---------------------------------------------------------
     def _spawn_actors(self):
@@ -171,6 +140,36 @@ class ShardedCrawl:
                     use_filters=cfg.use_filters,
                 )
             )
+
+    def _spawn_fetchers(self):
+        """Persistent fetch+parse actor pool, one per bucket slice.
+
+        Raw actors (not a per-round ``map_batches`` pool) deliberately: the
+        pool must survive ACROSS rounds so each actor's page-store cache —
+        in production the HTTP connection pool / DNS cache, here the bucket
+        parquet cache — is paid once per crawl, not once per round (a
+        per-round map_batches pool rebuilds actors every round, which
+        re-read the whole corpus ~each round: 4x slower end-to-end). URLs
+        route to fetchers by bucket hash so each fetcher touches only
+        ``ceil(N_BUCKETS / n_fetchers)`` buckets. This is the one place the
+        Dataset API can't express the semantics (state pinned across
+        separate per-round executions).
+        """
+        cfg = self.cfg
+        Fetcher = ray.remote(FetchParse)
+        # num_cpus=0: fetch calls and the admission shuffle alternate within
+        # a round; reserving cores for idle fetchers would starve the Ray
+        # Data shuffle tasks of schedulable CPUs.
+        self._fetchers = [
+            Fetcher.options(num_cpus=0).remote(
+                corpus_dir=cfg.corpus_dir,
+                docs_dir="",  # per-round dir passed per call
+                num_shards=cfg.num_shards,
+                hot_hosts=cfg.hot_hosts,
+                max_depth=cfg.max_depth,
+            )
+            for _ in range(cfg.fetch_concurrency)
+        ]
 
     def _restore_actors(self, snapshot_dir: str):
         cfg = self.cfg
@@ -221,8 +220,10 @@ class ShardedCrawl:
             os.makedirs(cfg.out_dir, exist_ok=True)
             self._spawn_actors()
             self.seed()
+        self._spawn_fetchers()
 
         while self.round < cfg.max_rounds:
+            t_r0 = time.perf_counter()
             released = ray.get(
                 [a.release.remote(cfg.round_budget_ms) for a in self._actors]
             )
@@ -240,45 +241,65 @@ class ShardedCrawl:
             if os.path.exists(docs_dir):
                 shutil.rmtree(docs_dir)  # partial round from a crash: redo
 
-            frontier = rd.from_arrow(tables)
-            links = frontier.map_batches(
-                FetchParse,
-                fn_constructor_kwargs=dict(
-                    corpus_dir=cfg.corpus_dir,
-                    docs_dir=docs_dir,
-                    num_shards=cfg.num_shards,
-                    hot_hosts=cfg.hot_hosts,
-                    max_depth=cfg.max_depth,
-                ),
-                batch_format="pyarrow",
-                batch_size=cfg.fetch_batch_size,
-                concurrency=cfg.fetch_concurrency,
-                num_cpus=1,
+            t_rel = time.perf_counter() - t_r0
+            # Route frontier rows to their bucket-owning fetcher (frontier
+            # tables are small — bounded by the politeness window — so this
+            # driver-side routing is O(round size) numpy work).
+            import numpy as np
+
+            from ..sources.corpus import N_BUCKETS
+
+            frontier_all = pa.concat_tables(tables)
+            nf = len(self._fetchers)
+            fetcher_of = (
+                frontier_all["url_hash"].to_numpy().astype(np.uint64)
+                % np.uint64(N_BUCKETS)
+            ).astype(np.int64) % nf
+            link_refs = []
+            for f in range(nf):
+                idx = np.nonzero(fetcher_of == f)[0]
+                if idx.size == 0:
+                    continue
+                part = frontier_all.take(pa.array(idx))
+                link_refs.append(
+                    self._fetchers[f].fetch.remote(part, docs_dir)
+                )
+            t_f0 = time.perf_counter()
+            # Direct shuffle through the object store: every shard actor
+            # selects its rows from the fetchers' outputs (zero-copy plasma
+            # reads) and admits in deterministic discovery order. See
+            # FrontierShard.admit_tables for why this replaces a per-round
+            # Ray Data groupby in the BFS feedback loop.
+            stat_rows = ray.get(
+                [a.admit_tables.remote(link_refs) for a in self._actors]
             )
-            stats = (
-                links.groupby("shard")
-                .map_groups(_make_admit_fn({i: a for i, a in enumerate(self._actors)}),
-                            batch_format="pyarrow")
-                .to_pandas()
-            )
-            fetched = int(stats["fetched_ok"].sum()) if "fetched_ok" in stats else 0
-            admitted = int(stats["admitted"].sum()) if "admitted" in stats else 0
+            t_fetch_admit = time.perf_counter() - t_f0
+            fetched = sum(s.get("fetched_ok", 0) for s in stat_rows)
+            admitted = sum(s.get("admitted", 0) for s in stat_rows)
             self.pages_crawled += fetched
-            self.metrics_rows.append(
-                {
-                    "round": self.round,
-                    "released": n_released,
-                    "fetched_ok": fetched,
-                    "admitted": admitted,
-                    "pages_crawled": self.pages_crawled,
-                    "wall_s": time.perf_counter() - t0,
-                }
-            )
-            if cfg.checkpoint:
+            row = {
+                "round": self.round,
+                "released": n_released,
+                "fetched_ok": fetched,
+                "admitted": admitted,
+                "pages_crawled": self.pages_crawled,
+                "release_s": round(t_rel, 3),
+                "fetch_admit_s": round(t_fetch_admit, 3),
+                "checkpoint_s": 0.0,
+                "wall_s": round(time.perf_counter() - t0, 3),
+            }
+            self.metrics_rows.append(row)
+            t_c0 = time.perf_counter()
+            if cfg.checkpoint and (self.round % cfg.checkpoint_interval == 0):
                 self._checkpoint()
+            row["checkpoint_s"] = round(time.perf_counter() - t_c0, 3)
             self.round += 1
             if cfg.max_pages_total and self.pages_crawled >= cfg.max_pages_total:
                 break
+        if cfg.checkpoint and self.metrics_rows:
+            self.round -= 1
+            self._checkpoint()  # final state always durable
+            self.round += 1
 
         shard_stats = ray.get([a.get_stats.remote() for a in self._actors])
         result = {
@@ -334,9 +355,10 @@ class ShardedCrawl:
         return out
 
     def shutdown(self):
-        for a in self._actors:
+        for a in self._actors + self._fetchers:
             ray.kill(a)
         self._actors = []
+        self._fetchers = []
 
 
 class _RestorableShard(FrontierShard):

@@ -115,6 +115,61 @@ def bm25_topk(
     )
 
 
+def expand_query_terms(qterms: list[str], known_terms: set[str]) -> list[str]:
+    """Plural/singular fallback (`OpenMP Version/src/ranking.c:110-150`): a
+    query term absent from the index retries as term+'s', then term[:-1]."""
+    out = []
+    for t in qterms:
+        if t in known_terms:
+            out.append(t)
+        elif t + "s" in known_terms:
+            out.append(t + "s")
+        elif len(t) > 1 and t[:-1] in known_terms:
+            out.append(t[:-1])
+        else:
+            out.append(t)  # keep; scores nothing, as in the reference
+    return out
+
+
+def bm25_topk_expanded(
+    docs, query: str, k: int = 10, id_col: str = "doc_id", text_col: str = "text"
+):
+    """BM25 with the OpenMP plural/singular term-expansion semi-join: the
+    known-term set is the (small) df-side aggregate, broadcast to expand the
+    query before scoring."""
+    from .index import term_df
+
+    qterms = tokenize_query(query)
+    known = {r["term"] for r in term_df(docs, id_col, text_col).take_all()}
+    expanded = expand_query_terms(qterms, known)
+    return bm25_topk(docs, " ".join(expanded), k, id_col, text_col)
+
+
+def pattern_match_counts(docs, patterns: list[str], id_col: str = "doc_id", text_col: str = "text"):
+    """Per-doc substring occurrence counts for a broadcast pattern list —
+    the GPU string-matching kernel's semantics
+    (`CUDA-OpenMP Hybrid Version/src/cuda_kernels.cu:144-192`) as a
+    vectorized pc.count_substring over Arrow batches. Returns one row per
+    (doc, pattern): (doc_id, pattern, n_matches)."""
+
+    def count_batch(b: pa.Table) -> pa.Table:
+        outs = []
+        for pat in patterns:
+            n = pc.count_substring(b[text_col], pat)
+            outs.append(
+                pa.table(
+                    {
+                        id_col: b[id_col],
+                        "pattern": pa.array([pat] * b.num_rows, pa.string()),
+                        "n_matches": n.cast(pa.int64()),
+                    }
+                )
+            )
+        return pa.concat_tables(outs)
+
+    return docs.map_batches(count_batch, batch_format="pyarrow")
+
+
 def bm25_eval_queries() -> list[str]:
     """The reference's fixed evaluation queries (`Serial Version/src/
     evaluate.c:12-19`)."""

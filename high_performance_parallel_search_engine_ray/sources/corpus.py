@@ -32,9 +32,14 @@ from .io import read_table, table_uri, write_manifest, write_table
 N_BUCKETS = 64
 
 PROFILES = {
-    "t1-smoke": dict(n_hosts=5, n_pages=200, hot_frac=0.6, links_per_page=6, seeds=3),
-    "t2-correctness": dict(n_hosts=50, n_pages=5000, hot_frac=0.25, links_per_page=8, seeds=10),
-    "bench": dict(n_hosts=500, n_pages=200_000, hot_frac=0.15, links_per_page=10, seeds=40),
+    "t1-smoke": dict(n_hosts=5, n_pages=200, hot_frac=0.6, links_per_page=6, seeds=3,
+                     para_words=(40, 160), paras=(6, 16)),
+    "t2-correctness": dict(n_hosts=50, n_pages=5000, hot_frac=0.25, links_per_page=8,
+                           seeds=10, para_words=(40, 160), paras=(6, 16)),
+    # bench pages average ~25 KB (real-web-ish) so the crawl's fetch/parse
+    # stage is compute-dominated — the quantity the scaling criterion measures
+    "bench": dict(n_hosts=500, n_pages=200_000, hot_frac=0.15, links_per_page=10,
+                  seeds=40, para_words=(150, 400), paras=(10, 18)),
 }
 
 _WORDS = (
@@ -75,9 +80,11 @@ def _page_path(rng: np.random.RandomState, idx: int) -> str:
     return f"/item{idx}"
 
 
+_WORD_ARR = np.array(_WORDS)
+
+
 def _sentence(rng: np.random.RandomState, n: int) -> str:
-    words = [_WORDS[rng.randint(0, len(_WORDS))] for _ in range(n)]
-    return " ".join(words)
+    return " ".join(_WORD_ARR[rng.randint(0, len(_WORDS), size=n)])
 
 
 def _href_variant(rng: np.random.RandomState, target_url: str, target_path: str) -> str:
@@ -105,6 +112,8 @@ def _build_html(
     idx: int,
     hrefs: list[str],
     medium: bool,
+    paras: tuple[int, int] = (6, 16),
+    para_words: tuple[int, int] = (40, 160),
 ) -> str:
     """Assemble one page. Returns the html string; ``hrefs`` are embedded in
     order (ground truth for extract_links oracle checks)."""
@@ -123,7 +132,7 @@ def _build_html(
         parts.append("<h1>" + _sentence(rng, 5) + "</h1>")
     else:
         parts.append("<h1>" + _sentence(rng, 5) + "</h1>")
-    n_paras = 2 + rng.randint(0, 5)
+    n_paras = paras[0] + rng.randint(0, paras[1] - paras[0])
     href_i = 0
     for p in range(n_paras):
         r = rng.randint(0, 8)
@@ -133,7 +142,7 @@ def _build_html(
             parts.append("<script>console.log('" + _sentence(rng, 2) + "')</script>")
         if medium and r == 2:
             parts.append("<h2>" + _sentence(rng, 3) + "</h2>")
-        body = _sentence(rng, 8 + rng.randint(0, 25))
+        body = _sentence(rng, para_words[0] + rng.randint(0, para_words[1] - para_words[0]))
         if r == 3:
             body += " &amp; more &lt;tags&gt; &quot;quoted&quot; &nbsp;"
         if r == 4:
@@ -207,7 +216,9 @@ def generate_corpus(profile: str, seed: int = 42, out_dir: str | None = None) ->
             k = min(cfg["links_per_page"], n - 1) if n > 1 else 0
             hrefs = []
             if k:
-                targets = set()
+                # ring edge (i+1) guarantees every page is reachable from the
+                # host root, so bench crawls can percolate whole hosts
+                targets = {(i + 1) % n} - {i}
                 while len(targets) < k:
                     t = int(prng.zipf(1.3)) % n if prng.randint(0, 2) else prng.randint(0, n)
                     if t != i:
@@ -226,7 +237,11 @@ def generate_corpus(profile: str, seed: int = 42, out_dir: str | None = None) ->
             if r == 6:
                 hrefs.append("mailto:x@example.org")
             status, ctype = 200, "text/html; charset=utf-8"
-            html = _build_html(prng, host, i, hrefs, medium)
+            html = _build_html(
+                prng, host, i, hrefs, medium,
+                paras=cfg.get("paras", (6, 16)),
+                para_words=cfg.get("para_words", (40, 160)),
+            )
             rr = prng.randint(0, 100)
             if i == 0:
                 rr = 99  # seeds / host roots always fetchable HTML

@@ -65,6 +65,7 @@ LINKS_SCHEMA = pa.schema(
         ("parent_seq", pa.int64()),
         ("link_ord", pa.int64()),
         ("shard", pa.int64()),
+        ("url_hash", pa.uint64()),
     ]
 )
 
@@ -121,6 +122,16 @@ class FetchParse:
         self.max_link_candidates = max_link_candidates
         self.per_page_link_cap = per_page_link_cap
         self.max_depth = max_depth
+        # URLs this fetcher has already emitted for admission (across
+        # rounds). Safe to suppress re-emissions: the admission outcome of a
+        # URL is deterministic, so any later duplicate would be dropped at
+        # the frontier anyway — suppressing it here just cuts shuffle volume.
+        self._emitted: set[int] = set()
+
+    def fetch(self, batch: pa.Table, docs_dir: str) -> pa.Table:
+        """Entry point for the persistent-actor path: per-round docs dir."""
+        self.docs_dir = docs_dir
+        return self(batch)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         urls = batch["url"].to_pylist()
@@ -128,6 +139,15 @@ class FetchParse:
         seqs = batch["discovered_seq"].to_pylist()
 
         out = {k: [] for k in LINKS_SCHEMA.names}
+        # batch-local dedup (SURVEY.md §2.7 D2): iterate pages in discovery
+        # order so the kept occurrence of a URL is the one admission would
+        # pick; later same-batch occurrences are duplicates the frontier
+        # actor would drop anyway — suppressing them here cuts shuffle volume
+        order = sorted(range(len(urls)), key=lambda i: seqs[i])
+        urls = [urls[i] for i in order]
+        depths = [depths[i] for i in order]
+        seqs = [seqs[i] for i in order]
+        batch_seen: set[str] = set()
         doc_rows = {
             "doc_id": [],
             "url": [],
@@ -175,6 +195,13 @@ class FetchParse:
                         if not is_valid_crawl_url(cand, base_domain):
                             continue
                         kept += 1
+                        if cand in batch_seen:
+                            continue
+                        batch_seen.add(cand)
+                        ch = stable_hash64(cand)
+                        if ch in self._emitted:
+                            continue
+                        self._emitted.add(ch)
                         chost = host_of(cand)
                         out["kind"].append("link")
                         out["url"].append(cand)
@@ -185,9 +212,10 @@ class FetchParse:
                         )
                         out["parent_seq"].append(seq)
                         out["link_ord"].append(ord_)
+                        out["url_hash"].append(ch)
                         out["shard"].append(
                             shard_for(
-                                stable_hash64(cand),
+                                ch,
                                 stable_hash64(chost),
                                 self.hot_hosts.get(chost, 1),
                                 self.num_shards,
@@ -200,11 +228,13 @@ class FetchParse:
             out["priority"].append(0)
             out["parent_seq"].append(seq)
             out["link_ord"].append(1 if ok else 0)
+            uh = stable_hash64(u)
+            out["url_hash"].append(uh)
             # Route the outcome to the shard that owns this URL's queue so
             # quarantine applies where the host's (sub-)queue lives.
             out["shard"].append(
                 shard_for(
-                    stable_hash64(u),
+                    uh,
                     stable_hash64(host),
                     self.hot_hosts.get(host, 1),
                     self.num_shards,

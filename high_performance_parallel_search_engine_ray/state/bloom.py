@@ -40,10 +40,9 @@ class CountingBloomFilter:
         self.n_items = 0
 
     def _indices(self, h: int) -> np.ndarray:
-        # Kirsch-Mitzenmacher double hashing from one 64-bit key hash.
-        h1 = _mix(h)
-        h2 = _mix(h1) | 1
-        return (h1 + np.arange(self.k, dtype=np.uint64) * np.uint64(h2)) % np.uint64(self.m)
+        # Kirsch-Mitzenmacher double hashing; MUST agree bit-for-bit with
+        # the vectorized path (uint64 wraparound), so it delegates.
+        return self._indices_many(np.array([h], dtype=np.uint64))[0]
 
     def add(self, h: int) -> None:
         idx = self._indices(h).astype(np.int64)
@@ -62,10 +61,19 @@ class CountingBloomFilter:
         idx = self._indices(h).astype(np.int64)
         return bool((self.counters[idx] > 0).all())
 
-    def might_contain_many(self, hashes: np.ndarray) -> np.ndarray:
-        """Vectorized membership for a batch of 64-bit key hashes."""
+    def add_many(self, hashes: np.ndarray) -> None:
+        """Vectorized insert of a batch of 64-bit key hashes (saturating)."""
         if hashes.size == 0:
-            return np.zeros(0, dtype=bool)
+            return
+        idx = self._indices_many(hashes).ravel()
+        cnt = np.bincount(idx, minlength=self.m).astype(np.uint16)
+        # saturated counters stay saturated: min(255, c + cnt)
+        self.counters = np.minimum(self.counters.astype(np.uint16) + cnt, 255).astype(
+            np.uint8
+        )
+        self.n_items += int(hashes.size)
+
+    def _indices_many(self, hashes: np.ndarray) -> np.ndarray:
         h = hashes.astype(np.uint64)
         h1 = h.copy()
         h1 ^= h1 >> np.uint64(30)
@@ -81,7 +89,13 @@ class CountingBloomFilter:
         h2 ^= h2 >> np.uint64(31)
         h2 |= np.uint64(1)
         ks = np.arange(self.k, dtype=np.uint64)[None, :]
-        idx = ((h1[:, None] + ks * h2[:, None]) % np.uint64(self.m)).astype(np.int64)
+        return ((h1[:, None] + ks * h2[:, None]) % np.uint64(self.m)).astype(np.int64)
+
+    def might_contain_many(self, hashes: np.ndarray) -> np.ndarray:
+        """Vectorized membership for a batch of 64-bit key hashes."""
+        if hashes.size == 0:
+            return np.zeros(0, dtype=bool)
+        idx = self._indices_many(hashes)
         return (self.counters[idx] > 0).all(axis=1)
 
     # -- snapshot / restore ------------------------------------------------

@@ -50,6 +50,7 @@ RELEASE_SCHEMA = pa.schema(
         ("depth", pa.int32()),
         ("priority", pa.int32()),
         ("discovered_seq", pa.int64()),
+        ("url_hash", pa.uint64()),
     ]
 )
 
@@ -126,14 +127,28 @@ class FrontierShard:
     # -- admission ---------------------------------------------------------
     def admit(self, batch: dict) -> dict:
         """Admit a batch of candidate URLs (dict columns: url, host, depth,
-        priority). Caller must pre-sort by discovery order (parent_seq,
-        link_ord) so first-discovery-wins is deterministic; discovered_seq is
-        assigned here from the shard-local counter. Returns outcome counts."""
+        priority, optional url_hash). Caller must pre-sort by discovery order
+        (parent_seq, link_ord) so first-discovery-wins is deterministic;
+        discovered_seq is assigned here from the shard-local counter.
+
+        Hot path: the definitive in-memory membership probe is the exact
+        store (at 10^10 design scale that probe is a Lance-log read gated by
+        the bloom/cuckoo negatives — see module docstring); filters are
+        maintained vectorized (bloom add_many over the admitted hashes) so
+        snapshots carry the real filter state and false-positive rates are
+        measured against the exact store."""
         urls = batch["url"]
         hosts = batch["host"]
         depths = batch["depth"]
         prios = batch["priority"]
+        hashes = batch.get("url_hash")
         admitted = dup = robots_blocked = quarantined = 0
+        new_hashes: list[int] = []
+        maybe = None
+        if self.use_filters and hashes is not None:
+            maybe = self.bloom.might_contain_many(
+                np.asarray(hashes, dtype=np.uint64)
+            )
         for i in range(len(urls)):
             url = str(urls[i])
             host = str(hosts[i])
@@ -143,18 +158,26 @@ class FrontierShard:
             if not self.robots.allowed(host, url):
                 robots_blocked += 1
                 continue
-            h = stable_hash64(url)
-            if self._seen(url, h):
+            if url in self.seen_exact:
                 dup += 1
                 continue
-            self._mark(url, h)
+            h = int(hashes[i]) if hashes is not None else stable_hash64(url)
+            if maybe is not None and maybe[i]:
+                # filter said "maybe seen" but exact store disagrees
+                self.stats["filter_false_positives"] += 1
+            self.seen_exact.add(url)
+            if self.use_filters:
+                new_hashes.append(h)
+                self.cuckoo.add(h)
             seq = self._next_seq * self.num_shards + self.shard_id
             self._next_seq += 1
             heapq.heappush(
                 self.pending.setdefault(host, []),
-                (int(depths[i]), -int(prios[i]), seq, url),
+                (int(depths[i]), -int(prios[i]), seq, url, h),
             )
             admitted += 1
+        if self.use_filters and new_hashes:
+            self.bloom.add_many(np.array(new_hashes, dtype=np.uint64))
         self.stats["admitted"] += admitted
         self.stats["dup"] += dup
         self.stats["robots_blocked"] += robots_blocked
@@ -167,6 +190,66 @@ class FrontierShard:
             "quarantined_drop": quarantined,
         }
 
+    def admit_tables(self, refs: list) -> dict:
+        """Direct-shuffle admission: receive the round's fetcher output
+        tables (as ObjectRefs; resolved here with zero-copy plasma reads),
+        select this shard's rows, and admit in deterministic discovery
+        order. This replaces a Ray Data groupby-shuffle for the crawl's
+        inner loop: the BFS feedback loop re-executes every round, and a
+        per-round Dataset execution carries ~1-2s of fixed scheduling
+        latency that dwarfs the actual shuffle at round granularity. On a
+        multi-node cluster the fetchers would return per-shard slices so
+        each shard pulls only its bytes; single-node plasma makes the
+        full-table read zero-copy either way."""
+        import pyarrow.compute as pc
+
+        try:
+            import ray
+
+            tabs = [ray.get(r) if not isinstance(r, pa.Table) else r for r in refs]
+        except ImportError:  # pragma: no cover
+            tabs = refs
+        links_parts = []
+        outcome_hosts: list[str] = []
+        outcome_ok: list[bool] = []
+        fetched_ok = 0
+        fetch_failed = 0
+        for t in tabs:
+            mine = t.filter(pc.equal(t["shard"], self.shard_id))
+            if mine.num_rows == 0:
+                continue
+            is_link = pc.equal(mine["kind"], "link")
+            links = mine.filter(is_link)
+            outs = mine.filter(pc.invert(is_link))
+            if links.num_rows:
+                links_parts.append(links)
+            if outs.num_rows:
+                outcome_hosts.extend(outs["host"].to_pylist())
+                oks = outs["link_ord"].to_pylist()
+                outcome_ok.extend(bool(x) for x in oks)
+        if outcome_hosts:
+            self.record_outcomes(outcome_hosts, outcome_ok)
+            fetched_ok = sum(outcome_ok)
+            fetch_failed = len(outcome_ok) - fetched_ok
+        stats = {"shard": self.shard_id, "admitted": 0, "dup": 0,
+                 "robots_blocked": 0, "quarantined_drop": 0}
+        if links_parts:
+            merged = pa.concat_tables(links_parts).sort_by(
+                [("parent_seq", "ascending"), ("link_ord", "ascending")]
+            )
+            stats = self.admit(
+                {
+                    "url": merged["url"].to_pylist(),
+                    "host": merged["host"].to_pylist(),
+                    "depth": merged["depth"].to_pylist(),
+                    "priority": merged["priority"].to_pylist(),
+                    "url_hash": merged["url_hash"].to_pylist(),
+                }
+            )
+        stats["fetched_ok"] = fetched_ok
+        stats["fetch_failed"] = fetch_failed
+        return stats
+
     # -- politeness-gated release -------------------------------------------
     def _effective_delay(self, host: str) -> float:
         return float(self.robots.crawl_delay_ms(host)) * self.hot_hosts.get(host, 1)
@@ -176,7 +259,10 @@ class FrontierShard:
         pending URL whose host's politeness window opens inside it, in
         (depth, -priority, seq) order per host."""
         end = self.clock_ms + budget_ms
-        out = {k: [] for k in ("url", "host", "depth", "priority", "discovered_seq")}
+        out = {
+            k: []
+            for k in ("url", "host", "depth", "priority", "discovered_seq", "url_hash")
+        }
         n = 0
         for host in sorted(self.pending.keys()):
             if host in self.quarantined:
@@ -187,12 +273,13 @@ class FrontierShard:
             while heap and t < end:
                 if max_urls is not None and n >= max_urls:
                     break
-                depth, negp, seq, url = heapq.heappop(heap)
+                depth, negp, seq, url, uh = heapq.heappop(heap)
                 out["url"].append(url)
                 out["host"].append(host)
                 out["depth"].append(depth)
                 out["priority"].append(-negp)
                 out["discovered_seq"].append(seq)
+                out["url_hash"].append(uh)
                 t += delay
                 n += 1
             self.next_free_ms[host] = t
@@ -207,6 +294,7 @@ class FrontierShard:
                 "depth": pa.array(out["depth"], pa.int32()),
                 "priority": pa.array(out["priority"], pa.int32()),
                 "discovered_seq": pa.array(out["discovered_seq"], pa.int64()),
+                "url_hash": pa.array(out["url_hash"], pa.uint64()),
             }
         )
 

@@ -124,3 +124,19 @@ def test_extract_title_and_medium_filename():
         get_medium_filename("https://medium.com/@someone", "<html></html>")
         == "medium_profile_someone.txt"
     )
+
+
+def test_fast_scanner_equals_slow_transliteration():
+    """html_to_events (gated-dispatch, run-chunked) must be event-identical
+    to html_to_events_slow (the line-by-line C transliteration) — 2000 fuzz
+    fragments plus the curated cases."""
+    from high_performance_parallel_search_engine_ray.functions.htmltext import (
+        html_to_events_slow,
+    )
+
+    for c in CASES:
+        assert html_to_events(c) == html_to_events_slow(c)
+    rng = np.random.RandomState(4242)
+    for i in range(2000):
+        h = _random_html(rng)
+        assert html_to_events(h) == html_to_events_slow(h), f"fuzz {i}: {h!r}"

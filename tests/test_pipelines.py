@@ -1,0 +1,162 @@
+"""Training-data pipeline semantics: dedup family, ANN recall, text stats,
+multimodal plumbing, index/rank structure."""
+
+import numpy as np
+import pytest
+import ray.data as rd
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def docs(ray_session):
+    return rd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+
+
+@pytest.fixture()
+def emb(ray_session):
+    return rd.read_parquet(f"{SF}/embeddings.parquet")
+
+
+def test_exact_dedup_counts(docs):
+    from high_performance_parallel_search_engine_ray.pipelines.dedup import exact_dedup
+
+    out = exact_dedup(docs).to_pandas()
+    assert out["n_copies"].sum() == 500
+    # keeper is the min doc_id of its group
+    assert (out["keeper_doc_id"] >= 0).all()
+
+
+def test_minhash_lsh_finds_exact_dups(ray_session):
+    from high_performance_parallel_search_engine_ray.pipelines.dedup import (
+        minhash_lsh_pairs,
+    )
+
+    rows = [
+        {"doc_id": 1, "text": "alpha beta gamma delta epsilon zeta eta theta"},
+        {"doc_id": 2, "text": "alpha beta gamma delta epsilon zeta eta theta"},
+        {"doc_id": 3, "text": "totally different words nothing shared here at all"},
+        {"doc_id": 4, "text": "alpha beta gamma delta epsilon zeta eta iota"},
+    ]
+    ds = rd.from_items(rows)
+    pairs = minhash_lsh_pairs(ds, jaccard_threshold=0.5).to_pandas()
+    got = set(zip(pairs["doc_a"], pairs["doc_b"]))
+    assert (1, 2) in got  # identical docs must pair
+    assert not any(3 in p for p in got)
+
+
+def test_simhash_close_for_near_dups(ray_session):
+    from high_performance_parallel_search_engine_ray.functions.hashing import hamming64
+    from high_performance_parallel_search_engine_ray.pipelines.dedup import (
+        simhash_signatures,
+    )
+
+    rows = [
+        {"doc_id": 1, "text": "the quick brown fox jumps over the lazy dog again"},
+        {"doc_id": 2, "text": "the quick brown fox jumps over the lazy cat again"},
+        {"doc_id": 3, "text": "completely unrelated text about database systems"},
+    ]
+    sigs = {r["doc_id"]: r["simhash"] for r in simhash_signatures(rd.from_items(rows)).take_all()}
+    d12 = hamming64(sigs[1] & 0xFFFFFFFFFFFFFFFF, sigs[2] & 0xFFFFFFFFFFFFFFFF)
+    d13 = hamming64(sigs[1] & 0xFFFFFFFFFFFFFFFF, sigs[3] & 0xFFFFFFFFFFFFFFFF)
+    assert d12 < d13
+
+
+def test_ann_ivf_recall_vs_brute(emb):
+    from high_performance_parallel_search_engine_ray.pipelines.ann import (
+        brute_force_topk,
+        ivf_topk,
+    )
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{SF}/embeddings.parquet")
+    d = {v: e for v, e in zip(t["vec_id"].to_pylist(), t["embedding"].to_pylist())}
+    q = np.array([d[i] for i in range(5)], dtype=np.float64)
+    bf = brute_force_topk(emb, q, k=10).to_pandas()
+    iv = ivf_topk(emb, q, k=10, n_centroids=8, nprobe=4).to_pandas()
+    recalls = []
+    for qi in range(5):
+        b = set(bf[bf.query_idx == qi]["vec_id"])
+        v = set(iv[iv.query_idx == qi]["vec_id"])
+        recalls.append(len(b & v) / len(b))
+    assert np.mean(recalls) >= 0.5  # nprobe=4 of 8 cells
+
+
+def test_lang_id_table(ray_session):
+    from high_performance_parallel_search_engine_ray.pipelines.text import lang_id_table
+
+    rows = [
+        {"doc_id": 1, "text": "the cat is on the mat and it was there for a while"},
+        {"doc_id": 2, "text": "der hund ist nicht auf der matte und das ist auch gut"},
+        {"doc_id": 3, "text": "xyzzy qwerty 12345"},
+    ]
+    out = {r["doc_id"]: r["lang_pred"] for r in lang_id_table(rd.from_items(rows)).take_all()}
+    assert out[1] == "en"
+    assert out[2] == "de"
+    assert out[3] == "und"
+
+
+def test_media_features_plumbing(docs):
+    from high_performance_parallel_search_engine_ray.pipelines.multimodal import (
+        MediaFeatureStage,
+        media_features,
+    )
+
+    out = media_features(docs).take(5)
+    for r in out:
+        assert len(r["features"]) == MediaFeatureStage.FEATURE_DIM
+        assert r["media_type"] in ("image", "audio", "video")
+        assert r["n_bytes"] > 0
+
+
+def test_media_decode_is_stubbed():
+    import pyarrow as pa
+
+    from high_performance_parallel_search_engine_ray.pipelines.multimodal import (
+        MediaFeatureStage,
+    )
+
+    stage = MediaFeatureStage(decode=True)
+    with pytest.raises(NotImplementedError):
+        stage(pa.table({"media_id": ["x"], "media_type": ["image"],
+                        "payload": pa.array([b"zz"], pa.large_binary())}))
+
+
+def test_build_inverted_index(ray_session):
+    from high_performance_parallel_search_engine_ray.pipelines.index import (
+        build_inverted_index,
+    )
+
+    rows = [
+        {"doc_id": 0, "text": "hash join hash"},
+        {"doc_id": 1, "text": "join scan"},
+    ]
+    idx = {r["term"]: r for r in build_inverted_index(rd.from_items(rows)).take_all()}
+    assert idx["hash"]["df"] == 1
+    assert idx["hash"]["postings"] == [{"doc_id": 0, "tf": 2}]
+    assert idx["join"]["df"] == 2
+    assert [p["doc_id"] for p in idx["join"]["postings"]] == [0, 1]
+
+
+def test_bm25_matches_reference_formula(ray_session):
+    """Hand-computed BM25 on a 3-doc corpus with the C formula."""
+    import math
+
+    from high_performance_parallel_search_engine_ray.pipelines.rank import bm25_topk
+
+    rows = [
+        {"doc_id": 0, "text": "hash join merge"},
+        {"doc_id": 1, "text": "hash hash table"},
+        {"doc_id": 2, "text": "scan filter sort"},
+    ]
+    out = {r["doc_id"]: r["score"] for r in bm25_topk(rd.from_items(rows), "hash", k=10).to_pylist()}
+    n, avgdl = 3, 3.0
+    df = 2
+    idf = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+
+    def s(tf, dl):
+        return idf * (tf * 2.5) / (tf + 1.5 * (0.25 + 0.75 * dl / avgdl))
+
+    assert out[0] == round(s(1, 3), 6) or abs(out[0] - s(1, 3)) < 1e-6
+    assert abs(out[1] - s(2, 3)) < 1e-6
+    assert 2 not in out  # zero-score docs dropped (ranking.c:87-90)

@@ -1,0 +1,104 @@
+"""Checkpoint/resume + sharded-mode determinism + robots gating
+(SURVEY.md §5.5, north rule: resumable without re-fetching)."""
+
+import glob
+import os
+
+import pytest
+
+from high_performance_parallel_search_engine_ray.pipelines.crawl import (
+    CrawlConfig,
+    ShardedCrawl,
+)
+from high_performance_parallel_search_engine_ray.sources.corpus import generate_corpus
+
+
+@pytest.fixture(scope="module")
+def smoke_corpus():
+    return generate_corpus("t1-smoke", seed=42)
+
+
+def _cfg(corpus, out, **kw):
+    base = dict(
+        corpus_dir=corpus,
+        out_dir=out,
+        num_shards=4,
+        fetch_concurrency=2,
+        round_budget_ms=5000,
+        max_rounds=20,
+    )
+    base.update(kw)
+    return CrawlConfig(**base)
+
+
+def _run(corpus, out, resume=False, **kw):
+    eng = ShardedCrawl(_cfg(corpus, out, **kw))
+    res = eng.run(resume=resume)
+    seen = eng.visited_urls()
+    docs = sorted(r["doc_id"] for r in eng.docs_dataset().take_all())
+    eng.shutdown()
+    return res, seen, docs
+
+
+def test_sharded_determinism(ray_session, smoke_corpus):
+    r1, seen1, docs1 = _run(smoke_corpus, "/tmp/t_det1")
+    r2, seen2, docs2 = _run(smoke_corpus, "/tmp/t_det2")
+    assert seen1 == seen2
+    assert docs1 == docs2
+    assert r1["pages_crawled"] == r2["pages_crawled"]
+
+
+def test_resume_no_refetch(ray_session, smoke_corpus):
+    full, seen_full, docs_full = _run(smoke_corpus, "/tmp/t_resume_full")
+
+    # kill after 2 rounds, then resume
+    eng = ShardedCrawl(_cfg(smoke_corpus, "/tmp/t_resume_kill", max_rounds=2))
+    eng.run()
+    eng.shutdown()
+    parts_before = set(glob.glob("/tmp/t_resume_kill/docs/*/*.parquet"))
+    mtimes_before = {p: os.path.getmtime(p) for p in parts_before}
+
+    res, seen, docs = _run(smoke_corpus, "/tmp/t_resume_kill", resume=True)
+    assert seen == seen_full
+    assert docs == docs_full
+    assert res["pages_crawled"] == full["pages_crawled"]
+    # earlier rounds' doc partitions were neither rewritten nor re-fetched
+    for p, m in mtimes_before.items():
+        assert os.path.getmtime(p) == m, f"refetched {p}"
+
+
+def test_robots_gating(ray_session, smoke_corpus, tmp_path):
+    """A host with a disallow-everything rule admits nothing from it."""
+    import pyarrow as pa
+
+    from high_performance_parallel_search_engine_ray.sources.corpus import (
+        load_robots_rows,
+    )
+    from high_performance_parallel_search_engine_ray.state.frontier import FrontierShard
+
+    robots = [{"host": "site1.example.org", "disallow": ["/"], "crawl_delay_ms": 100}]
+    sh = FrontierShard(0, 1, robots_rows=robots)
+    r = sh.admit(
+        {
+            "url": ["https://site1.example.org/x", "https://site2.example.org/x"],
+            "host": ["site1.example.org", "site2.example.org"],
+            "depth": [1, 1],
+            "priority": [1, 1],
+        }
+    )
+    assert r["robots_blocked"] == 1 and r["admitted"] == 1
+
+
+def test_checkpoint_layout(ray_session, smoke_corpus):
+    """Per-round partitioned layout + manifest (resumable-output contract)."""
+    out = "/tmp/t_layout"
+    eng = ShardedCrawl(_cfg(smoke_corpus, out, max_rounds=3))
+    eng.run()
+    eng.shutdown()
+    assert os.path.exists(os.path.join(out, "MANIFEST.json"))
+    rounds = sorted(os.listdir(os.path.join(out, "docs")))
+    assert all(r.startswith("round=") for r in rounds)
+    ckpts = sorted(glob.glob(os.path.join(out, "ckpt/round=*/shard-*.bin")))
+    assert len(ckpts) >= 4  # num_shards snapshots for at least one round
+    metrics = glob.glob(os.path.join(out, "metrics", "*.parquet"))
+    assert metrics
