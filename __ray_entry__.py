@@ -117,6 +117,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
             parts.append(t.append_column("query", pa.array([q] * t.num_rows)))
         return pa.concat_tables(parts)
 
+    def pattern_match(sf_dir):
+        return rank.pattern_match_counts(
+            _docs(sf_dir), ["hash join", "scan", "window"]
+        )
+
+    def bm25_expanded(sf_dir):
+        # plural/singular fallback: "joins"/"scans" fall back to index terms
+        return rank.bm25_topk_expanded(_docs(sf_dir), "joins scans", k=10)
+
     def ann_topk(sf_dir):
         return ann.brute_force_topk(_emb(sf_dir), _query_vectors(sf_dir), k=10)
 
@@ -233,6 +242,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_hash_join": bm25_q("hash join"),
         "bm25_vector_scan": bm25_q("vector merge scan"),
         "bm25_reference_queries": bm25_reference_suite,
+        "bm25_expanded": bm25_expanded,
+        "pattern_match": pattern_match,
         # text analysis
         "quality_scores": lambda sf: text.quality_scores(_docs(sf)),
         "token_counts": lambda sf: text.token_count_table(_docs(sf)),
@@ -406,6 +417,12 @@ SELECT doc_id,
        len(regexp_extract_all(text,
            '[a-z]+|[A-Z][a-z]*|[0-9]{1,3}|[^\\sa-zA-Z0-9]')) AS n_bpeish_tokens
 FROM documents
+""",
+        "pattern_match": """
+SELECT doc_id, p.pattern,
+       CAST((length(text) - length(replace(text, p.pattern, '')))
+            / length(p.pattern) AS BIGINT) AS n_matches
+FROM documents, (SELECT unnest(['hash join', 'scan', 'window']) AS pattern) p
 """,
         "dedup_exact": """
 SELECT md5(text) AS content_hash,

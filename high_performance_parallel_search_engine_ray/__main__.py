@@ -106,6 +106,48 @@ def cmd_search(args) -> int:
     return 0
 
 
+def cmd_evaluate(args) -> int:
+    """End-to-end eval (reference analog: `Serial Version/src/evaluate.c:
+    12-109`): crawl the corpus, build the docs table, run the 5 fixed
+    queries, record timings via the metrics recorder."""
+    import time
+
+    _ray_init(args.num_cpus)
+    from .pipelines.crawl import CrawlConfig, ShardedCrawl
+    from .pipelines.metrics import MetricsRecorder
+    from .pipelines.rank import bm25_eval_queries, bm25_topk
+    from .sources.corpus import generate_corpus
+
+    corpus = args.corpus
+    if corpus in ("t1-smoke", "t2-correctness", "bench"):
+        corpus = generate_corpus(corpus, seed=42)
+    rec = MetricsRecorder(args.out)
+    with rec.timed("crawl"):
+        eng = ShardedCrawl(
+            CrawlConfig(corpus_dir=corpus, out_dir=args.out, num_shards=8,
+                        fetch_concurrency=4, round_budget_ms=60_000.0,
+                        max_rounds=30)
+        )
+        res = eng.run()
+    docs = _docs_dataset(args.out)
+    results = {}
+    for q in bm25_eval_queries():
+        t0 = time.perf_counter()
+        top = bm25_topk(docs, q, k=5)
+        rec.record_query_latency((time.perf_counter() - t0) * 1000.0)
+        results[q] = top.to_pylist()
+    rec.record("pages_crawled", res["pages_crawled"], unit="count")
+    uri = rec.flush()
+    eng.shutdown()
+    print(json.dumps({
+        "pages_crawled": res["pages_crawled"],
+        "avg_query_latency_ms": round(rec.query_latency_avg_ms, 2),
+        "results": results,
+        "metrics_uri": uri,
+    }))
+    return 0
+
+
 def cmd_status(args) -> int:
     from .sources.io import read_manifest
 
@@ -147,6 +189,12 @@ def main(argv=None) -> int:
                     help="plural/singular fallback (OpenMP ranking semantics)")
     ps.add_argument("--num-cpus", type=int, default=None)
     ps.set_defaults(fn=cmd_search)
+
+    pe = sub.add_parser("evaluate", help="crawl + index + the 5 reference eval queries")
+    pe.add_argument("--corpus", default="t1-smoke")
+    pe.add_argument("--out", default="/tmp/hppse_evaluate")
+    pe.add_argument("--num-cpus", type=int, default=None)
+    pe.set_defaults(fn=cmd_evaluate)
 
     pst = sub.add_parser("status", help="show a crawl checkpoint manifest")
     pst.add_argument("--out", required=True)

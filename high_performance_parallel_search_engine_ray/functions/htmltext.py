@@ -31,6 +31,10 @@ from __future__ import annotations
 from .urlnorm import is_media_url
 
 _C_SPACE = " \t\n\v\f\r"
+import re as _re
+
+_NON_ALPHA_RE = _re.compile(r"[A-Za-z]")
+_NON_CSPACE_RE = _re.compile("[ \t\n\x0b\x0c\r]")
 _FALLBACK = "No readable content could be extracted from this page."
 _BUF_CAP = 9999  # text_buffer[10000], guard `buffer_pos < sizeof-1`
 
@@ -60,19 +64,26 @@ def is_useful_content(text: str) -> bool:
     length = len(text)
     if length < 10:
         return False
-    alpha = space = 0
-    for ch in text[:200]:
-        if _is_c_alpha(ch):
-            alpha += 1
-        elif _is_c_space(ch):
-            space += 1
+    prefix = text[:200]
+    # [A-Za-z] and the C space class are disjoint, so the if/elif counting
+    # loop equals two independent counts; regex C passes replace it.
+    alpha = len(prefix) - len(_NON_ALPHA_RE.sub("", prefix))
+    space = len(prefix) - len(_NON_CSPACE_RE.sub("", prefix))
     alpha_ratio = float(np.float32(alpha) / np.float32(length))
     space_ratio = float(np.float32(space) / np.float32(length))
     return alpha_ratio > 0.4 and 0.05 < space_ratio < 0.3
 
 
 def _istarts(html: str, i: int, prefix: str) -> bool:
-    """strncasecmp(&html[i], prefix, len(prefix)) == 0."""
+    """strncasecmp(&html[i], prefix, len(prefix)) == 0. All call sites pass
+    '<'-leading lowercase patterns; the startswith fast path avoids slice
+    allocations for the (dominant) exact-case hits and cheap second-char
+    rejection covers most misses."""
+    if html.startswith(prefix, i):
+        return True
+    c = html[i + 1 : i + 2]
+    if not c or c.lower() != prefix[1]:
+        return False
     return html[i : i + len(prefix)].lower() == prefix
 
 
@@ -441,6 +452,17 @@ def get_medium_filename(url: str, html: str) -> str:
 _WS_RUN = __import__("re").compile(r"[ \t\n\x0b\x0c\r]+")
 
 
+def _collapse(run: str) -> str:
+    """Collapse C-space runs to single spaces; fast path skips the regex
+    when the run is already collapsed (single spaces only)."""
+    if (
+        "\t" in run or "\n" in run or "\r" in run
+        or "\x0b" in run or "\x0c" in run or "  " in run
+    ):
+        return _WS_RUN.sub(" ", run)
+    return run
+
+
 def html_to_events(html: str) -> list[tuple[str, str]]:
     """Fast scanner: semantically identical to `html_to_events_slow` (which
     is the line-by-line C transliteration kept as the in-repo oracle), but
@@ -688,7 +710,7 @@ def html_to_events(html: str) -> list[tuple[str, str]]:
             j = min(x for x in (jl, ja, n) if x != -1)
             run = html[i : j]
             if buf_len + len(run) < _BUF_CAP:
-                collapsed = _WS_RUN.sub(" ", run)
+                collapsed = _collapse(run)
                 if collapsed.startswith(" ") and (
                     not buf or _is_c_space(buf[-1][-1])
                 ):
@@ -745,7 +767,7 @@ def html_to_events(html: str) -> list[tuple[str, str]]:
         ja = html.find("&", i)
         j = min(x for x in (jl, ja, n) if x != -1)
         run = html[i : j]
-        collapsed = _WS_RUN.sub(" ", run)
+        collapsed = _collapse(run)
         if collapsed.startswith(" ") and consecutive_spaces == 1:
             collapsed = collapsed[1:]
         if collapsed:

@@ -107,6 +107,7 @@ class CrawlConfig:
     checkpoint: bool = True
     checkpoint_interval: int = 1  # rounds between checkpoints (last round always)
     use_robots: bool = True
+    seed_urls: list | None = None  # override the corpus seeds table
 
 
 # ---------------------------------------------------------------------------
@@ -181,7 +182,11 @@ class ShardedCrawl:
             self._actors.append(RestoredActor.options(num_cpus=0.1).remote(payload))
 
     def seed(self, seeds_table: pa.Table | None = None):
-        seeds_table = seeds_table if seeds_table is not None else load_seeds(self.cfg.corpus_dir)
+        if seeds_table is None:
+            if self.cfg.seed_urls is not None:
+                seeds_table = pa.table({"url": pa.array(self.cfg.seed_urls, pa.string())})
+            else:
+                seeds_table = load_seeds(self.cfg.corpus_dir)
         per_shard: dict[int, dict[str, list]] = {}
         for row in seeds_table.to_pylist():
             url = normalize_url(row["url"])
@@ -220,7 +225,12 @@ class ShardedCrawl:
             os.makedirs(cfg.out_dir, exist_ok=True)
             self._spawn_actors()
             self.seed()
-        self._spawn_fetchers()
+        if not self._fetchers:
+            self._spawn_fetchers()
+        elif not resume:
+            # adopted warm fetchers: drop their previous crawl's emission-
+            # suppression state or the fresh frontier would starve
+            ray.get([f.reset_emitted.remote() for f in self._fetchers])
 
         while self.round < cfg.max_rounds:
             t_r0 = time.perf_counter()
@@ -265,17 +275,22 @@ class ShardedCrawl:
                     self._fetchers[f].fetch.remote(part, docs_dir)
                 )
             t_f0 = time.perf_counter()
+            ray.wait(link_refs, num_returns=len(link_refs), fetch_local=False)
+            t_fetch = time.perf_counter() - t_f0
             # Direct shuffle through the object store: every shard actor
             # selects its rows from the fetchers' outputs (zero-copy plasma
             # reads) and admits in deterministic discovery order. See
             # FrontierShard.admit_tables for why this replaces a per-round
             # Ray Data groupby in the BFS feedback loop.
+            t_a0 = time.perf_counter()
             stat_rows = ray.get(
                 [a.admit_tables.remote(link_refs) for a in self._actors]
             )
             t_fetch_admit = time.perf_counter() - t_f0
+            t_admit = time.perf_counter() - t_a0
             fetched = sum(s.get("fetched_ok", 0) for s in stat_rows)
             admitted = sum(s.get("admitted", 0) for s in stat_rows)
+            max_shard = max(stat_rows, key=lambda s: s.get("t_total", 0), default={})
             self.pages_crawled += fetched
             row = {
                 "round": self.round,
@@ -284,6 +299,9 @@ class ShardedCrawl:
                 "admitted": admitted,
                 "pages_crawled": self.pages_crawled,
                 "release_s": round(t_rel, 3),
+                "fetch_s": round(t_fetch, 3),
+                "admit_s": round(t_admit, 3),
+                "worst_shard": {k: max_shard.get(k) for k in ("shard", "t_get", "t_filter", "t_total")},
                 "fetch_admit_s": round(t_fetch_admit, 3),
                 "checkpoint_s": 0.0,
                 "wall_s": round(time.perf_counter() - t0, 3),
@@ -354,11 +372,23 @@ class ShardedCrawl:
             out |= st.seen_exact
         return out
 
-    def shutdown(self):
-        for a in self._actors + self._fetchers:
+    def shutdown(self, keep_fetchers: bool = False):
+        """keep_fetchers=True hands the (cache-warm) fetch pool to a later
+        engine via ``adopt_fetchers`` — bench uses it to measure the
+        steady-state crawl without re-paying the one-time page-cache load."""
+        for a in self._actors:
             ray.kill(a)
         self._actors = []
+        out = self._fetchers
+        if not keep_fetchers:
+            for a in self._fetchers:
+                ray.kill(a)
+            out = []
         self._fetchers = []
+        return out
+
+    def adopt_fetchers(self, fetchers: list):
+        self._fetchers = fetchers
 
 
 class _RestorableShard(FrontierShard):

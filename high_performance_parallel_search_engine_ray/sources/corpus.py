@@ -38,7 +38,7 @@ PROFILES = {
                            seeds=10, para_words=(40, 160), paras=(6, 16)),
     # bench pages average ~25 KB (real-web-ish) so the crawl's fetch/parse
     # stage is compute-dominated — the quantity the scaling criterion measures
-    "bench": dict(n_hosts=500, n_pages=200_000, hot_frac=0.15, links_per_page=10,
+    "bench": dict(n_hosts=600, n_pages=500_000, hot_frac=0.1, links_per_page=10,
                   seeds=40, para_words=(150, 400), paras=(10, 18)),
 }
 
@@ -164,6 +164,70 @@ def _build_html(
     return "".join(parts)
 
 
+def _build_host_pages(seed: int, host: str, urls: list, cfg: dict) -> dict:
+    """One host's pages (deterministic in (seed, host); process-pool safe)."""
+    prng = np.random.RandomState((seed * 31 + 7) ^ (stable_hash64(host) & 0x7FFFFFFF))
+    medium = "medium.com" in host
+    n = len(urls)
+    cols = {
+        "url": [], "host": [], "status": [], "content_type": [],
+        "html": [], "out_links": [], "latency_ms": [], "bucket": [],
+    }
+    for i, (url, path) in enumerate(urls):
+        # choose link targets: same host, skewed toward low indices
+        k = min(cfg["links_per_page"], n - 1) if n > 1 else 0
+        hrefs = []
+        if k:
+            # ring edge (i+1) guarantees every page is reachable from the
+            # host root, so bench crawls can percolate whole hosts
+            targets = {(i + 1) % n} - {i}
+            while len(targets) < k:
+                t = int(prng.zipf(1.3)) % n if prng.randint(0, 2) else prng.randint(0, n)
+                if t != i:
+                    targets.add(t)
+            for t in sorted(targets):
+                turl, tpath = urls[t]
+                hrefs.append(_href_variant(prng, turl, tpath))
+        # sprinkle filtered-out links: media, cross-host, scheme junk
+        r = prng.randint(0, 10)
+        if r < 3:
+            hrefs.append(f"https://{host}/media/img{i}.png")
+        if r in (3, 4):
+            hrefs.append("https://other-domain.net/page")
+        if r == 5:
+            hrefs.append("javascript:void(0)")
+        if r == 6:
+            hrefs.append("mailto:x@example.org")
+        status, ctype = 200, "text/html; charset=utf-8"
+        html = _build_html(
+            prng, host, i, hrefs, medium,
+            paras=cfg.get("paras", (6, 16)),
+            para_words=cfg.get("para_words", (40, 160)),
+        )
+        rr = prng.randint(0, 100)
+        if i == 0:
+            rr = 99  # seeds / host roots always fetchable HTML
+        if rr < 3:
+            status = 404  # curl still returns OK + body (no FAILONERROR)
+        elif rr < 5:
+            status = 500
+        elif rr < 7:
+            status = -1  # timeout -> curl error path
+        elif rr < 9:
+            ctype = "image/png"  # content-type gate in download_url
+        elif rr == 9:
+            html = "<html>tiny</html>"  # sub-100-byte gate
+        cols["url"].append(url)
+        cols["host"].append(host)
+        cols["status"].append(status)
+        cols["content_type"].append(ctype)
+        cols["html"].append(html.encode("utf-8"))
+        cols["out_links"].append(hrefs)
+        cols["latency_ms"].append(int(prng.randint(5, 80)))
+        cols["bucket"].append(stable_hash64(url) % N_BUCKETS)
+    return cols
+
+
 def generate_corpus(profile: str, seed: int = 42, out_dir: str | None = None) -> str:
     """Generate (or reuse cached) corpus; returns its directory."""
     cfg = PROFILES[profile]
@@ -197,6 +261,8 @@ def generate_corpus(profile: str, seed: int = 42, out_dir: str | None = None) ->
             urls.append((f"https://{host}{path}", path))
         host_urls[host] = urls
 
+    import concurrent.futures as cf
+
     cols = {
         "url": [],
         "host": [],
@@ -207,62 +273,18 @@ def generate_corpus(profile: str, seed: int = 42, out_dir: str | None = None) ->
         "latency_ms": [],
         "bucket": [],
     }
-    for host, urls in host_urls.items():
-        prng = np.random.RandomState((seed * 31 + 7) ^ (stable_hash64(host) & 0x7FFFFFFF))
-        medium = "medium.com" in host
-        n = len(urls)
-        for i, (url, path) in enumerate(urls):
-            # choose link targets: same host, skewed toward low indices
-            k = min(cfg["links_per_page"], n - 1) if n > 1 else 0
-            hrefs = []
-            if k:
-                # ring edge (i+1) guarantees every page is reachable from the
-                # host root, so bench crawls can percolate whole hosts
-                targets = {(i + 1) % n} - {i}
-                while len(targets) < k:
-                    t = int(prng.zipf(1.3)) % n if prng.randint(0, 2) else prng.randint(0, n)
-                    if t != i:
-                        targets.add(t)
-                for t in sorted(targets):
-                    turl, tpath = urls[t]
-                    hrefs.append(_href_variant(prng, turl, tpath))
-            # sprinkle filtered-out links: media, cross-host, scheme junk
-            r = prng.randint(0, 10)
-            if r < 3:
-                hrefs.append(f"https://{host}/media/img{i}.png")
-            if r in (3, 4):
-                hrefs.append("https://other-domain.net/page")
-            if r == 5:
-                hrefs.append("javascript:void(0)")
-            if r == 6:
-                hrefs.append("mailto:x@example.org")
-            status, ctype = 200, "text/html; charset=utf-8"
-            html = _build_html(
-                prng, host, i, hrefs, medium,
-                paras=cfg.get("paras", (6, 16)),
-                para_words=cfg.get("para_words", (40, 160)),
-            )
-            rr = prng.randint(0, 100)
-            if i == 0:
-                rr = 99  # seeds / host roots always fetchable HTML
-            if rr < 3:
-                status = 404  # curl still returns OK + body (no FAILONERROR)
-            elif rr < 5:
-                status = 500
-            elif rr < 7:
-                status = -1  # timeout -> curl error path
-            elif rr < 9:
-                ctype = "image/png"  # content-type gate in download_url
-            elif rr == 9:
-                html = "<html>tiny</html>"  # sub-100-byte gate
-            cols["url"].append(url)
-            cols["host"].append(host)
-            cols["status"].append(status)
-            cols["content_type"].append(ctype)
-            cols["html"].append(html.encode("utf-8"))
-            cols["out_links"].append(hrefs)
-            cols["latency_ms"].append(int(prng.randint(5, 80)))
-            cols["bucket"].append(stable_hash64(url) % N_BUCKETS)
+    # Hosts are independent (per-host PRNG keyed on (seed, host)), so build
+    # them in parallel; results are merged in the deterministic `hosts`
+    # order, giving identical bytes to the sequential path.
+    with cf.ProcessPoolExecutor(max_workers=min(16, os.cpu_count() or 4)) as ex:
+        futures = {
+            host: ex.submit(_build_host_pages, seed, host, host_urls[host], cfg)
+            for host in hosts
+        }
+        for host in hosts:
+            chunk = futures[host].result()
+            for k in cols:
+                cols[k].extend(chunk[k])
 
     pages = pa.table(
         {

@@ -35,6 +35,15 @@ class CuckooFilter:
         self.table = np.zeros((nbuckets, BUCKET_SIZE), dtype=np.uint16)  # 0 = empty
         self.n_items = 0
         self._lcg = 0x9E3779B97F4A7C15
+        # Set on the first failed insert. A full cuckoo filter would other-
+        # wise pay MAX_KICKS evictions per add (a ~5ms/URL death spiral under
+        # host skew) AND lose previously-inserted fingerprints to evictions,
+        # breaking the authoritative-negative property. Once degraded, adds
+        # are skipped and `contains` can no longer prove absence — callers
+        # (FrontierShard) must fall back to the exact store, and the
+        # condition is surfaced in stats/snapshots for resizing at the next
+        # checkpoint compaction.
+        self.degraded = False
 
     def _fingerprint(self, h: int) -> int:
         fp = _mix(h) & 0xFFFF
@@ -60,6 +69,8 @@ class CuckooFilter:
 
     def add(self, h: int) -> bool:
         """Insert; False when the filter is full (caller should grow/rotate)."""
+        if self.degraded:
+            return False
         fp = self._fingerprint(h)
         i1 = self._index1(h)
         i2 = self._alt_index(i1, fp)
@@ -74,6 +85,7 @@ class CuckooFilter:
             if self._bucket_insert(idx, fp):
                 self.n_items += 1
                 return True
+        self.degraded = True
         return False
 
     def contains(self, h: int) -> bool:
@@ -101,6 +113,7 @@ class CuckooFilter:
             "nbuckets": self.nbuckets,
             "n_items": self.n_items,
             "lcg": self._lcg,
+            "degraded": self.degraded,
             "table": self.table.tobytes(),
         }
 
@@ -115,4 +128,5 @@ class CuckooFilter:
         )
         f.n_items = state["n_items"]
         f._lcg = state["lcg"]
+        f.degraded = state.get("degraded", False)
         return f

@@ -168,7 +168,8 @@ class FrontierShard:
             self.seen_exact.add(url)
             if self.use_filters:
                 new_hashes.append(h)
-                self.cuckoo.add(h)
+                if not self.cuckoo.add(h):
+                    self.stats["cuckoo_degraded"] = 1
             seq = self._next_seq * self.num_shards + self.shard_id
             self._next_seq += 1
             heapq.heappush(
@@ -201,14 +202,18 @@ class FrontierShard:
         multi-node cluster the fetchers would return per-shard slices so
         each shard pulls only its bytes; single-node plasma makes the
         full-table read zero-copy either way."""
+        import time
+
         import pyarrow.compute as pc
 
+        t0 = time.perf_counter()
         try:
             import ray
 
             tabs = [ray.get(r) if not isinstance(r, pa.Table) else r for r in refs]
         except ImportError:  # pragma: no cover
             tabs = refs
+        t_get = time.perf_counter() - t0
         links_parts = []
         outcome_hosts: list[str] = []
         outcome_ok: list[bool] = []
@@ -227,6 +232,7 @@ class FrontierShard:
                 outcome_hosts.extend(outs["host"].to_pylist())
                 oks = outs["link_ord"].to_pylist()
                 outcome_ok.extend(bool(x) for x in oks)
+        t_filter = time.perf_counter() - t0 - t_get
         if outcome_hosts:
             self.record_outcomes(outcome_hosts, outcome_ok)
             fetched_ok = sum(outcome_ok)
@@ -248,6 +254,9 @@ class FrontierShard:
             )
         stats["fetched_ok"] = fetched_ok
         stats["fetch_failed"] = fetch_failed
+        stats["t_get"] = round(t_get, 3)
+        stats["t_filter"] = round(t_filter, 3)
+        stats["t_total"] = round(time.perf_counter() - t0, 3)
         return stats
 
     # -- politeness-gated release -------------------------------------------
