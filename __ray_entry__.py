@@ -234,6 +234,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "high_value_orders": relational.high_value_orders,
         "supplier_part_join": relational.supplier_part_join,
         "order_priority_share": relational.order_priority_share,
+        "events_props_sum": relational.events_props_sum,
+        "customer_supplier_nations": relational.customer_supplier_nations,
+        "top_events_per_user": relational.top_events_per_user,
         # search-engine path (tokenize/index/rank)
         "term_doc_tf": tf_table,
         "doc_lengths": dl_table,
@@ -379,6 +382,27 @@ GROUP BY n.n_name
 SELECT o_orderpriority, count(*) AS n,
        round(count(*) * 1.0 / (SELECT count(*) FROM orders), 6) AS share
 FROM orders GROUP BY o_orderpriority
+""",
+        "events_props_sum": """
+SELECT event_type,
+       sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+       count(*) AS n
+FROM events GROUP BY event_type
+""",
+        "customer_supplier_nations": """
+SELECT n_nationkey, n_name FROM nation
+WHERE n_nationkey IN (SELECT c_nationkey FROM customer)
+  AND n_nationkey IN (SELECT s_nationkey FROM supplier)
+""",
+        "top_events_per_user": """
+WITH ranked AS (
+  SELECT user_id, event_id, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY value DESC, event_id) AS rank
+  FROM events
+)
+SELECT user_id, event_id, value, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 3
 """,
         "term_doc_tf": f"""
 WITH {_TOKS_CTE},

@@ -421,3 +421,65 @@ def order_priority_share(sf_dir: str):
         )
 
     return agg.map_batches(share, batch_format="pyarrow")
+
+
+# -- semi-structured: JSON props column -------------------------------------
+
+def events_props_sum(sf_dir: str):
+    """Parse the events.props JSON strings and aggregate the embedded 'k'
+    metric per event_type (semi-structured extraction inside map_batches;
+    oracle uses DuckDB json_extract)."""
+    import json as _json
+
+    from ray.data.aggregate import Count, Sum
+
+    ev = _read(sf_dir, "events", ["event_type", "props"])
+
+    def extract(b: pa.Table) -> pa.Table:
+        ks = [int(_json.loads(p)["k"]) for p in b["props"].to_pylist()]
+        return pa.table(
+            {"event_type": b["event_type"], "k": pa.array(ks, pa.int64())}
+        )
+
+    return (
+        ev.map_batches(extract, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Sum("k", alias_name="sum_k"), Count(alias_name="n"))
+    )
+
+
+# -- set op: nations present on both customer and supplier sides ------------
+
+def customer_supplier_nations(sf_dir: str):
+    """INTERSECT: nations that have at least one customer AND one supplier
+    (broadcast both distinct key sets; no shuffle)."""
+    cust_nk = set(
+        _read(sf_dir, "customer", ["c_nationkey"]).unique("c_nationkey")
+    )
+    supp_nk = set(
+        _read(sf_dir, "supplier", ["s_nationkey"]).unique("s_nationkey")
+    )
+    both = cust_nk & supp_nk
+    nat = _read(sf_dir, "nation")
+    return nat.map_batches(
+        lambda b: b.filter(
+            pc.is_in(b["n_nationkey"], value_set=pa.array(sorted(both)))
+        ).select(["n_nationkey", "n_name"]),
+        batch_format="pyarrow",
+    )
+
+
+# -- window: top-k events per user ------------------------------------------
+
+def top_events_per_user(sf_dir: str, k: int = 3):
+    """The ROW_NUMBER() OVER (PARTITION BY user ORDER BY value DESC) <= k
+    pattern as groupby().map_groups (deterministic tie-break event_id)."""
+    ev = _read(sf_dir, "events", ["user_id", "event_id", "value"])
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["value", "event_id"], ascending=[False, True]).head(k)
+        g = g.copy()
+        g["rank"] = range(1, len(g) + 1)
+        return g[["user_id", "event_id", "value", "rank"]]
+
+    return ev.groupby("user_id").map_groups(topk, batch_format="pandas")
