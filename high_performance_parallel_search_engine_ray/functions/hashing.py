@@ -86,6 +86,47 @@ def minhash_signature(shingle_hashes: np.ndarray, a: np.ndarray, b: np.ndarray) 
     return vals.min(axis=0)
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=1 << 18)
+def _token_hash_cached(tok: str) -> int:
+    return stable_hash64(tok)
+
+
+def token_hashes(tokens: list[str]) -> np.ndarray:
+    """Per-token 64-bit hashes with an LRU memo (web text repeats tokens
+    heavily; the cache turns the Python FNV loop into a dict hit)."""
+    return np.fromiter(
+        (_token_hash_cached(t) for t in tokens), dtype=np.uint64, count=len(tokens)
+    )
+
+
+_SH_C1 = np.uint64(0x9E3779B97F4A7C15)
+_SH_C2 = np.uint64(0xC2B2AE3D27D4EB4F)
+_SH_C3 = np.uint64(0x165667B19E3779F9)
+
+
+def shingle_hashes_vec(th: np.ndarray, k: int = 3) -> np.ndarray:
+    """Vectorized k-shingle hashes from a token-hash array: position-salted
+    multiply-xor combine over a sliding window (wraps mod 2^64 — a
+    deterministic seeded family, not meant to match the string-join
+    variant)."""
+    n = th.shape[0]
+    if n == 0:
+        return np.array([], dtype=np.uint64)
+    if n < k:
+        out = th[0] * _SH_C1
+        for i in range(1, n):
+            out = out ^ (th[i] * (_SH_C2 if i % 2 else _SH_C3))
+        return np.array([out], dtype=np.uint64)
+    acc = th[: n - k + 1] * _SH_C1
+    for j in range(1, k):
+        salt = _SH_C2 if j % 2 else _SH_C3
+        acc = acc ^ (th[j : n - k + 1 + j] * salt)
+    return acc
+
+
 def shingle_hashes(tokens: list[str], k: int = 3) -> np.ndarray:
     """k-gram (word-level) shingle hashes of a token list."""
     if len(tokens) < k:

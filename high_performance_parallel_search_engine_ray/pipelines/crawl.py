@@ -108,11 +108,64 @@ class CrawlConfig:
     checkpoint_interval: int = 1  # rounds between checkpoints (last round always)
     use_robots: bool = True
     seed_urls: list | None = None  # override the corpus seeds table
+    # 'direct' = object-store shuffle via shard-actor admit_tables (fast;
+    # default). 'dataset' = Ray Data groupby('shard').map_groups admission —
+    # the pure-Dataset expression of the same shuffle, kept selectable
+    # because both must produce identical crawls (tested); it costs ~1-2s of
+    # per-round execution latency, which dominates at round granularity.
+    admission: str = "direct"
 
 
 # ---------------------------------------------------------------------------
 # Sharded (scale) mode
 # ---------------------------------------------------------------------------
+
+
+def _make_dataset_admit_fn(handles: dict):
+    """Group fn for the 'dataset' admission mode: one group per shard; sorts
+    by discovery order and calls the shard actor, exactly like admit_tables
+    does for the direct mode."""
+
+    def admit_group(group: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        if group.num_rows == 0:
+            return pa.table({"shard": pa.array([], pa.int64())})
+        shard = int(group["shard"][0].as_py())
+        handle = handles[shard]
+        group = group.sort_by(
+            [("parent_seq", "ascending"), ("link_ord", "ascending")]
+        )
+        is_link = pc.equal(group["kind"], "link")
+        links = group.filter(is_link)
+        outcomes = group.filter(pc.invert(is_link))
+        ok_flags = [bool(x) for x in outcomes["link_ord"].to_pylist()]
+        if outcomes.num_rows:
+            ray.get(handle.record_outcomes.remote(outcomes["host"].to_pylist(), ok_flags))
+        stats = {"admitted": 0, "dup": 0, "robots_blocked": 0}
+        if links.num_rows:
+            stats = ray.get(
+                handle.admit.remote(
+                    {
+                        "url": links["url"].to_pylist(),
+                        "host": links["host"].to_pylist(),
+                        "depth": links["depth"].to_pylist(),
+                        "priority": links["priority"].to_pylist(),
+                        "url_hash": links["url_hash"].to_pylist(),
+                    }
+                )
+            )
+        return pa.table(
+            {
+                "shard": pa.array([shard], pa.int64()),
+                "admitted": pa.array([stats.get("admitted", 0)], pa.int64()),
+                "dup": pa.array([stats.get("dup", 0)], pa.int64()),
+                "fetched_ok": pa.array([sum(ok_flags)], pa.int64()),
+                "fetch_failed": pa.array([len(ok_flags) - sum(ok_flags)], pa.int64()),
+            }
+        )
+
+    return admit_group
 
 
 class ShardedCrawl:
@@ -283,9 +336,19 @@ class ShardedCrawl:
             # FrontierShard.admit_tables for why this replaces a per-round
             # Ray Data groupby in the BFS feedback loop.
             t_a0 = time.perf_counter()
-            stat_rows = ray.get(
-                [a.admit_tables.remote(link_refs) for a in self._actors]
-            )
+            if cfg.admission == "dataset":
+                handles = {i: a for i, a in enumerate(self._actors)}
+                stats_df = (
+                    rd.from_arrow_refs(link_refs)
+                    .groupby("shard")
+                    .map_groups(_make_dataset_admit_fn(handles), batch_format="pyarrow")
+                    .to_pandas()
+                )
+                stat_rows = stats_df.to_dict("records")
+            else:
+                stat_rows = ray.get(
+                    [a.admit_tables.remote(link_refs) for a in self._actors]
+                )
             t_fetch_admit = time.perf_counter() - t_f0
             t_admit = time.perf_counter() - t_a0
             fetched = sum(s.get("fetched_ok", 0) for s in stat_rows)

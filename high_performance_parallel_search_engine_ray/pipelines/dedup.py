@@ -31,9 +31,10 @@ import pyarrow.compute as pc
 from ..functions.hashing import (
     minhash_params,
     minhash_signature,
-    shingle_hashes,
+    shingle_hashes_vec,
     simhash64,
     stable_hash64_bytes,
+    token_hashes,
 )
 from ..functions.rounding import round_half_away
 from ..functions.textstats import jaccard
@@ -81,7 +82,9 @@ def minhash_lsh_pairs(
         texts = batch[text_col].to_pylist()
         for did, text in zip(ids, texts):
             toks = text.split()
-            sig = minhash_signature(shingle_hashes(toks, shingle_k), a, b_)
+            sig = minhash_signature(
+                shingle_hashes_vec(token_hashes(toks), shingle_k), a, b_
+            )
             for band in range(bands):
                 chunk = sig[band * rows_per_band : (band + 1) * rows_per_band]
                 bh = stable_hash64_bytes(chunk.tobytes()) & 0x7FFFFFFFFFFFFFFF

@@ -1,0 +1,58 @@
+"""Hypothesis property tests: transliterations vs the compiled reference C
+over arbitrary printable-ASCII inputs (far nastier than the curated corpus)."""
+
+import subprocess
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from high_performance_parallel_search_engine_ray.functions.htmltext import (
+    html_to_events,
+    html_to_events_slow,
+    render_flat,
+)
+from high_performance_parallel_search_engine_ray.functions.urlnorm import normalize_url
+
+# printable ASCII incl. the scanner's trigger characters, newline-free for
+# the line-oriented normalize_url harness
+_URL_CHARS = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=126), max_size=200
+)
+_HTML_FRAGS = st.lists(
+    st.sampled_from(
+        [
+            "<p>", "</p>", "<h1>", "</h1>", "<h2 x=1>", "</h2>", "<br/>", "<li>",
+            "<script>", "</script>", "<style>", "</style>", "<head>", "</head>",
+            "<body>", "</body>", "<title>", "</title>", "<!--", "-->", "-->x",
+            "<article", "medium.com", "&amp;", "&lt;", "&gt;", "&quot;", "&nbsp;",
+            "&#039;", "&x;", "&nope", "&", ";", "<", ">", '"', "'", " ", "\t",
+            "\n", "word", "Word2", "a", "<TITLE>", "</TiTlE>", "<P>", "<hR>",
+        ]
+    ),
+    max_size=60,
+).map("".join)
+
+
+@settings(max_examples=250, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(_HTML_FRAGS)
+def test_fast_equals_slow_on_arbitrary_fragments(html):
+    assert html_to_events(html) == html_to_events_slow(html)
+
+
+@settings(max_examples=120, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(_HTML_FRAGS)
+def test_scanner_matches_compiled_c(ref_html_to_text_bin, html):
+    want = subprocess.run(
+        [ref_html_to_text_bin], input=html.encode(), capture_output=True, check=True
+    ).stdout.decode()
+    assert render_flat(html_to_events(html)) == want
+
+
+@settings(max_examples=200, deadline=None)
+@given(_URL_CHARS)
+def test_normalize_url_matches_compiled_c(ref_normalize_url_bin, url):
+    want = subprocess.run(
+        [ref_normalize_url_bin], input=(url + "\n").encode(), capture_output=True,
+        check=True,
+    ).stdout.decode().split("\n")[0]
+    assert normalize_url(url) == want

@@ -102,3 +102,14 @@ def test_checkpoint_layout(ray_session, smoke_corpus):
     assert len(ckpts) >= 4  # num_shards snapshots for at least one round
     metrics = glob.glob(os.path.join(out, "metrics", "*.parquet"))
     assert metrics
+
+
+def test_dataset_admission_mode_identical(ray_session, smoke_corpus):
+    """The pure-Ray-Data admission path (groupby('shard').map_groups) must
+    produce exactly the same crawl as the direct object-store shuffle."""
+    _, seen_direct, docs_direct = _run(smoke_corpus, "/tmp/t_adm_direct")
+    _, seen_ds, docs_ds = _run(
+        smoke_corpus, "/tmp/t_adm_dataset", admission="dataset"
+    )
+    assert seen_ds == seen_direct
+    assert docs_ds == docs_direct
