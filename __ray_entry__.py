@@ -425,6 +425,9 @@ SELECT term, count(*) AS total_tf FROM toks GROUP BY term
 ORDER BY total_tf DESC, term LIMIT 50
 """,
         "bm25_hash_join": _bm25_sql(["hash", "join"]),
+        # "joins scans" expands to join/scan via the plural/singular
+        # fallback (deterministic on this corpus vocabulary)
+        "bm25_expanded": _bm25_sql(["join", "scan"]),
         "bm25_vector_scan": _bm25_sql(["vector", "merge", "scan"]),
         "quality_scores": """
 SELECT doc_id,

@@ -93,7 +93,5 @@ def write_text_docs(docs_ds, folder: str) -> int:
             n += 1
         return pa.table({"written": pa.array([n], pa.int64())})
 
-    from ray.data.aggregate import Sum
-
     out = docs_ds.map_batches(write_batch, batch_format="pyarrow")
     return int(out.sum("written") or 0)

@@ -39,7 +39,7 @@ import pyarrow as pa
 from ..functions.hashing import stable_hash64
 from .bloom import CountingBloomFilter
 from .cuckoo import CuckooFilter
-from .robots import DEFAULT_CRAWL_DELAY_MS, RobotsCache
+from .robots import RobotsCache
 
 _SALT_STRIDE = 0x9E3779B1
 
