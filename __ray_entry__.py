@@ -10,10 +10,15 @@ sides). Ray is initialised by the driver — nothing here calls ray.init().
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 from typing import Any
 
 import numpy as np
+
+# the driver may import this module from any CWD; make the package resolvable
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF0001 = "/root/testdata/sf0.001"
 
