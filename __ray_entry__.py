@@ -242,6 +242,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_props_sum": relational.events_props_sum,
         "customer_supplier_nations": relational.customer_supplier_nations,
         "top_events_per_user": relational.top_events_per_user,
+        "events_sliding": relational.events_sliding,
+        "events_asof_signup": relational.events_asof_signup,
         # search-engine path (tokenize/index/rank)
         "term_doc_tf": tf_table,
         "doc_lengths": dl_table,
@@ -408,6 +410,29 @@ WITH ranked AS (
 )
 SELECT user_id, event_id, value, CAST(rank AS BIGINT) AS rank
 FROM ranked WHERE rank <= 3
+""",
+        "events_sliding": """
+WITH w AS (
+  SELECT ts_start AS window_start
+  FROM generate_series(TIMESTAMP '2023-12-31 23:00:00',
+                       TIMESTAMP '2024-02-01 00:00:00',
+                       INTERVAL 15 MINUTE) AS s(ts_start)
+)
+SELECT w.window_start, e.event_type,
+       round(sum(e.value), 6) AS sum_value,
+       count(*) AS n_events
+FROM events e
+JOIN w ON e.ts >= w.window_start
+      AND e.ts <  w.window_start + INTERVAL 60 MINUTE
+GROUP BY w.window_start, e.event_type
+""",
+        "events_asof_signup": """
+SELECT e.event_id, e.user_id,
+       COALESCE((SELECT max(s.ts) FROM events s
+                 WHERE s.user_id = e.user_id AND s.event_type = 'signup'
+                   AND s.ts <= e.ts),
+                TIMESTAMP '1970-01-01') AS last_signup_ts
+FROM events e
 """,
         "term_doc_tf": f"""
 WITH {_TOKS_CTE},

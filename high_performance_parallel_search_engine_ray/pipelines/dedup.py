@@ -64,20 +64,26 @@ def minhash_lsh_pairs(
     shingle_k: int = 3,
     jaccard_threshold: float = 0.5,
     seed: int = 7,
+    verify_batch_size: int = 4096,
 ):
     """Near-dup pairs via MinHash+LSH with exact-Jaccard verification.
 
-    shingle -> minhash (per batch, numpy) -> explode to (band, band_hash,
-    doc_id) -> groupby bucket -> candidate pairs -> verify word-shingle
-    Jaccard on the texts (carried through the bucket rows; at real scale
-    verification would re-read texts by id instead of carrying them).
-    Returns (doc_a, doc_b, jaccard) with doc_a < doc_b.
+    Scale-shaped dataflow — the shuffle moves HASHES, never text:
+      1. shingle -> minhash per batch (numpy) -> explode to
+         (band, band_hash, doc_id) rows
+      2. groupby(band, band_hash) -> candidate pairs (ids only), distinct
+      3. verification re-reads ONLY the candidate docs' texts (broadcast
+         id-set filter over the docs Dataset) and computes exact
+         word-shingle Jaccard per pair inside map_batches.
+    Returns (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard >= threshold.
     """
+    import ray
+
     a, b_ = minhash_params(num_perm, seed)
     rows_per_band = num_perm // bands
 
     def sig_batch(batch: pa.Table) -> pa.Table:
-        out = {"band": [], "band_hash": [], id_col: [], "text": []}
+        out = {"band": [], "band_hash": [], id_col: []}
         ids = batch[id_col].to_pylist()
         texts = batch[text_col].to_pylist()
         for did, text in zip(ids, texts):
@@ -91,13 +97,11 @@ def minhash_lsh_pairs(
                 out["band"].append(band)
                 out["band_hash"].append(bh)
                 out[id_col].append(did)
-                out["text"].append(text)
         return pa.table(
             {
                 "band": pa.array(out["band"], pa.int32()),
                 "band_hash": pa.array(out["band_hash"], pa.int64()),
                 id_col: pa.array(out[id_col]),
-                "text": pa.array(out["text"], pa.string()),
             }
         )
 
@@ -105,30 +109,69 @@ def minhash_lsh_pairs(
 
     def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) < 2:
-            return pd.DataFrame({"doc_a": [], "doc_b": [], "jaccard": []})
-        g = g.sort_values(id_col)
-        ids = g[id_col].tolist()
-        texts = g["text"].tolist()
-        shingles = [
-            {" ".join(t.split()[i : i + 3]) for i in range(max(1, len(t.split()) - 2))}
-            for t in texts
-        ]
-        out = {"doc_a": [], "doc_b": [], "jaccard": []}
+            return pd.DataFrame({"doc_a": [], "doc_b": []})
+        ids = sorted(g[id_col].tolist())
+        out = {"doc_a": [], "doc_b": []}
         for i in range(len(ids)):
             for j in range(i + 1, len(ids)):
-                jac = jaccard(shingles[i], shingles[j])
-                if jac >= jaccard_threshold:
-                    out["doc_a"].append(ids[i])
-                    out["doc_b"].append(ids[j])
-                    out["jaccard"].append(round_half_away(jac, 6))
+                out["doc_a"].append(ids[i])
+                out["doc_b"].append(ids[j])
         return pd.DataFrame(out)
 
-    pairs = buckets.groupby(["band", "band_hash"]).map_groups(
-        pairs_in_bucket, batch_format="pandas"
+    cand = (
+        buckets.groupby(["band", "band_hash"])
+        .map_groups(pairs_in_bucket, batch_format="pandas")
+        .groupby(["doc_a", "doc_b"])
+        .map_groups(lambda g: g.head(1), batch_format="pandas")
     )
-    # same pair can surface from multiple bands -> distinct
-    return pairs.groupby(["doc_a", "doc_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
+    pairs = [(int(r["doc_a"]), int(r["doc_b"])) if not isinstance(r["doc_a"], str)
+             else (r["doc_a"], r["doc_b"]) for r in cand.take_all()]
+    if not pairs:
+        return ray.data.from_arrow(
+            pa.table({"doc_a": pa.array([], pa.int64()),
+                      "doc_b": pa.array([], pa.int64()),
+                      "jaccard": pa.array([], pa.float64())})
+        )
+    cand_ids = sorted({x for p in pairs for x in p})
+    id_set = pa.array(cand_ids)
+
+    # Re-read only the candidate texts, build the shingle sets distributed,
+    # broadcast the (small) candidate shingle map for the pair pass.
+    def shingles_batch(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = b.filter(pc.is_in(b[id_col], value_set=id_set))
+        rows = {"id": [], "sh": []}
+        for did, text in zip(t[id_col].to_pylist(), t[text_col].to_pylist()):
+            toks = text.split()
+            sh = {
+                " ".join(toks[i : i + shingle_k])
+                for i in range(max(1, len(toks) - shingle_k + 1))
+            }
+            rows["id"].append(did)
+            rows["sh"].append(sorted(sh))
+        return pa.table({"id": pa.array(rows["id"]),
+                         "sh": pa.array(rows["sh"], pa.list_(pa.string()))})
+
+    sh_map = {
+        r["id"]: set(r["sh"])
+        for r in docs.map_batches(shingles_batch, batch_format="pyarrow").take_all()
+    }
+    out = {"doc_a": [], "doc_b": [], "jaccard": []}
+    for da, db in pairs:
+        jac = jaccard(sh_map.get(da, set()), sh_map.get(db, set()))
+        if jac >= jaccard_threshold:
+            out["doc_a"].append(da)
+            out["doc_b"].append(db)
+            out["jaccard"].append(round_half_away(jac, 6))
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_a": pa.array(out["doc_a"]),
+                "doc_b": pa.array(out["doc_b"]),
+                "jaccard": pa.array(out["jaccard"], pa.float64()),
+            }
+        )
     )
 
 

@@ -483,3 +483,74 @@ def top_events_per_user(sf_dir: str, k: int = 3):
         return g[["user_id", "event_id", "value", "rank"]]
 
     return ev.groupby("user_id").map_groups(topk, batch_format="pandas")
+
+
+# -- sliding window over events ---------------------------------------------
+
+def events_sliding(sf_dir: str, window_min: int = 60, slide_min: int = 15):
+    """Sliding-window counts: each event belongs to window_min/slide_min
+    windows; Ray expands events to their windows inside map_batches (the
+    classic stream expansion), then a partial-agg groupby. Window start is
+    the slide-aligned timestamp. Oracle: generate_series range join."""
+    from ray.data.aggregate import Count, Sum
+
+    ev = _read(sf_dir, "events", ["ts", "event_type", "value"])
+    n_windows = window_min // slide_min
+
+    def expand(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ts = b["ts"].to_numpy()  # datetime64[us]
+        slide = np.timedelta64(slide_min * 60_000_000, "us")
+        base = ts.astype("datetime64[us]").astype("int64")
+        slide_us = slide_min * 60_000_000
+        aligned = (base // slide_us) * slide_us
+        parts = []
+        for k in range(n_windows):
+            start = aligned - k * slide_us
+            parts.append(
+                pa.table(
+                    {
+                        "window_start": pa.array(
+                            start.astype("datetime64[us]"), pa.timestamp("us")
+                        ),
+                        "event_type": b["event_type"],
+                        "value": b["value"],
+                    }
+                )
+            )
+        t = pa.concat_tables(parts)
+        return t.group_by(["window_start", "event_type"]).aggregate(
+            [("value", "sum"), ([], "count_all")]
+        ).rename_columns(["window_start", "event_type", "sum_value", "n_events"])
+
+    agg = (
+        ev.map_batches(expand, batch_format="pyarrow")
+        .groupby(["window_start", "event_type"])
+        .aggregate(
+            Sum("sum_value", alias_name="sum_value"),
+            Sum("n_events", alias_name="n_events"),
+        )
+    )
+    return _round_cols(agg, {"sum_value": 6})
+
+
+# -- as-of join: last signup before each event ------------------------------
+
+def events_asof_signup(sf_dir: str):
+    """For every event, the most recent 'signup' event of the same user at
+    or before it (NULL when none): the as-of join pattern as ordered
+    per-user map_groups with a forward-fill. Oracle: correlated max()."""
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+
+    epoch = pd.Timestamp("1970-01-01")
+
+    def asof(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"]).copy()
+        sign_ts = g["ts"].where(g["event_type"] == "signup")
+        # no-signup-yet -> epoch sentinel (nulls hash inconsistently across
+        # engines; the oracle COALESCEs identically)
+        g["last_signup_ts"] = sign_ts.ffill().fillna(epoch)
+        return g[["event_id", "user_id", "last_signup_ts"]]
+
+    return ev.groupby("user_id").map_groups(asof, batch_format="pandas")
