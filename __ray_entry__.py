@@ -392,7 +392,7 @@ FROM orders GROUP BY o_orderpriority
 """,
         "events_props_sum": """
 SELECT event_type,
-       sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+       CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
        count(*) AS n
 FROM events GROUP BY event_type
 """,

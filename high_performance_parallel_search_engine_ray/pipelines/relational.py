@@ -32,6 +32,13 @@ def _read(sf_dir: str, table: str, columns=None):
     return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
+def _agg_rename(t: pa.Table, mapping: dict[str, str]) -> pa.Table:
+    """Rename pa.TableGroupBy.aggregate outputs BY NAME ('col_sum',
+    'count_all', ...) — the key/aggregate column ORDER is
+    pyarrow-version-dependent, so positional rename_columns is unsafe."""
+    return t.rename_columns([mapping.get(c, c) for c in t.column_names])
+
+
 def _round_cols(ds, spec: dict[str, int]):
     def rb(b: pa.Table) -> pa.Table:
         for col, nd in spec.items():
@@ -65,7 +72,7 @@ def pricing_summary(sf_dir: str):
             }
         )
         # partial aggregation inside the batch -> tiny groupby shuffle
-        return t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+        agg = t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
             [
                 ("qty", "sum"),
                 ("price", "sum"),
@@ -73,9 +80,12 @@ def pricing_summary(sf_dir: str):
                 ("disc", "sum"),
                 ([], "count_all"),
             ]
-        ).rename_columns(
-            ["l_returnflag", "l_linestatus", "sum_qty", "sum_price", "sum_disc_price",
-             "sum_disc", "n"]
+        )
+        return _agg_rename(
+            agg,
+            {"qty_sum": "sum_qty", "price_sum": "sum_price",
+             "disc_price_sum": "sum_disc_price", "disc_sum": "sum_disc",
+             "count_all": "n"},
         )
 
     from ray.data.aggregate import Sum
@@ -150,8 +160,9 @@ def top_revenue_orders(sf_dir: str, segment: str = "BUILDING", k: int = 10):
         t = b.filter(mask)
         rev = pc.multiply(t["l_extendedprice"], pc.subtract(1.0, t["l_discount"]))
         part = pa.table({"o_orderkey": t["l_orderkey"], "rev": rev})
-        return part.group_by(["o_orderkey"]).aggregate([("rev", "sum")]).rename_columns(
-            ["o_orderkey", "rev"]
+        return _agg_rename(
+            part.group_by(["o_orderkey"]).aggregate([("rev", "sum")]),
+            {"rev_sum": "rev"},
         )
 
     from ray.data.aggregate import Sum
@@ -197,8 +208,9 @@ def region_nation_revenue(sf_dir: str, region: str = "ASIA"):
         nn = pa.array([x for x in nations if x is not None], pa.string())
         rev = pc.multiply(t["l_extendedprice"], pc.subtract(1.0, t["l_discount"]))
         part = pa.table({"n_name": nn, "rev": rev})
-        return part.group_by(["n_name"]).aggregate([("rev", "sum")]).rename_columns(
-            ["n_name", "revenue"]
+        return _agg_rename(
+            part.group_by(["n_name"]).aggregate([("rev", "sum")]),
+            {"rev_sum": "revenue"},
         )
 
     from ray.data.aggregate import Sum
@@ -251,9 +263,12 @@ def events_hourly(sf_dir: str):
     def partial(b: pa.Table) -> pa.Table:
         hour = pc.floor_temporal(b["ts"], unit="hour")
         t = pa.table({"hour": hour, "event_type": b["event_type"], "value": b["value"]})
-        return t.group_by(["hour", "event_type"]).aggregate(
-            [("value", "sum"), ([], "count_all")]
-        ).rename_columns(["hour", "event_type", "sum_value", "n_events"])
+        return _agg_rename(
+            t.group_by(["hour", "event_type"]).aggregate(
+                [("value", "sum"), ([], "count_all")]
+            ),
+            {"value_sum": "sum_value", "count_all": "n_events"},
+        )
 
     from ray.data.aggregate import Sum
 
@@ -520,9 +535,12 @@ def events_sliding(sf_dir: str, window_min: int = 60, slide_min: int = 15):
                 )
             )
         t = pa.concat_tables(parts)
-        return t.group_by(["window_start", "event_type"]).aggregate(
-            [("value", "sum"), ([], "count_all")]
-        ).rename_columns(["window_start", "event_type", "sum_value", "n_events"])
+        return _agg_rename(
+            t.group_by(["window_start", "event_type"]).aggregate(
+                [("value", "sum"), ([], "count_all")]
+            ),
+            {"value_sum": "sum_value", "count_all": "n_events"},
+        )
 
     agg = (
         ev.map_batches(expand, batch_format="pyarrow")
@@ -546,7 +564,12 @@ def events_asof_signup(sf_dir: str):
     epoch = pd.Timestamp("1970-01-01")
 
     def asof(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"]).copy()
+        # signup rows sort BEFORE other events at an equal ts so the ffill
+        # sees them — the oracle's `s.ts <= e.ts` includes same-instant
+        # signups regardless of event_id order.
+        g = g.copy()
+        g["_not_signup"] = (g["event_type"] != "signup").astype(int)
+        g = g.sort_values(["ts", "_not_signup", "event_id"])
         sign_ts = g["ts"].where(g["event_type"] == "signup")
         # no-signup-yet -> epoch sentinel (nulls hash inconsistently across
         # engines; the oracle COALESCEs identically)
