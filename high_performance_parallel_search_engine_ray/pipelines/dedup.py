@@ -65,22 +65,47 @@ def minhash_lsh_pairs(
     jaccard_threshold: float = 0.5,
     seed: int = 7,
     verify_batch_size: int = 4096,
+    max_bucket: int = 128,
 ):
     """Near-dup pairs via MinHash+LSH with exact-Jaccard verification.
 
-    Scale-shaped dataflow — the shuffle moves HASHES, never text:
+    Scale-shaped dataflow — no driver-side materialization of pairs or
+    shingle sets; the only thing broadcast is the candidate ID set:
       1. shingle -> minhash per batch (numpy) -> explode to
          (band, band_hash, doc_id) rows
-      2. groupby(band, band_hash) -> candidate pairs (ids only), distinct
-      3. verification re-reads ONLY the candidate docs' texts (broadcast
-         id-set filter over the docs Dataset) and computes exact
-         word-shingle Jaccard per pair inside map_batches.
+      2. groupby(band, band_hash) -> candidate pairs (ids only). Buckets
+         with more than ``max_bucket`` members (degenerate: exact dups,
+         empty docs, boilerplate) are truncated to the ``max_bucket``
+         smallest ids; the number of dropped members is carried in a
+         ``bucket_dropped`` column, summed cheaply, and logged.
+      3. distinct pairs (groupby) stay a Dataset; the candidate ID set
+         (ids only — small) is broadcast to filter the docs scan that
+         builds per-candidate shingle strings.
+      4. verification is a distributed co-location join: pair-membership
+         rows union candidate shingle rows, groupby(doc id) attaches each
+         doc's shingles to its pairs, groupby(pair) computes exact
+         word-shingle Jaccard. (Ray 2.49's Dataset.join breaks on empty
+         hash partitions — ArrowBlockBuilder().build() yields a
+         zero-column table Acero rejects — so the join is expressed as
+         union + groupby, which the sort-based shuffle handles.)
     Returns (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard >= threshold.
     """
+    import logging
+
     import ray
+
+    logger = logging.getLogger(__name__)
 
     a, b_ = minhash_params(num_perm, seed)
     rows_per_band = num_perm // bands
+    id_type = docs.schema().base_schema.field(id_col).type
+
+    def _empty():
+        return ray.data.from_arrow(
+            pa.table({"doc_a": pa.array([], id_type),
+                      "doc_b": pa.array([], id_type),
+                      "jaccard": pa.array([], pa.float64())})
+        )
 
     def sig_batch(batch: pa.Table) -> pa.Table:
         out = {"band": [], "band_hash": [], id_col: []}
@@ -101,77 +126,154 @@ def minhash_lsh_pairs(
             {
                 "band": pa.array(out["band"], pa.int32()),
                 "band_hash": pa.array(out["band_hash"], pa.int64()),
-                id_col: pa.array(out[id_col]),
+                id_col: pa.array(out[id_col], id_type),
             }
         )
 
     buckets = docs.map_batches(sig_batch, batch_format="pyarrow")
 
     def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"doc_a": pd.Series([], dtype=g[id_col].dtype),
+             "doc_b": pd.Series([], dtype=g[id_col].dtype),
+             "bucket_dropped": pd.Series([], dtype="int64")}
+        )
         if len(g) < 2:
-            return pd.DataFrame({"doc_a": [], "doc_b": []})
+            return empty
         ids = sorted(g[id_col].tolist())
+        dropped = 0
+        if len(ids) > max_bucket:
+            dropped = len(ids) - max_bucket
+            ids = ids[:max_bucket]
         out = {"doc_a": [], "doc_b": []}
         for i in range(len(ids)):
             for j in range(i + 1, len(ids)):
                 out["doc_a"].append(ids[i])
                 out["doc_b"].append(ids[j])
-        return pd.DataFrame(out)
+        df = pd.DataFrame(out)
+        df["bucket_dropped"] = 0
+        if dropped and len(df):
+            df.iloc[0, df.columns.get_loc("bucket_dropped")] = dropped
+        return df
 
+    # Candidate pairs: ids only — materialized in the OBJECT STORE (not the
+    # driver) because three consumers follow (drop-count, distinct, joins).
     cand = (
         buckets.groupby(["band", "band_hash"])
         .map_groups(pairs_in_bucket, batch_format="pandas")
-        .groupby(["doc_a", "doc_b"])
-        .map_groups(lambda g: g.head(1), batch_format="pandas")
+        .materialize()
     )
-    pairs = [(int(r["doc_a"]), int(r["doc_b"])) if not isinstance(r["doc_a"], str)
-             else (r["doc_a"], r["doc_b"]) for r in cand.take_all()]
-    if not pairs:
-        return ray.data.from_arrow(
-            pa.table({"doc_a": pa.array([], pa.int64()),
-                      "doc_b": pa.array([], pa.int64()),
-                      "jaccard": pa.array([], pa.float64())})
+    dropped_total = cand.sum("bucket_dropped") or 0
+    if dropped_total:
+        logger.warning(
+            "minhash_lsh_pairs: %d bucket members dropped by max_bucket=%d "
+            "(degenerate LSH buckets; raise max_bucket or pre-collapse exact "
+            "dups to cover them)", dropped_total, max_bucket,
         )
-    cand_ids = sorted({x for p in pairs for x in p})
-    id_set = pa.array(cand_ids)
 
-    # Re-read only the candidate texts, build the shingle sets distributed,
-    # broadcast the (small) candidate shingle map for the pair pass.
+    from ray.data.aggregate import Count
+
+    distinct = (
+        cand.groupby(["doc_a", "doc_b"])
+        .aggregate(Count(alias_name="_n"))
+        .select_columns(["doc_a", "doc_b"])
+        .materialize()  # candidate-scale, ids only
+    )
+    if distinct.count() == 0:
+        return _empty()
+
+    cand_ids = sorted(set(distinct.unique("doc_a")) | set(distinct.unique("doc_b")))
+    id_set = pa.array(cand_ids, id_type)
+    id_ref = ray.put(id_set)
+
+    # Shingle strings for candidate docs only ('\x1f'-joined so the shuffle
+    # carries a flat string, not a list<> column). Candidate-scale; object
+    # store, never the driver. Row layout shared with membership rows:
+    # (jk, p_a, p_b, sh, is_sh).
     def shingles_batch(b: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        t = b.filter(pc.is_in(b[id_col], value_set=id_set))
-        rows = {"id": [], "sh": []}
+        vs = ray.get(id_ref)
+        t = b.filter(pc.is_in(b[id_col], value_set=vs))
+        rows = {"jk": [], "sh": []}
         for did, text in zip(t[id_col].to_pylist(), t[text_col].to_pylist()):
             toks = text.split()
             sh = {
                 " ".join(toks[i : i + shingle_k])
                 for i in range(max(1, len(toks) - shingle_k + 1))
             }
-            rows["id"].append(did)
-            rows["sh"].append(sorted(sh))
-        return pa.table({"id": pa.array(rows["id"]),
-                         "sh": pa.array(rows["sh"], pa.list_(pa.string()))})
+            rows["jk"].append(did)
+            rows["sh"].append("\x1f".join(sorted(sh)))
+        n = len(rows["jk"])
+        jk = pa.array(rows["jk"], id_type)
+        return pa.table({"jk": jk, "p_a": jk, "p_b": jk,
+                         "sh": pa.array(rows["sh"], pa.string()),
+                         "is_sh": pa.array([1] * n, pa.int8())})
 
-    sh_map = {
-        r["id"]: set(r["sh"])
-        for r in docs.map_batches(shingles_batch, batch_format="pyarrow").take_all()
-    }
-    out = {"doc_a": [], "doc_b": [], "jaccard": []}
-    for da, db in pairs:
-        jac = jaccard(sh_map.get(da, set()), sh_map.get(db, set()))
-        if jac >= jaccard_threshold:
-            out["doc_a"].append(da)
-            out["doc_b"].append(db)
-            out["jaccard"].append(round_half_away(jac, 6))
-    return ray.data.from_arrow(
-        pa.table(
+    sh_rows = docs.map_batches(
+        shingles_batch, batch_format="pyarrow", batch_size=verify_batch_size
+    )
+
+    def member_rows(b: pa.Table) -> pa.Table:
+        da, db = b["doc_a"], b["doc_b"]
+        n = b.num_rows
+        return pa.table(
             {
-                "doc_a": pa.array(out["doc_a"]),
-                "doc_b": pa.array(out["doc_b"]),
-                "jaccard": pa.array(out["jaccard"], pa.float64()),
+                "jk": pa.concat_arrays([da.combine_chunks(), db.combine_chunks()]),
+                "p_a": pa.concat_arrays([da.combine_chunks(), da.combine_chunks()]),
+                "p_b": pa.concat_arrays([db.combine_chunks(), db.combine_chunks()]),
+                "sh": pa.array([""] * (2 * n), pa.string()),
+                "is_sh": pa.array([0] * (2 * n), pa.int8()),
             }
         )
+
+    members = distinct.map_batches(member_rows, batch_format="pyarrow")
+
+    # Co-locate each candidate doc's shingles with its pair memberships,
+    # then co-locate the two sides of each pair — both shuffles move only
+    # candidate-scale rows.
+    def attach(g: pd.DataFrame) -> pd.DataFrame:
+        shr = g[g["is_sh"] == 1]
+        mem = g[g["is_sh"] == 0]
+        if shr.empty or mem.empty:
+            return pd.DataFrame(
+                {"doc_a": pd.Series([], dtype=g["jk"].dtype),
+                 "doc_b": pd.Series([], dtype=g["jk"].dtype),
+                 "jk": pd.Series([], dtype=g["jk"].dtype),
+                 "sh": pd.Series([], dtype="object")}
+            )
+        sh = shr["sh"].iloc[0]
+        return pd.DataFrame(
+            {"doc_a": mem["p_a"].values, "doc_b": mem["p_b"].values,
+             "jk": mem["jk"].values, "sh": [sh] * len(mem)}
+        )
+
+    attached = members.union(sh_rows).groupby("jk").map_groups(
+        attach, batch_format="pandas"
+    )
+
+    def verify_pair(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"doc_a": pd.Series([], dtype=g["doc_a"].dtype),
+             "doc_b": pd.Series([], dtype=g["doc_b"].dtype),
+             "jaccard": pd.Series([], dtype="float64")}
+        )
+        if len(g) != 2:
+            return empty  # one side vanished from the corpus
+        da, db = g["doc_a"].iloc[0], g["doc_b"].iloc[0]
+        sh_a = g.loc[g["jk"] == da, "sh"]
+        sh_b = g.loc[g["jk"] == db, "sh"]
+        if sh_a.empty or sh_b.empty:
+            return empty
+        jac = jaccard(set(sh_a.iloc[0].split("\x1f")),
+                      set(sh_b.iloc[0].split("\x1f")))
+        if jac < jaccard_threshold:
+            return empty
+        return pd.DataFrame(
+            {"doc_a": [da], "doc_b": [db],
+             "jaccard": [round_half_away(jac, 6)]}
+        )
+
+    return attached.groupby(["doc_a", "doc_b"]).map_groups(
+        verify_pair, batch_format="pandas"
     )
 
 

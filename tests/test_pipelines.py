@@ -45,6 +45,23 @@ def test_minhash_lsh_finds_exact_dups(ray_session):
     assert not any(3 in p for p in got)
 
 
+def test_minhash_lsh_bucket_cap(ray_session):
+    """A degenerate bucket (many exact dups) larger than max_bucket is
+    truncated deterministically: pairs among the max_bucket smallest ids
+    survive, members beyond the cap are dropped (and logged)."""
+    from high_performance_parallel_search_engine_ray.pipelines.dedup import (
+        minhash_lsh_pairs,
+    )
+
+    text = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [{"doc_id": i, "text": text} for i in range(8)]
+    ds = rd.from_items(rows)
+    pairs = minhash_lsh_pairs(ds, jaccard_threshold=0.5, max_bucket=4).to_pandas()
+    got = set(zip(pairs["doc_a"], pairs["doc_b"]))
+    expect = {(i, j) for i in range(4) for j in range(i + 1, 4)}
+    assert got == expect  # first 4 ids pair; 4..7 dropped by the cap
+
+
 def test_simhash_close_for_near_dups(ray_session):
     from high_performance_parallel_search_engine_ray.functions.hashing import hamming64
     from high_performance_parallel_search_engine_ray.pipelines.dedup import (
