@@ -58,12 +58,14 @@ def _query_vectors(sf_dir: str, n: int = 5) -> np.ndarray:
     return np.array([d[i] for i in range(n)], dtype=np.float64)
 
 
-def _pairs_table(ds, cols: list[str]):
+def _pairs_table(ds, cols: list[str], metric_type=None):
     """Materialize a small pair-result Dataset to an Arrow table with a
     stable schema even when empty (ids int64, metric float64)."""
     import pyarrow as pa
 
-    fields = [(c, pa.int64()) for c in cols[:2]] + [(cols[2], pa.float64())]
+    fields = [(c, pa.int64()) for c in cols[:2]] + [
+        (cols[2], metric_type or pa.float64())
+    ]
     rows = ds.take_all()
     return pa.Table.from_pylist(
         [{c: r[c] for c in cols} for r in rows], schema=pa.schema(fields)
@@ -145,6 +147,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def simhash_sigs(sf_dir):
         return dedup.simhash_signatures(_docs(sf_dir))
+
+    def simhash_dups(sf_dir):
+        import pyarrow as pa
+
+        return _pairs_table(
+            dedup.simhash_dup_pairs(_docs(sf_dir), radius=3),
+            ["doc_a", "doc_b", "hamming"],
+            metric_type=pa.int64(),
+        )
 
     def jaccard_pairs(sf_dir):
         return _pairs_table(
@@ -264,6 +275,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_pairs": jaccard_pairs,
         "minhash_lsh_pairs": minhash_pairs,
         "simhash_signatures": simhash_sigs,
+        "simhash_dup_pairs": simhash_dups,
         "embedding_dup_pairs": emb_dups,
         # similarity search
         "ann_brute_topk": ann_topk,

@@ -290,6 +290,78 @@ def simhash_signatures(docs, id_col: str = "doc_id", text_col: str = "text"):
     return docs.map_batches(sim_batch, batch_format="pyarrow")
 
 
+def simhash_dup_pairs(
+    docs,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    radius: int = 3,
+    max_bucket: int = 256,
+):
+    """Near-dup pairs by hamming distance <= ``radius`` over 64-bit SimHash.
+
+    4-band LSH (16 bits per band): any pair within hamming <= 3 must agree
+    exactly on at least one band (pigeonhole, radius < bands), so bucketing
+    by (band, band_bits) finds every such pair. The bucket rows carry the
+    full signature (8 bytes), so verification is a popcount inside the
+    bucket group — no second join. Buckets over ``max_bucket`` members are
+    truncated to the smallest ids (mirrors minhash_lsh_pairs).
+    Returns (doc_a, doc_b, hamming) with doc_a < doc_b.
+    """
+    bands = 4
+    assert radius < bands, "pigeonhole guarantee needs radius < bands"
+    id_type = docs.schema().base_schema.field(id_col).type
+
+    def sig_batch(b: pa.Table) -> pa.Table:
+        out = {"band": [], "band_bits": [], id_col: [], "sig": []}
+        for did, text in zip(b[id_col].to_pylist(), b[text_col].to_pylist()):
+            s = simhash64(text.lower().split())
+            s_signed = int(np.int64(np.uint64(s)))
+            for band in range(bands):
+                out["band"].append(band)
+                out["band_bits"].append((s >> (band * 16)) & 0xFFFF)
+                out[id_col].append(did)
+                out["sig"].append(s_signed)
+        return pa.table(
+            {
+                "band": pa.array(out["band"], pa.int32()),
+                "band_bits": pa.array(out["band_bits"], pa.int32()),
+                id_col: pa.array(out[id_col], id_type),
+                "sig": pa.array(out["sig"], pa.int64()),
+            }
+        )
+
+    buckets = docs.map_batches(sig_batch, batch_format="pyarrow")
+
+    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"doc_a": pd.Series([], dtype=g[id_col].dtype),
+             "doc_b": pd.Series([], dtype=g[id_col].dtype),
+             "hamming": pd.Series([], dtype="int64")}
+        )
+        if len(g) < 2:
+            return empty
+        g = g.sort_values(id_col).head(max_bucket)
+        ids = g[id_col].tolist()
+        sigs = [int(s) & 0xFFFFFFFFFFFFFFFF for s in g["sig"].tolist()]
+        out = {"doc_a": [], "doc_b": [], "hamming": []}
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                h = bin(sigs[i] ^ sigs[j]).count("1")
+                if h <= radius:
+                    out["doc_a"].append(ids[i])
+                    out["doc_b"].append(ids[j])
+                    out["hamming"].append(h)
+        return pd.DataFrame(out) if out["doc_a"] else empty
+
+    pairs = buckets.groupby(["band", "band_bits"]).map_groups(
+        pairs_in_bucket, batch_format="pandas"
+    )
+    # same pair can surface from up to `bands` buckets -> distinct
+    return pairs.groupby(["doc_a", "doc_b"]).map_groups(
+        lambda g: g.head(1), batch_format="pandas"
+    )
+
+
 def ngram_jaccard_pairs(
     docs,
     id_col: str = "doc_id",

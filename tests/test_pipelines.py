@@ -62,6 +62,42 @@ def test_minhash_lsh_bucket_cap(ray_session):
     assert got == expect  # first 4 ids pair; 4..7 dropped by the cap
 
 
+def test_simhash_dup_pairs_planted(ray_session):
+    """Planted exact dup must pair at hamming 0; an unrelated doc must not
+    pair; the one-word-changed near-dup pairs iff its true hamming is
+    within the radius (checked against the signature function directly)."""
+    from high_performance_parallel_search_engine_ray.functions.hashing import (
+        hamming64,
+        simhash64,
+    )
+    from high_performance_parallel_search_engine_ray.pipelines.dedup import (
+        simhash_dup_pairs,
+    )
+
+    base = (
+        "parallel search engines shard the inverted index across workers "
+        "and merge posting lists during query evaluation for throughput"
+    )
+    near = base.replace("throughput", "latency")
+    rows = [
+        {"doc_id": 1, "text": base},
+        {"doc_id": 2, "text": base},
+        {"doc_id": 3, "text": near},
+        {"doc_id": 4, "text": "completely unrelated walrus accordion weather"},
+    ]
+    out = simhash_dup_pairs(rd.from_items(rows), radius=3).to_pandas()
+    got = {(a, b): h for a, b, h in zip(out["doc_a"], out["doc_b"], out["hamming"])}
+    assert got.get((1, 2)) == 0
+    assert not any(4 in p for p in got)
+    h13 = hamming64(
+        simhash64(base.lower().split()), simhash64(near.lower().split())
+    )
+    if h13 <= 3:
+        assert got.get((1, 3)) == h13 and got.get((2, 3)) == h13
+    else:
+        assert (1, 3) not in got
+
+
 def test_simhash_close_for_near_dups(ray_session):
     from high_performance_parallel_search_engine_ray.functions.hashing import hamming64
     from high_performance_parallel_search_engine_ray.pipelines.dedup import (
