@@ -32,6 +32,21 @@ def _read(sf_dir: str, table: str, columns=None):
     return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
+def _join_partitions(n_joins: int = 1) -> int:
+    """Partition count for Dataset.join, sized to the cluster.
+
+    Each JoinOperator keeps a hash-shuffle aggregator pool of roughly
+    ``num_partitions`` actors (~0.25 CPU each) alive for the whole plan; in
+    a chained plan ALL join pools are live concurrently, and oversubscribing
+    them deadlocks the streaming executor (measured: 2 joins x 32 partitions
+    on 8 CPUs hangs; 2 x 16 completes). Pass the number of joins in the
+    plan so the pools, together, fit the cluster. On a real multi-node
+    cluster this scales with total CPUs automatically.
+    """
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    return max(2, cpus // max(1, n_joins))
+
+
 def _agg_rename(t: pa.Table, mapping: dict[str, str]) -> pa.Table:
     """Rename pa.TableGroupBy.aggregate outputs BY NAME ('col_sum',
     'count_all', ...) — the key/aggregate column ORDER is
@@ -133,35 +148,34 @@ def pricing_summary(sf_dir: str):
 # -- Q3-style: top revenue orders for one segment --------------------------
 
 def top_revenue_orders(sf_dir: str, segment: str = "BUILDING", k: int = 10):
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
-    seg_keys = set(
-        r["c_custkey"]
-        for r in cust.filter(expr=f"c_mktsegment == '{segment}'").take_all()
+    """Q3 shape as two distributed hash joins — customer and orders are
+    FACT-scale, so neither side is ever collected to the driver.
+
+    NOTE (Ray 2.49 quirk): JoinOperator partitions fed only by blocks from
+    a sort-based AllToAll (groupby aggregate / map_groups) can come up
+    empty-with-no-schema and Acero rejects the join; inputs here are
+    read/map_batches outputs, which shuffle cleanly. Aggregate outputs get
+    a repartition() laundering hop before joining (see top_customers).
+    """
+    npart = _join_partitions(n_joins=2)
+    cust_keys = (
+        _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+        .filter(expr=f"c_mktsegment == '{segment}'")
+        .map_batches(lambda b: b.select(["c_custkey"]), batch_format="pyarrow")
     )
-    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
-    keys_ref = ray.put(seg_keys)
-
-    def filter_orders(b: pa.Table) -> pa.Table:
-        keys = ray.get(keys_ref)
-        mask = pc.is_in(b["o_custkey"], value_set=pa.array(list(keys)))
-        return b.filter(mask).select(["o_orderkey", "o_orderdate"])
-
-    seg_orders = orders.map_batches(filter_orders, batch_format="pyarrow")
-    order_date = {
-        r["o_orderkey"]: r["o_orderdate"] for r in seg_orders.take_all()
-    }  # bounded: one segment's orders; broadcast
-    od_ref = ray.put(set(order_date))
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    seg_orders = orders.join(
+        cust_keys, join_type="inner", num_partitions=npart,
+        on=("o_custkey",), right_on=("c_custkey",),
+    ).map_batches(lambda b: b.select(["o_orderkey"]), batch_format="pyarrow")
 
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
 
     def rev_partial(b: pa.Table) -> pa.Table:
-        ok = ray.get(od_ref)
-        mask = pc.is_in(b["l_orderkey"], value_set=pa.array(list(ok)))
-        t = b.filter(mask)
-        rev = pc.multiply(t["l_extendedprice"], pc.subtract(1.0, t["l_discount"]))
-        part = pa.table({"o_orderkey": t["l_orderkey"], "rev": rev})
+        rev = pc.multiply(b["l_extendedprice"], pc.subtract(1.0, b["l_discount"]))
+        part = pa.table({"l_orderkey": b["l_orderkey"], "rev": rev})
         return _agg_rename(
-            part.group_by(["o_orderkey"]).aggregate([("rev", "sum")]),
+            part.group_by(["l_orderkey"]).aggregate([("rev", "sum")]),
             {"rev_sum": "rev"},
         )
 
@@ -169,6 +183,16 @@ def top_revenue_orders(sf_dir: str, segment: str = "BUILDING", k: int = 10):
 
     revs = (
         li.map_batches(rev_partial, batch_format="pyarrow")
+        .join(
+            seg_orders, join_type="inner", num_partitions=npart,
+            on=("l_orderkey",), right_on=("o_orderkey",),
+        )
+        .map_batches(
+            lambda b: b.rename_columns(
+                ["o_orderkey" if c == "l_orderkey" else c for c in b.column_names]
+            ),
+            batch_format="pyarrow",
+        )
         .groupby("o_orderkey")
         .aggregate(Sum("rev", alias_name="revenue"))
     )
@@ -179,46 +203,68 @@ def top_revenue_orders(sf_dir: str, segment: str = "BUILDING", k: int = 10):
 # -- Q5-style: revenue by nation within a region ---------------------------
 
 def region_nation_revenue(sf_dir: str, region: str = "ASIA"):
+    """Q5 shape. nation/region are TRUE dimensions (25/5 rows) and stay
+    broadcast; customer and orders are fact-scale and flow through
+    distributed hash joins — nothing fact-sized ever reaches the driver.
+
+    Dataflow: customer --(broadcast nation filter+decode)--> (c_custkey,
+    n_name) --join orders--> (o_orderkey, n_name) --join lineitem rev
+    partials--> groupby(n_name).sum.
+    """
+    npart = _join_partitions(n_joins=2)
     nat = {
         r["n_nationkey"]: (r["n_name"], r["n_regionkey"])
         for r in _read(sf_dir, "nation").take_all()
     }
     reg = {r["r_regionkey"]: r["r_name"] for r in _read(sf_dir, "region").take_all()}
     rkeys = {k for k, v in reg.items() if v == region}
-    nation_of_cust = {}
-    for r in _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).take_all():
-        name, rk = nat[r["c_nationkey"]]
-        if rk in rkeys:
-            nation_of_cust[r["c_custkey"]] = name
-    cust_of_order = {}
-    for r in _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]).take_all():
-        n = nation_of_cust.get(r["o_custkey"])
-        if n is not None:
-            cust_of_order[r["o_orderkey"]] = n
-    lookup_ref = ray.put(cust_of_order)
+    region_nations = {k: name for k, (name, rk) in nat.items() if rk in rkeys}
+    nk_arr = pa.array(sorted(region_nations), pa.int64())
+    nm_arr = pa.array([region_nations[k] for k in sorted(region_nations)], pa.string())
+
+    def cust_nation(b: pa.Table) -> pa.Table:
+        idx = pc.index_in(b["c_nationkey"], value_set=nk_arr)
+        t = pa.table({"c_custkey": b["c_custkey"], "idx": idx}).filter(
+            pc.is_valid(idx)
+        )
+        return pa.table(
+            {"c_custkey": t["c_custkey"], "n_name": pc.take(nm_arr, t["idx"])}
+        )
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).map_batches(
+        cust_nation, batch_format="pyarrow"
+    )
+    order_nation = (
+        _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+        .join(
+            cust, join_type="inner", num_partitions=npart,
+            on=("o_custkey",), right_on=("c_custkey",),
+        )
+        .map_batches(
+            lambda b: b.select(["o_orderkey", "n_name"]), batch_format="pyarrow"
+        )
+    )
 
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
 
-    def partial(b: pa.Table) -> pa.Table:
-        lk = ray.get(lookup_ref)
-        orders = b["l_orderkey"].to_pylist()
-        nations = [lk.get(o) for o in orders]
-        mask = pa.array([x is not None for x in nations])
-        t = b.filter(mask)
-        nn = pa.array([x for x in nations if x is not None], pa.string())
-        rev = pc.multiply(t["l_extendedprice"], pc.subtract(1.0, t["l_discount"]))
-        part = pa.table({"n_name": nn, "rev": rev})
+    def rev_partial(b: pa.Table) -> pa.Table:
+        rev = pc.multiply(b["l_extendedprice"], pc.subtract(1.0, b["l_discount"]))
+        part = pa.table({"l_orderkey": b["l_orderkey"], "rev": rev})
         return _agg_rename(
-            part.group_by(["n_name"]).aggregate([("rev", "sum")]),
-            {"rev_sum": "revenue"},
+            part.group_by(["l_orderkey"]).aggregate([("rev", "sum")]),
+            {"rev_sum": "rev"},
         )
 
     from ray.data.aggregate import Sum
 
     agg = (
-        li.map_batches(partial, batch_format="pyarrow")
+        li.map_batches(rev_partial, batch_format="pyarrow")
+        .join(
+            order_nation, join_type="inner", num_partitions=npart,
+            on=("l_orderkey",), right_on=("o_orderkey",),
+        )
         .groupby("n_name")
-        .aggregate(Sum("revenue", alias_name="revenue"))
+        .aggregate(Sum("rev", alias_name="revenue"))
     )
     return _round_cols(agg, {"revenue": 2})
 
@@ -226,32 +272,40 @@ def region_nation_revenue(sf_dir: str, region: str = "ASIA"):
 # -- top customers by order total ------------------------------------------
 
 def top_customers(sf_dir: str, k: int = 10):
+    """Per-customer order totals joined to the (fact-scale) customer table
+    via a distributed hash join. The groupby output takes a repartition()
+    laundering hop first: JoinOperator hash partitions fed only by
+    sort-based AllToAll blocks can be empty-with-no-schema, which Acero
+    rejects (see top_revenue_orders docstring)."""
     from ray.data.aggregate import Count, Sum
 
+    npart = _join_partitions(n_joins=1)
     orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
-    agg = orders.groupby("o_custkey").aggregate(
-        Sum("o_totalprice", alias_name="total_spent"), Count(alias_name="n_orders")
+    agg = (
+        orders.groupby("o_custkey")
+        .aggregate(
+            Sum("o_totalprice", alias_name="total_spent"),
+            Count(alias_name="n_orders"),
+        )
+        .repartition(npart)
     )
-    names = {
-        r["c_custkey"]: r["c_name"]
-        for r in _read(sf_dir, "customer", ["c_custkey", "c_name"]).take_all()
-    }
-    names_ref = ray.put(names)
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    joined = agg.join(
+        cust, join_type="inner", num_partitions=npart,
+        on=("o_custkey",), right_on=("c_custkey",),
+    )
 
-    def attach(b: pa.Table) -> pa.Table:
-        nm = ray.get(names_ref)
+    def finalize(b: pa.Table) -> pa.Table:
         return pa.table(
             {
                 "o_custkey": b["o_custkey"],
-                "c_name": pa.array(
-                    [nm[c] for c in b["o_custkey"].to_pylist()], pa.string()
-                ),
+                "c_name": b["c_name"],
                 "total_spent": round_half_away(b["total_spent"], 2),
                 "n_orders": b["n_orders"],
             }
         )
 
-    out = agg.map_batches(attach, batch_format="pyarrow")
+    out = joined.map_batches(finalize, batch_format="pyarrow")
     return out.sort(["total_spent", "o_custkey"], descending=[True, False]).limit(k)
 
 
@@ -416,8 +470,10 @@ def supplier_part_join(sf_dir: str):
     from ray.data.aggregate import Count
 
     pairs = li.map_batches(attach, batch_format="pyarrow")
-    distinct_pairs = pairs.groupby(["n_name", "p_brand"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
+    # in-batch distinct above -> tiny groupby dedupes globally -> count per
+    # nation. Two cheap shuffles over distinct pairs, no pandas per group.
+    distinct_pairs = pairs.groupby(["n_name", "p_brand"]).aggregate(
+        Count(alias_name="_n")
     )
     return distinct_pairs.groupby("n_name").aggregate(Count(alias_name="n_brands"))
 
