@@ -137,13 +137,57 @@ def cmd_evaluate(args) -> int:
         rec.record_query_latency((time.perf_counter() - t0) * 1000.0)
         results[q] = top.to_pylist()
     rec.record("pages_crawled", res["pages_crawled"], unit="count")
-    uri = rec.flush()
-    eng.shutdown()
-    print(json.dumps({
+    out = {
         "pages_crawled": res["pages_crawled"],
         "avg_query_latency_ms": round(rec.query_latency_avg_ms, 2),
         "results": results,
-        "metrics_uri": uri,
+    }
+    # speedup vs a saved baseline (reference: calculate_speedup /
+    # save_as_baseline, `Serial Version/src/benchmark.c:51-118`).
+    # snapshot() reads rec.rows, so compare/save BEFORE flush() clears them.
+    if args.baseline:
+        out["speedup"] = rec.compare_with_baseline(args.baseline)
+    if args.save_baseline:
+        rec.save_as_baseline(args.save_baseline)
+        out["baseline_saved"] = args.save_baseline
+    out["metrics_uri"] = rec.flush()
+    eng.shutdown()
+    print(json.dumps(out))
+    return 0
+
+
+def cmd_compare(args) -> int:
+    """Run the evaluate suite at two parallelism configs back-to-back in
+    FRESH processes (each owns its Ray session) and print the metric diff —
+    the reference dashboard's /api/compare (`WebSite/api.py:469-520`), with
+    'engine versions' mapped to CPU configs of the one Ray engine."""
+    import subprocess
+    import tempfile
+
+    runs = {}
+    for label, cpus in (("a", args.cpus_a), ("b", args.cpus_b)):
+        with tempfile.TemporaryDirectory(prefix="hppse_cmp_") as td:
+            proc = subprocess.run(
+                [sys.executable, "-m", "high_performance_parallel_search_engine_ray",
+                 "evaluate", "--corpus", args.corpus, "--out", td,
+                 "--num-cpus", str(cpus)],
+                capture_output=True, text=True,
+            )
+            if proc.returncode != 0:
+                print(json.dumps({"error": f"config {label} failed",
+                                  "stderr": proc.stderr[-2000:]}))
+                return 1
+            runs[label] = json.loads(proc.stdout.strip().splitlines()[-1])
+    la = runs["a"]["avg_query_latency_ms"]
+    lb = runs["b"]["avg_query_latency_ms"]
+    print(json.dumps({
+        "corpus": args.corpus,
+        "config_a": {"num_cpus": args.cpus_a, "avg_query_latency_ms": la,
+                     "pages_crawled": runs["a"]["pages_crawled"]},
+        "config_b": {"num_cpus": args.cpus_b, "avg_query_latency_ms": lb,
+                     "pages_crawled": runs["b"]["pages_crawled"]},
+        "latency_speedup_b_over_a": round(la / lb, 4) if lb > 0 else 0.0,
+        "results_identical": runs["a"]["results"] == runs["b"]["results"],
     }))
     return 0
 
@@ -194,7 +238,17 @@ def main(argv=None) -> int:
     pe.add_argument("--corpus", default="t1-smoke")
     pe.add_argument("--out", default="/tmp/hppse_evaluate")
     pe.add_argument("--num-cpus", type=int, default=None)
+    pe.add_argument("--baseline", default=None,
+                    help="baseline metrics JSON to compare against (speedup table)")
+    pe.add_argument("--save-baseline", default=None,
+                    help="write this run's metrics as the new baseline JSON")
     pe.set_defaults(fn=cmd_evaluate)
+
+    pcm = sub.add_parser("compare", help="run the evaluate suite at two CPU configs and diff")
+    pcm.add_argument("--corpus", default="t1-smoke")
+    pcm.add_argument("--cpus-a", type=int, default=2)
+    pcm.add_argument("--cpus-b", type=int, default=4)
+    pcm.set_defaults(fn=cmd_compare)
 
     pst = sub.add_parser("status", help="show a crawl checkpoint manifest")
     pst.add_argument("--out", required=True)

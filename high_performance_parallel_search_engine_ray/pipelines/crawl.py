@@ -272,6 +272,11 @@ class ShardedCrawl:
             self.round = man["round"] + 1
             self.pages_crawled = man["pages_crawled"]
             self._restore_actors(os.path.join(cfg.out_dir, f"ckpt/round={man['round']:05d}"))
+            # restore telemetry so the post-resume result and metrics
+            # writes carry the pre-crash rounds too (they're cumulative)
+            mpath = os.path.join(cfg.out_dir, "metrics", f"round={man['round']:05d}")
+            if os.path.exists(tio.table_uri(mpath)):
+                self.metrics_rows = tio.read_table(mpath).to_pylist()
         else:
             if os.path.exists(cfg.out_dir):
                 shutil.rmtree(cfg.out_dir)

@@ -43,9 +43,12 @@ def bm25_topk(
     id_col: str = "doc_id",
     text_col: str = "text",
     round_to: int | None = 6,
+    tf=None,
 ):
     """Top-k (doc_id, score) for one query over a (doc_id, text) Dataset.
-    Returns a pyarrow Table (small result; schema stable even when empty)."""
+    Returns a pyarrow Table (small result; schema stable even when empty).
+    Pass a precomputed/materialized ``tf`` (term_doc_tf output) to share the
+    tokenize pass across queries (multi-query loops, expanded retries)."""
     import ray
 
     id_type = docs.schema().base_schema.field(id_col).type
@@ -56,12 +59,18 @@ def bm25_topk(
         return out_schema.empty_table()
     qset = pa.array(sorted(set(qterms)))
 
-    tf = term_doc_tf(docs, id_col, text_col)
+    # ONE tokenize pass: tf is consumed three times below (total_tokens,
+    # df, scoring) and each action would otherwise re-run the whole
+    # tokenize pipeline (measured 3-4x redundant work per query).
+    # materialize() pins the blocks in the OBJECT STORE, not the driver.
+    if tf is None:
+        tf = term_doc_tf(docs, id_col, text_col).materialize()
 
     def only_query_terms(b: pa.Table) -> pa.Table:
         return b.filter(pc.is_in(b["term"], value_set=qset))
 
-    tf_q = tf.map_batches(only_query_terms, batch_format="pyarrow")
+    # tf_q is tiny (query terms only) and consumed twice (df + scoring).
+    tf_q = tf.map_batches(only_query_terms, batch_format="pyarrow").materialize()
 
     # Global corpus stats: N docs, total kept tokens. Small aggregates.
     n_docs = docs.count()
@@ -135,14 +144,14 @@ def bm25_topk_expanded(
     docs, query: str, k: int = 10, id_col: str = "doc_id", text_col: str = "text"
 ):
     """BM25 with the OpenMP plural/singular term-expansion semi-join: the
-    known-term set is the (small) df-side aggregate, broadcast to expand the
-    query before scoring."""
-    from .index import term_df
-
+    known-term set is the (small) distinct-term aggregate, broadcast to
+    expand the query before scoring. The tokenize pass is shared: tf is
+    materialized once and reused for both the known-term set and scoring."""
+    tf = term_doc_tf(docs, id_col, text_col).materialize()
     qterms = tokenize_query(query)
-    known = {r["term"] for r in term_df(docs, id_col, text_col).take_all()}
+    known = set(tf.unique("term"))
     expanded = expand_query_terms(qterms, known)
-    return bm25_topk(docs, " ".join(expanded), k, id_col, text_col)
+    return bm25_topk(docs, " ".join(expanded), k, id_col, text_col, tf=tf)
 
 
 def pattern_match_counts(docs, patterns: list[str], id_col: str = "doc_id", text_col: str = "text"):

@@ -10,57 +10,66 @@ import pyarrow.compute as pc
 
 from ..functions.hashing import rolling_fingerprint
 from ..functions.rounding import round_half_away
-from ..functions.textstats import lang_id, quality_score, token_counts
+
+
+def _ratio(num, den) -> pa.Array:
+    """num/den rounded 6dp, 0.0 where den == 0 (matches the scalar kernels
+    and the oracle's CASE WHEN)."""
+    import numpy as np
+
+    n = np.asarray(num, dtype=np.float64)
+    d = np.asarray(den, dtype=np.float64)
+    out = np.divide(n, d, out=np.zeros_like(n), where=d != 0)
+    return pa.array(round_half_away(out, 6), pa.float64())
 
 
 def quality_scores(docs, id_col: str = "doc_id", text_col: str = "text"):
     """(doc_id, n_chars, n_ws_tokens, alpha_ratio, digit_ratio, punct_ratio)
-    — ratios rounded 6dp, fully vectorizable and SQL-mirrorable."""
+    — pure pc kernels per batch (count_substring_regex for char classes and
+    \\S+ token runs), no per-row Python. Definitions mirror
+    functions/textstats.quality_score and the SQL oracle exactly."""
 
     def qbatch(b: pa.Table) -> pa.Table:
-        out = {
-            id_col: b[id_col],
-            "n_chars": [],
-            "n_ws_tokens": [],
-            "alpha_ratio": [],
-            "digit_ratio": [],
-            "punct_ratio": [],
-        }
-        for t in b[text_col].to_pylist():
-            q = quality_score(t)
-            out["n_chars"].append(int(q["n_chars"]))
-            out["n_ws_tokens"].append(int(q["n_ws_tokens"]))
-            out["alpha_ratio"].append(round_half_away(q["alpha_ratio"], 6))
-            out["digit_ratio"].append(round_half_away(q["digit_ratio"], 6))
-            out["punct_ratio"].append(round_half_away(q["punct_ratio"], 6))
+        txt = b[text_col]
+        n_chars = pc.utf8_length(txt).cast(pa.int64())
+        n_tok = pc.count_substring_regex(txt, r"\S+").cast(pa.int64())
+        alpha = pc.count_substring_regex(txt, "[A-Za-z]")
+        digit = pc.count_substring_regex(txt, "[0-9]")
+        punct = pc.count_substring_regex(txt, "[.,;:!?]")
+        nc = n_chars.to_numpy(zero_copy_only=False)
         return pa.table(
             {
-                id_col: out[id_col],
-                "n_chars": pa.array(out["n_chars"], pa.int64()),
-                "n_ws_tokens": pa.array(out["n_ws_tokens"], pa.int64()),
-                "alpha_ratio": pa.array(out["alpha_ratio"], pa.float64()),
-                "digit_ratio": pa.array(out["digit_ratio"], pa.float64()),
-                "punct_ratio": pa.array(out["punct_ratio"], pa.float64()),
+                id_col: b[id_col],
+                "n_chars": n_chars,
+                "n_ws_tokens": n_tok,
+                "alpha_ratio": _ratio(alpha.to_numpy(zero_copy_only=False), nc),
+                "digit_ratio": _ratio(digit.to_numpy(zero_copy_only=False), nc),
+                "punct_ratio": _ratio(punct.to_numpy(zero_copy_only=False), nc),
             }
         )
 
     return docs.map_batches(qbatch, batch_format="pyarrow")
 
 
+# RE2 alternation is leftmost-first like Python re, so this counts the same
+# matches as functions/textstats._BPEISH_RE.findall (verified by the
+# token_counts oracle + the vectorized/scalar differential test).
+_BPEISH_PATTERN = r"[a-z]+|[A-Z][a-z]*|[0-9]{1,3}|[^\sa-zA-Z0-9]"
+
+
 def token_count_table(docs, id_col: str = "doc_id", text_col: str = "text"):
-    """(doc_id, n_ws_tokens, n_bpeish_tokens)."""
+    """(doc_id, n_ws_tokens, n_bpeish_tokens) — vectorized
+    count_substring_regex over the batch (no per-row Python)."""
 
     def tbatch(b: pa.Table) -> pa.Table:
-        ws, bp = [], []
-        for t in b[text_col].to_pylist():
-            w, p = token_counts(t)
-            ws.append(w)
-            bp.append(p)
+        txt = b[text_col]
         return pa.table(
             {
                 id_col: b[id_col],
-                "n_ws_tokens": pa.array(ws, pa.int64()),
-                "n_bpeish_tokens": pa.array(bp, pa.int64()),
+                "n_ws_tokens": pc.count_substring_regex(txt, r"\S+").cast(pa.int64()),
+                "n_bpeish_tokens": pc.count_substring_regex(
+                    txt, _BPEISH_PATTERN
+                ).cast(pa.int64()),
             }
         )
 

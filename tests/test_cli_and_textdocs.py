@@ -64,3 +64,69 @@ def test_textdocs_roundtrip(ray_session, tmp_path):
     assert all(r["url"].startswith("https://") for r in back)
     with open(glob.glob(folder + "/*")[0]) as f:
         assert f.readline().startswith("Source URL: ")
+
+
+def test_metrics_baseline_compare(tmp_path):
+    """save_as_baseline + compare_with_baseline speedup math (reference:
+    `Serial Version/src/benchmark.c:51-118`). No Ray needed."""
+    from high_performance_parallel_search_engine_ray.pipelines.metrics import (
+        MetricsRecorder,
+    )
+
+    base_path = str(tmp_path / "baseline.json")
+    r1 = MetricsRecorder(str(tmp_path))
+    r1.record("crawl", 1000.0)
+    r1.record_query_latency(50.0)
+    r1.save_as_baseline(base_path)
+
+    r2 = MetricsRecorder(str(tmp_path))
+    r2.record("crawl", 500.0)
+    r2.record_query_latency(25.0)
+    cmp = r2.compare_with_baseline(base_path)
+    assert cmp["comparison"]["crawl"]["speedup"] == pytest.approx(2.0)
+    assert cmp["comparison"]["avg_query_latency_ms"]["speedup"] == pytest.approx(2.0)
+
+    # zero current value -> speedup 0.0 (benchmark.c's div-by-zero rule)
+    r3 = MetricsRecorder(str(tmp_path))
+    r3.record("crawl", 0.0)
+    assert r3.compare_with_baseline(base_path)["comparison"]["crawl"]["speedup"] == 0.0
+
+    # missing baseline file -> warning + empty comparison
+    assert r2.compare_with_baseline(str(tmp_path / "nope.json"))["comparison"] == {}
+
+
+def test_cli_evaluate_baseline_speedup(tmp_path):
+    """evaluate --save-baseline then --baseline prints a speedup table."""
+    base = str(tmp_path / "b.json")
+    cmd = [sys.executable, "-m", "high_performance_parallel_search_engine_ray",
+           "evaluate", "--corpus", "t1-smoke", "--num-cpus", "4"]
+    r1 = subprocess.run(
+        cmd + ["--out", str(tmp_path / "e1"), "--save-baseline", base],
+        capture_output=True, text=True, check=True,
+    )
+    d1 = json.loads(r1.stdout.strip().splitlines()[-1])
+    assert d1["baseline_saved"] == base
+    r2 = subprocess.run(
+        cmd + ["--out", str(tmp_path / "e2"), "--baseline", base],
+        capture_output=True, text=True, check=True,
+    )
+    d2 = json.loads(r2.stdout.strip().splitlines()[-1])
+    sp = d2["speedup"]["comparison"]
+    assert "crawl" in sp and sp["crawl"]["speedup"] > 0
+    assert "avg_query_latency_ms" in sp
+
+
+def test_cli_compare_two_configs():
+    """compare runs the suite at two CPU configs in fresh processes and the
+    results are config-independent (reference /api/compare semantics:
+    same query, multiple engine configs)."""
+    r = subprocess.run(
+        [sys.executable, "-m", "high_performance_parallel_search_engine_ray",
+         "compare", "--corpus", "t1-smoke", "--cpus-a", "2", "--cpus-b", "4"],
+        capture_output=True, text=True, check=True,
+    )
+    d = json.loads(r.stdout.strip().splitlines()[-1])
+    assert d["config_a"]["num_cpus"] == 2 and d["config_b"]["num_cpus"] == 4
+    assert d["config_a"]["pages_crawled"] == d["config_b"]["pages_crawled"]
+    assert d["results_identical"] is True
+    assert d["latency_speedup_b_over_a"] > 0

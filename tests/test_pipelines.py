@@ -213,3 +213,54 @@ def test_bm25_matches_reference_formula(ray_session):
     assert out[0] == round(s(1, 3), 6) or abs(out[0] - s(1, 3)) < 1e-6
     assert abs(out[1] - s(2, 3)) < 1e-6
     assert 2 not in out  # zero-score docs dropped (ranking.c:87-90)
+
+
+def test_vectorized_textstats_match_scalar_kernels(ray_session):
+    """The pc.count_substring_regex vectorization in pipelines/text.py must
+    agree with the scalar reference kernels in functions/textstats.py
+    (RE2 leftmost-first alternation == Python re.findall) on adversarial
+    strings: empty, whitespace-only, unicode, TitleCase, digit runs."""
+    from high_performance_parallel_search_engine_ray.functions.textstats import (
+        quality_score,
+        token_counts,
+    )
+    from high_performance_parallel_search_engine_ray.functions.rounding import (
+        round_half_away,
+    )
+    from high_performance_parallel_search_engine_ray.pipelines.text import (
+        quality_scores,
+        token_count_table,
+    )
+
+    texts = [
+        "",
+        "   ",
+        "plain words here",
+        "  leading and trailing  ",
+        "TitleCase CamelCaseWords XMLHttpRequest",
+        "digits 123 4567 89 0 12345",
+        "punct... lots,, of; punct!? .",
+        "tabs\tand\nnewlines\r\nmixed   runs",
+        "unicode café naïve über straße",
+        "symbols #$% &*( @@ ~`|",
+        "a",
+        "A1b2C3d4",
+    ]
+    rows = [{"doc_id": i, "text": t} for i, t in enumerate(texts)]
+    ds = rd.from_items(rows)
+
+    q = quality_scores(ds).to_pandas().set_index("doc_id").sort_index()
+    tc = token_count_table(ds).to_pandas().set_index("doc_id").sort_index()
+    for i, t in enumerate(texts):
+        ref_q = quality_score(t)
+        assert q.loc[i, "n_chars"] == int(ref_q["n_chars"]), t
+        assert q.loc[i, "n_ws_tokens"] == int(ref_q["n_ws_tokens"]), t
+        for col, key in [
+            ("alpha_ratio", "alpha_ratio"),
+            ("digit_ratio", "digit_ratio"),
+            ("punct_ratio", "punct_ratio"),
+        ]:
+            assert q.loc[i, col] == round_half_away(ref_q[key], 6), (t, col)
+        ws, bp = token_counts(t)
+        assert tc.loc[i, "n_ws_tokens"] == ws, t
+        assert tc.loc[i, "n_bpeish_tokens"] == bp, t

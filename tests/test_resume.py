@@ -65,6 +65,14 @@ def test_resume_no_refetch(ray_session, smoke_corpus):
     # earlier rounds' doc partitions were neither rewritten nor re-fetched
     for p, m in mtimes_before.items():
         assert os.path.getmtime(p) == m, f"refetched {p}"
+    # telemetry resumes too: the post-resume result carries the pre-crash
+    # rounds, with the same per-round page counts as the uninterrupted run
+    assert [r["round"] for r in res["metrics"]] == [
+        r["round"] for r in full["metrics"]
+    ]
+    assert [r["fetched_ok"] for r in res["metrics"]] == [
+        r["fetched_ok"] for r in full["metrics"]
+    ]
 
 
 def test_robots_gating(ray_session, smoke_corpus, tmp_path):
