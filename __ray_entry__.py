@@ -169,6 +169,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["id_a", "id_b", "cosine"],
         )
 
+    def emb_dups_lsh(sf_dir):
+        # label-free scale path: random-hyperplane LSH buckets instead of
+        # label blocks (approximate recall — no SQL oracle; the planted-dup
+        # pytest + subset-of-exact check cover it)
+        return _pairs_table(
+            dedup.embedding_dup_pairs_lsh(_emb(sf_dir), threshold=0.9),
+            ["id_a", "id_b", "cosine"],
+        )
+
     def langs(sf_dir):
         return text.lang_id_table(_docs(sf_dir))
 
@@ -277,6 +286,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_signatures": simhash_sigs,
         "simhash_dup_pairs": simhash_dups,
         "embedding_dup_pairs": emb_dups,
+        "embedding_dup_pairs_lsh": emb_dups_lsh,
         # similarity search
         "ann_brute_topk": ann_topk,
         "ann_ivf_topk": ann_ivf,

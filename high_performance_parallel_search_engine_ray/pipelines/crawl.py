@@ -108,6 +108,20 @@ class CrawlConfig:
     checkpoint_interval: int = 1  # rounds between checkpoints (last round always)
     use_robots: bool = True
     seed_urls: list | None = None  # override the corpus seeds table
+    # Exact seen-set spill threshold (URLs held in a shard's in-memory delta
+    # before a sorted run is spilled under out_dir/seen/shard-N). None =
+    # never spill (small-crawl fast path); at design scale set to what a
+    # worker's heap share allows (the spilled residue costs 8 B/URL of heap).
+    seen_memory_cap: int | None = None
+    # Admission-exchange granularity: fetchers return this many contiguous
+    # shard-range slices as SEPARATE object-store entries, so a shard pulls
+    # only its group's bytes (a real partitioned exchange). On a cluster set
+    # it to the NODE count — co-located shards share a slice read from local
+    # plasma. 1 = one table per fetcher (every shard reads everything;
+    # zero-copy on one node). Per-shard granularity (= num_shards) costs
+    # ~1000 plasma entries/round of bookkeeping for no traffic win over
+    # per-node; default 8 measured within noise of 1 on the bench crawl.
+    fetch_slice_groups: int = 8
     # 'direct' = object-store shuffle via shard-actor admit_tables (fast;
     # default). 'dataset' = Ray Data groupby('shard').map_groups admission —
     # the pure-Dataset expression of the same shuffle, kept selectable
@@ -192,6 +206,8 @@ class ShardedCrawl:
                     robots_rows=robots_rows,
                     hot_hosts=cfg.hot_hosts,
                     use_filters=cfg.use_filters,
+                    seen_spill_dir=os.path.join(cfg.out_dir, "seen", f"shard-{s:04d}"),
+                    seen_memory_cap=cfg.seen_memory_cap,
                 )
             )
 
@@ -323,28 +339,41 @@ class ShardedCrawl:
                 frontier_all["url_hash"].to_numpy().astype(np.uint64)
                 % np.uint64(N_BUCKETS)
             ).astype(np.int64) % nf
-            link_refs = []
+            # Each fetcher call returns fetch_slice_groups contiguous
+            # shard-range slices as SEPARATE object-store entries
+            # (num_returns), so admission is a partitioned exchange: shard s
+            # pulls only its group's slices, not every fetcher's full round
+            # table. group_refs[f][g] = fetcher f's slice for shard group g.
+            n_groups = max(1, min(cfg.fetch_slice_groups, cfg.num_shards))
+            group_refs: list[list] = []
             for f in range(nf):
                 idx = np.nonzero(fetcher_of == f)[0]
                 if idx.size == 0:
                     continue
                 part = frontier_all.take(pa.array(idx))
-                link_refs.append(
-                    self._fetchers[f].fetch.remote(part, docs_dir)
-                )
+                if n_groups == 1:
+                    group_refs.append(
+                        [self._fetchers[f].fetch.remote(part, docs_dir)]
+                    )
+                else:
+                    refs = self._fetchers[f].fetch_sliced.options(
+                        num_returns=n_groups
+                    ).remote(part, docs_dir, n_groups)
+                    group_refs.append(list(refs))
+            flat_refs = [r for refs in group_refs for r in refs]
             t_f0 = time.perf_counter()
-            ray.wait(link_refs, num_returns=len(link_refs), fetch_local=False)
+            ray.wait(flat_refs, num_returns=len(flat_refs), fetch_local=False)
             t_fetch = time.perf_counter() - t_f0
-            # Direct shuffle through the object store: every shard actor
-            # selects its rows from the fetchers' outputs (zero-copy plasma
-            # reads) and admits in deterministic discovery order. See
+            # Direct shuffle through the object store: each shard actor
+            # reads its own pre-sliced outputs (zero-copy plasma reads) and
+            # admits in deterministic discovery order. See
             # FrontierShard.admit_tables for why this replaces a per-round
             # Ray Data groupby in the BFS feedback loop.
             t_a0 = time.perf_counter()
             if cfg.admission == "dataset":
                 handles = {i: a for i, a in enumerate(self._actors)}
                 stats_df = (
-                    rd.from_arrow_refs(link_refs)
+                    rd.from_arrow_refs(flat_refs)
                     .groupby("shard")
                     .map_groups(_make_dataset_admit_fn(handles), batch_format="pyarrow")
                     .to_pandas()
@@ -352,7 +381,12 @@ class ShardedCrawl:
                 stat_rows = stats_df.to_dict("records")
             else:
                 stat_rows = ray.get(
-                    [a.admit_tables.remote(link_refs) for a in self._actors]
+                    [
+                        self._actors[s].admit_tables.remote(
+                            [refs[s * n_groups // cfg.num_shards] for refs in group_refs]
+                        )
+                        for s in range(cfg.num_shards)
+                    ]
                 )
             t_fetch_admit = time.perf_counter() - t_f0
             t_admit = time.perf_counter() - t_a0
@@ -437,7 +471,7 @@ class ShardedCrawl:
         out: set[str] = set()
         for snap in ray.get([a.snapshot.remote() for a in self._actors]):
             st = FrontierShard.restore(snap)
-            out |= st.seen_exact
+            out.update(st.seen_exact)
         return out
 
     def shutdown(self, keep_fetchers: bool = False):

@@ -439,3 +439,98 @@ def embedding_dup_pairs(
         return pd.DataFrame(out)
 
     return embeddings.groupby(block_col).map_groups(pairs_in_block, batch_format="pandas")
+
+
+def embedding_dup_pairs_lsh(
+    embeddings,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_planes: int = 16,
+    bands: int = 4,
+    seed: int = 11,
+    max_bucket: int = 512,
+):
+    """Cosine near-dup pairs WITHOUT a label column: random-hyperplane LSH.
+
+    The scale path ``embedding_dup_pairs`` documents: each vector gets an
+    ``n_planes``-bit sign signature (one matmul per batch against a
+    broadcast plane matrix — no per-row Python), split into ``bands`` bands;
+    vectors agreeing on at least one band's bits land in a shared bucket
+    (pigeonhole: any pair with < ``bands`` differing bits is guaranteed a
+    bucket; at cosine >= 0.95 the expected bit disagreement is
+    n_planes * acos(0.95)/pi ~= 1.6 bits, so recall is high but — unlike
+    the label-blocked exact variant — not 1.0; that is the documented LSH
+    trade). Exact cosine verification runs inside each bucket group.
+    Shuffle volume: (band, bits, id, vector) rows — bands x the input, no
+    all-pairs until inside a bounded bucket (``max_bucket`` truncation
+    mirrors minhash_lsh_pairs).
+    Returns (id_a, id_b, cosine) with id_a < id_b, cosine rounded 6dp.
+    """
+    assert n_planes % bands == 0
+    bits_per_band = n_planes // bands
+    # per-task plane cache; regeneration is deterministic (seeded by dim)
+    planes_by_dim: dict[int, np.ndarray] = {}
+
+    def sig_batch(b: pa.Table) -> pa.Table:
+        vecs = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in b[vec_col].to_pylist()]
+        )
+        d = vecs.shape[1]
+        planes = planes_by_dim.get(d)
+        if planes is None:
+            planes = np.random.default_rng(seed).standard_normal((d, n_planes))
+            planes_by_dim[d] = planes
+        bits = (vecs @ planes) >= 0  # (n, n_planes)
+        out = {"band": [], "bits": [], id_col: [], "vec": []}
+        ids = b[id_col].to_pylist()
+        vec_list = b[vec_col].to_pylist()
+        for band in range(bands):
+            chunk = bits[:, band * bits_per_band : (band + 1) * bits_per_band]
+            packed = chunk @ (1 << np.arange(bits_per_band))
+            out["band"].extend([band] * len(ids))
+            out["bits"].extend(int(x) for x in packed)
+            out[id_col].extend(ids)
+            out["vec"].extend(vec_list)
+        return pa.table(
+            {
+                "band": pa.array(out["band"], pa.int32()),
+                "bits": pa.array(out["bits"], pa.int64()),
+                id_col: pa.array(out[id_col]),
+                "vec": pa.array(out["vec"], pa.list_(pa.float64())),
+            }
+        )
+
+    buckets = embeddings.map_batches(sig_batch, batch_format="pyarrow")
+
+    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"id_a": pd.Series([], dtype=g[id_col].dtype),
+             "id_b": pd.Series([], dtype=g[id_col].dtype),
+             "cosine": pd.Series([], dtype="float64")}
+        )
+        if len(g) < 2:
+            return empty
+        g = g.sort_values(id_col).head(max_bucket)
+        ids = g[id_col].tolist()
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in g["vec"]])
+        nrm = np.linalg.norm(m, axis=1, keepdims=True)
+        nrm[nrm == 0] = 1.0
+        sims = (m / nrm) @ (m / nrm).T
+        out = {"id_a": [], "id_b": [], "cosine": []}
+        iu, ju = np.triu_indices(len(ids), k=1)
+        for i, j in zip(iu, ju):
+            c = sims[i, j]
+            if c >= threshold:
+                out["id_a"].append(ids[i])
+                out["id_b"].append(ids[j])
+                out["cosine"].append(round_half_away(float(c), 6))
+        return pd.DataFrame(out) if out["id_a"] else empty
+
+    pairs = buckets.groupby(["band", "bits"]).map_groups(
+        pairs_in_bucket, batch_format="pandas"
+    )
+    # a pair can surface from several bands -> distinct (keep first)
+    return pairs.groupby(["id_a", "id_b"]).map_groups(
+        lambda g: g.head(1), batch_format="pandas"
+    )

@@ -32,6 +32,72 @@ def _read(sf_dir: str, table: str, columns=None):
     return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
+# Build sides at or below this row count broadcast (bounded driver pull +
+# ray.put once); above it they hash-shuffle join. Tests set this to 0 to
+# force the shuffle path (scale-path equivalence).
+BROADCAST_THRESHOLD = 2_000_000
+
+
+def _attach_or_join(
+    fact,
+    fact_key: str,
+    dim,
+    dim_key: str,
+    value_cols: list[str],
+    npart: int,
+    broadcast_threshold: int | None = None,
+    launder_fact: bool = False,
+):
+    """Cost-based inner join of ``dim`` (unique ``dim_key`` + ``value_cols``)
+    onto ``fact``: broadcast when the build side is provably small, hash
+    shuffle otherwise — the standard engine join selection, which is also
+    what keeps these queries both scale-correct AND fast at bench scale.
+
+    - dim.count() <= broadcast_threshold: the dim is pulled ONCE (bounded by
+      the threshold constant — NOT an unbounded driver materialization),
+      sorted by key, ray.put once, and each fact batch resolves keys with a
+      vectorized np.searchsorted (semi-join when value_cols is empty).
+      A Ray JoinOperator costs ~1.5-2s of aggregator-pool spin-up per join
+      per execution (measured, 600k x 30k rows), so small builds are pure
+      overhead on the shuffle path.
+    - larger: Dataset.join hash shuffle — the only shape that works when
+      the build side is fact-scale (e.g. customer at sf100+). Pass
+      launder_fact=True when ``fact`` is a groupby/aggregate output (see
+      top_customers docstring for the Acero empty-partition quirk).
+    Output: fact columns (fact_key kept) + value_cols.
+    """
+    if broadcast_threshold is None:
+        broadcast_threshold = BROADCAST_THRESHOLD
+    dim = dim.materialize()
+    if dim.count() <= broadcast_threshold:
+        pdf = dim.to_pandas()
+        keys = pdf[dim_key].to_numpy()
+        order = np.argsort(keys, kind="stable")
+        keys = keys[order]
+        vals = {c: pdf[c].to_numpy()[order] for c in value_cols}
+        ref = ray.put((keys, vals))
+
+        def attach(b: pa.Table) -> pa.Table:
+            k, v = ray.get(ref)
+            bk = b[fact_key].to_numpy()
+            idx = np.searchsorted(k, bk)
+            idx_c = np.minimum(idx, max(len(k) - 1, 0))
+            valid = (k[idx_c] == bk) if len(k) else np.zeros(len(bk), bool)
+            t = b.filter(pa.array(valid))
+            sel = idx_c[valid]
+            for c in value_cols:
+                t = t.append_column(c, pa.array(v[c][sel]))
+            return t
+
+        return fact.map_batches(attach, batch_format="pyarrow")
+    if launder_fact:
+        fact = fact.repartition(npart)
+    return fact.join(
+        dim, join_type="inner", num_partitions=npart,
+        on=(fact_key,), right_on=(dim_key,),
+    )
+
+
 def _join_partitions(n_joins: int = 1) -> int:
     """Partition count for Dataset.join, sized to the cluster.
 
@@ -148,14 +214,17 @@ def pricing_summary(sf_dir: str):
 # -- Q3-style: top revenue orders for one segment --------------------------
 
 def top_revenue_orders(sf_dir: str, segment: str = "BUILDING", k: int = 10):
-    """Q3 shape as two distributed hash joins — customer and orders are
-    FACT-scale, so neither side is ever collected to the driver.
+    """Q3 shape as two semi-joins (customer-segment keys onto orders, then
+    segment-order keys onto lineitem revenue partials) via _attach_or_join:
+    customer and orders are FACT-scale, so neither is ever collected to the
+    driver beyond the bounded broadcast threshold — past it the plan is two
+    distributed hash-shuffle joins.
 
-    NOTE (Ray 2.49 quirk): JoinOperator partitions fed only by blocks from
-    a sort-based AllToAll (groupby aggregate / map_groups) can come up
-    empty-with-no-schema and Acero rejects the join; inputs here are
-    read/map_batches outputs, which shuffle cleanly. Aggregate outputs get
-    a repartition() laundering hop before joining (see top_customers).
+    NOTE (Ray 2.49 quirk, shuffle path): JoinOperator partitions fed only
+    by blocks from a sort-based AllToAll (groupby aggregate / map_groups)
+    can come up empty-with-no-schema and Acero rejects the join; inputs
+    here are read/map_batches outputs, which shuffle cleanly. Aggregate
+    outputs need launder_fact=True (see top_customers).
     """
     npart = _join_partitions(n_joins=2)
     cust_keys = (
@@ -164,9 +233,8 @@ def top_revenue_orders(sf_dir: str, segment: str = "BUILDING", k: int = 10):
         .map_batches(lambda b: b.select(["c_custkey"]), batch_format="pyarrow")
     )
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
-    seg_orders = orders.join(
-        cust_keys, join_type="inner", num_partitions=npart,
-        on=("o_custkey",), right_on=("c_custkey",),
+    seg_orders = _attach_or_join(
+        orders, "o_custkey", cust_keys, "c_custkey", [], npart
     ).map_batches(lambda b: b.select(["o_orderkey"]), batch_format="pyarrow")
 
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
@@ -182,10 +250,9 @@ def top_revenue_orders(sf_dir: str, segment: str = "BUILDING", k: int = 10):
     from ray.data.aggregate import Sum
 
     revs = (
-        li.map_batches(rev_partial, batch_format="pyarrow")
-        .join(
-            seg_orders, join_type="inner", num_partitions=npart,
-            on=("l_orderkey",), right_on=("o_orderkey",),
+        _attach_or_join(
+            li.map_batches(rev_partial, batch_format="pyarrow"),
+            "l_orderkey", seg_orders, "o_orderkey", [], npart,
         )
         .map_batches(
             lambda b: b.rename_columns(
@@ -205,11 +272,12 @@ def top_revenue_orders(sf_dir: str, segment: str = "BUILDING", k: int = 10):
 def region_nation_revenue(sf_dir: str, region: str = "ASIA"):
     """Q5 shape. nation/region are TRUE dimensions (25/5 rows) and stay
     broadcast; customer and orders are fact-scale and flow through
-    distributed hash joins — nothing fact-sized ever reaches the driver.
+    _attach_or_join (bounded broadcast below the threshold, distributed
+    hash-shuffle join above) — nothing unbounded ever reaches the driver.
 
     Dataflow: customer --(broadcast nation filter+decode)--> (c_custkey,
-    n_name) --join orders--> (o_orderkey, n_name) --join lineitem rev
-    partials--> groupby(n_name).sum.
+    n_name) --attach/join orders--> (o_orderkey, n_name) --attach/join
+    lineitem rev partials--> groupby(n_name).sum.
     """
     npart = _join_partitions(n_joins=2)
     nat = {
@@ -234,15 +302,11 @@ def region_nation_revenue(sf_dir: str, region: str = "ASIA"):
     cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).map_batches(
         cust_nation, batch_format="pyarrow"
     )
-    order_nation = (
-        _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
-        .join(
-            cust, join_type="inner", num_partitions=npart,
-            on=("o_custkey",), right_on=("c_custkey",),
-        )
-        .map_batches(
-            lambda b: b.select(["o_orderkey", "n_name"]), batch_format="pyarrow"
-        )
+    order_nation = _attach_or_join(
+        _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]),
+        "o_custkey", cust, "c_custkey", ["n_name"], npart,
+    ).map_batches(
+        lambda b: b.select(["o_orderkey", "n_name"]), batch_format="pyarrow"
     )
 
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
@@ -258,10 +322,9 @@ def region_nation_revenue(sf_dir: str, region: str = "ASIA"):
     from ray.data.aggregate import Sum
 
     agg = (
-        li.map_batches(rev_partial, batch_format="pyarrow")
-        .join(
-            order_nation, join_type="inner", num_partitions=npart,
-            on=("l_orderkey",), right_on=("o_orderkey",),
+        _attach_or_join(
+            li.map_batches(rev_partial, batch_format="pyarrow"),
+            "l_orderkey", order_nation, "o_orderkey", ["n_name"], npart,
         )
         .groupby("n_name")
         .aggregate(Sum("rev", alias_name="revenue"))
@@ -273,26 +336,23 @@ def region_nation_revenue(sf_dir: str, region: str = "ASIA"):
 
 def top_customers(sf_dir: str, k: int = 10):
     """Per-customer order totals joined to the (fact-scale) customer table
-    via a distributed hash join. The groupby output takes a repartition()
-    laundering hop first: JoinOperator hash partitions fed only by
-    sort-based AllToAll blocks can be empty-with-no-schema, which Acero
-    rejects (see top_revenue_orders docstring)."""
+    via _attach_or_join. On the shuffle path the groupby output needs a
+    repartition() laundering hop (launder_fact=True): JoinOperator hash
+    partitions fed only by sort-based AllToAll blocks can be
+    empty-with-no-schema, which Acero rejects (see top_revenue_orders
+    docstring)."""
     from ray.data.aggregate import Count, Sum
 
     npart = _join_partitions(n_joins=1)
     orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
-    agg = (
-        orders.groupby("o_custkey")
-        .aggregate(
-            Sum("o_totalprice", alias_name="total_spent"),
-            Count(alias_name="n_orders"),
-        )
-        .repartition(npart)
+    agg = orders.groupby("o_custkey").aggregate(
+        Sum("o_totalprice", alias_name="total_spent"),
+        Count(alias_name="n_orders"),
     )
     cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
-    joined = agg.join(
-        cust, join_type="inner", num_partitions=npart,
-        on=("o_custkey",), right_on=("c_custkey",),
+    joined = _attach_or_join(
+        agg, "o_custkey", cust, "c_custkey", ["c_name"], npart,
+        launder_fact=True,
     )
 
     def finalize(b: pa.Table) -> pa.Table:

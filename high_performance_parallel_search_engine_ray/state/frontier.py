@@ -6,11 +6,13 @@ array + circular FIFO (`Serial Version/src/crawler.c:443-484,1040-1079`),
 redesigned for a 10^10-URL frontier per the north rule:
 
 - URL-seen = counting-bloom front gate -> cuckoo filter -> exact per-shard
-  store. Negatives from the filters are authoritative; positives are
-  CONFIRMED against the exact store, so a filter false positive can never
-  drop a URL the reference would crawl. At test scale the exact store is an
-  in-memory set; at design scale it is the shard's sorted Lance-backed hash
-  log compacted at checkpoint time (same confirm API, documented here).
+  store. Negatives from the filters are authoritative (no exact probe at
+  all); positives are CONFIRMED against the exact store, so a filter false
+  positive can never drop a URL the reference would crawl. The exact store
+  is ``state/seenset.SeenSet``: an in-memory delta set that spills sorted
+  hash+URL runs to disk at ``seen_memory_cap`` entries, probed by
+  searchsorted over per-run hash arrays with string confirmation from the
+  run file (8 bytes of heap per spilled URL instead of a Python string).
 - Politeness = per-host virtual-time release scheduling: host h releases at
   most one URL per `crawl_delay_ms(h) * salt_k(h)` of virtual time
   (reference analog: the 200-500 ms sleep, `Serial Version/src/crawler.c:1380`).
@@ -40,6 +42,7 @@ from ..functions.hashing import stable_hash64
 from .bloom import CountingBloomFilter
 from .cuckoo import CuckooFilter
 from .robots import RobotsCache
+from .seenset import SeenSet
 
 _SALT_STRIDE = 0x9E3779B1
 
@@ -76,12 +79,14 @@ class FrontierShard:
         hot_hosts: dict[str, int] | None = None,
         quarantine_after: int = 10,
         use_filters: bool = True,
+        seen_spill_dir: str | None = None,
+        seen_memory_cap: int | None = None,
     ):
         self.shard_id = shard_id
         self.num_shards = num_shards
         self.bloom = CountingBloomFilter(expected_urls)
         self.cuckoo = CuckooFilter(expected_urls)
-        self.seen_exact: set[str] = set()
+        self.seen_exact = SeenSet(seen_spill_dir, seen_memory_cap)
         self.use_filters = use_filters
         self.pending: dict[str, list] = {}
         self.robots = RobotsCache.from_rows(robots_rows or [])
@@ -109,7 +114,7 @@ class FrontierShard:
         if self.use_filters:
             if not self.bloom.might_contain(h):
                 return False  # authoritative negative
-            if not self.cuckoo.contains(h):
+            if not self.cuckoo.degraded and not self.cuckoo.contains(h):
                 return False  # authoritative negative
             # Filter positive: confirm against the exact store.
             if url in self.seen_exact:
@@ -131,12 +136,12 @@ class FrontierShard:
         (parent_seq, link_ord) so first-discovery-wins is deterministic;
         discovered_seq is assigned here from the shard-local counter.
 
-        Hot path: the definitive in-memory membership probe is the exact
-        store (at 10^10 design scale that probe is a Lance-log read gated by
-        the bloom/cuckoo negatives — see module docstring); filters are
-        maintained vectorized (bloom add_many over the admitted hashes) so
-        snapshots carry the real filter state and false-positive rates are
-        measured against the exact store."""
+        Hot path: the bloom (bulk, vectorized) + cuckoo negatives are
+        AUTHORITATIVE — a never-seen URL skips the exact store entirely,
+        which is what lets the exact store live (partly) on disk at design
+        scale. Only filter positives (true dups + rare false positives)
+        probe the SeenSet, whose own fast path is an O(1) in-memory delta
+        hit. False positives are counted against the exact store."""
         urls = batch["url"]
         hosts = batch["host"]
         depths = batch["depth"]
@@ -144,6 +149,10 @@ class FrontierShard:
         hashes = batch.get("url_hash")
         admitted = dup = robots_blocked = quarantined = 0
         new_hashes: list[int] = []
+        # bloom add_many runs AFTER the loop, so same-batch re-occurrences
+        # (cross-fetcher dups in a merged round) need a batch-local guard
+        # or the bloom-negative shortcut would re-admit them.
+        batch_added: set[str] = set()
         maybe = None
         if self.use_filters and hashes is not None:
             maybe = self.bloom.might_contain_many(
@@ -158,13 +167,25 @@ class FrontierShard:
             if not self.robots.allowed(host, url):
                 robots_blocked += 1
                 continue
-            if url in self.seen_exact:
+            if url in batch_added:
                 dup += 1
                 continue
             h = int(hashes[i]) if hashes is not None else stable_hash64(url)
-            if maybe is not None and maybe[i]:
-                # filter said "maybe seen" but exact store disagrees
+            if maybe is not None and not maybe[i]:
+                pass  # authoritative bloom negative: definitely new
+            elif (
+                self.use_filters
+                and not self.cuckoo.degraded  # degraded -> can't prove absence
+                and not self.cuckoo.contains(h)
+            ):
+                pass  # authoritative cuckoo negative: definitely new
+            elif url in self.seen_exact:
+                dup += 1
+                continue
+            elif maybe is not None:
+                # filters said "maybe seen" but the exact store disagrees
                 self.stats["filter_false_positives"] += 1
+            batch_added.add(url)
             self.seen_exact.add(url)
             if self.use_filters:
                 new_hashes.append(h)
@@ -336,7 +357,9 @@ class FrontierShard:
                 "num_shards": self.num_shards,
                 "bloom": self.bloom.to_state(),
                 "cuckoo": self.cuckoo.to_state(),
-                "seen_exact": sorted(self.seen_exact),
+                # paths + delta only — spilled runs are immutable files on
+                # disk and are NOT re-serialized into the checkpoint payload
+                "seen_exact": self.seen_exact.to_state(),
                 "use_filters": self.use_filters,
                 "pending": {h: sorted(v) for h, v in self.pending.items()},
                 "robots": self.robots,
@@ -359,7 +382,7 @@ class FrontierShard:
         f.num_shards = st["num_shards"]
         f.bloom = CountingBloomFilter.from_state(st["bloom"])
         f.cuckoo = CuckooFilter.from_state(st["cuckoo"])
-        f.seen_exact = set(st["seen_exact"])
+        f.seen_exact = SeenSet.from_state(st["seen_exact"])
         f.use_filters = st["use_filters"]
         f.pending = {h: list(v) for h, v in st["pending"].items()}
         for heap in f.pending.values():

@@ -264,3 +264,33 @@ def test_vectorized_textstats_match_scalar_kernels(ray_session):
         ws, bp = token_counts(t)
         assert tc.loc[i, "n_ws_tokens"] == ws, t
         assert tc.loc[i, "n_bpeish_tokens"] == bp, t
+
+
+def test_embedding_lsh_dedup_finds_planted_dups(ray_session):
+    """Label-free LSH variant: planted near-identical vectors are found;
+    every reported pair is a true >= threshold pair (verified exactly);
+    unrelated vectors never pair."""
+    from high_performance_parallel_search_engine_ray.pipelines.dedup import (
+        embedding_dup_pairs_lsh,
+    )
+
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal(32)
+    near = base + 0.01 * rng.standard_normal(32)
+    rows = [
+        {"vec_id": 1, "embedding": base.tolist()},
+        {"vec_id": 2, "embedding": base.tolist()},          # exact dup
+        {"vec_id": 3, "embedding": near.tolist()},          # near dup
+    ] + [
+        {"vec_id": 10 + i, "embedding": rng.standard_normal(32).tolist()}
+        for i in range(30)
+    ]
+    out = embedding_dup_pairs_lsh(
+        rd.from_items(rows), threshold=0.95
+    ).to_pandas()
+    pairs = set(zip(out["id_a"], out["id_b"]))
+    assert (1, 2) in pairs and (1, 3) in pairs and (2, 3) in pairs
+    # no random vector pairs at 0.95 in 32 dims
+    assert all(a <= 3 and b <= 3 for a, b in pairs)
+    for c in out["cosine"]:
+        assert c >= 0.95

@@ -90,3 +90,25 @@ def test_entry_smoke(ray_session):
     df = _to_pandas(entry_mod.entry())
     assert len(df) >= 0
     assert "score" in df.columns
+
+
+JOIN_QUERIES = ["top_revenue_orders", "region_nation_revenue", "top_customers"]
+
+
+@pytest.mark.parametrize("name", JOIN_QUERIES)
+def test_shuffle_join_path_matches_oracle(ray_session, name, monkeypatch):
+    """Force the hash-shuffle join path (broadcast threshold 0) and re-check
+    the oracle: the scale path must be value-identical to the (default)
+    bounded-broadcast path."""
+    from high_performance_parallel_search_engine_ray.pipelines import relational
+
+    monkeypatch.setattr(relational, "BROADCAST_THRESHOLD", 0)
+    q = entry_mod.queries()[name]
+    sql = entry_mod.oracle_sql()[name]
+    got = _canon(_to_pandas(q(SF)))
+    want = _canon(_duck(sql))
+    assert len(got) == len(want)
+    assert list(got.columns) == list(want.columns)
+    for col in got.columns:
+        for x, y in zip(got[col].tolist(), want[col].tolist()):
+            assert _values_equal(x, y), (name, col, x, y)

@@ -121,3 +121,31 @@ def test_dataset_admission_mode_identical(ray_session, smoke_corpus):
     )
     assert seen_ds == seen_direct
     assert docs_ds == docs_direct
+
+
+def test_spilled_seenset_crawl_identical(ray_session, smoke_corpus):
+    """A crawl whose shards spill the exact seen-set to disk (tiny
+    seen_memory_cap) produces exactly the same crawl as the in-memory one,
+    and actually spills."""
+    import pyarrow.parquet as pq
+
+    _, seen_mem, docs_mem = _run(smoke_corpus, "/tmp/t_spill_mem")
+    res, seen_sp, docs_sp = _run(
+        smoke_corpus, "/tmp/t_spill_disk", seen_memory_cap=8
+    )
+    assert seen_sp == seen_mem
+    assert docs_sp == docs_mem
+    runs = glob.glob("/tmp/t_spill_disk/seen/shard-*/run-*.parquet")
+    assert runs, "expected spilled seen-set runs on disk"
+    spilled = sum(pq.read_metadata(p).num_rows for p in runs)
+    assert spilled > 0
+    # resume works with spilled runs referenced from the checkpoint
+    eng = ShardedCrawl(_cfg(smoke_corpus, "/tmp/t_spill_disk2",
+                            seen_memory_cap=8, max_rounds=2))
+    eng.run()
+    eng.shutdown()
+    _, seen_r, docs_r = _run(
+        smoke_corpus, "/tmp/t_spill_disk2", resume=True, seen_memory_cap=8
+    )
+    assert seen_r == seen_mem
+    assert docs_r == docs_mem

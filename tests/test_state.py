@@ -175,3 +175,96 @@ def test_shard_for_salt_split():
     assert shard_for(stable_hash64("u1"), hh, 4, 16) == shard_for(
         stable_hash64("u1"), hh, 4, 16
     )
+
+
+# -- spill-backed exact seen-set (state/seenset.py) --------------------------
+
+def test_seenset_spill_membership(tmp_path):
+    """Exact membership across spills: every added URL stays a member, every
+    absent URL stays absent, len is exact, iteration covers everything."""
+    from high_performance_parallel_search_engine_ray.state.seenset import SeenSet
+
+    s = SeenSet(spill_dir=str(tmp_path / "spill"), memory_cap=50)
+    urls = [f"https://site{i % 7}.example.org/p/{i}" for i in range(500)]
+    for u in urls:
+        if u not in s:
+            s.add(u)
+    assert s.run_count >= 9  # definitely spilled
+    assert len(s) == 500
+    for u in urls:
+        assert u in s
+    for i in range(500, 600):
+        assert f"https://site0.example.org/p/{i}" not in s
+    assert set(s) == set(urls)
+
+
+def test_seenset_equals_plain_set(tmp_path):
+    from high_performance_parallel_search_engine_ray.state.seenset import SeenSet
+
+    s = SeenSet(spill_dir=str(tmp_path / "sp"), memory_cap=10)
+    ref = set()
+    for i in range(100):
+        u = f"https://x.example.org/{i}"
+        s.add(u)
+        ref.add(u)
+    assert s == ref
+    assert not (s == (ref | {"https://x.example.org/extra"}))
+
+
+def test_seenset_state_roundtrip_preserves_runs(tmp_path):
+    """to_state/from_state records run PATHS (not contents) and reopens
+    them; the restored store answers identically."""
+    from high_performance_parallel_search_engine_ray.state.seenset import SeenSet
+
+    s = SeenSet(spill_dir=str(tmp_path / "sp"), memory_cap=20)
+    urls = [f"https://h{i % 3}.example.org/a/{i}" for i in range(150)]
+    for u in urls:
+        s.add(u)
+    st = s.to_state()
+    assert len(st["delta"]) < 150  # most URLs live in runs, not the payload
+    s2 = SeenSet.from_state(st)
+    assert len(s2) == 150
+    assert all(u in s2 for u in urls)
+    assert "https://h0.example.org/a/999" not in s2
+    # legacy checkpoint payloads (plain sorted list) still restore
+    s3 = SeenSet.from_state(sorted(urls))
+    assert len(s3) == 150 and urls[0] in s3
+
+
+def test_frontier_spilled_seen_matches_inmemory(tmp_path):
+    """A shard with a tiny spill cap admits exactly what an in-memory shard
+    admits (dup/admit decisions are spill-invariant)."""
+    import random
+
+    from high_performance_parallel_search_engine_ray.functions.hashing import (
+        stable_hash64,
+    )
+    from high_performance_parallel_search_engine_ray.state.frontier import (
+        FrontierShard,
+    )
+
+    rng = random.Random(7)
+    sh_mem = FrontierShard(0, 1)
+    sh_spill = FrontierShard(
+        0, 1, seen_spill_dir=str(tmp_path / "sp"), seen_memory_cap=32
+    )
+    for _ in range(20):
+        urls = [
+            f"https://s{rng.randrange(4)}.example.org/p/{rng.randrange(300)}"
+            for _ in range(100)
+        ]
+        batch = {
+            "url": urls,
+            "host": [u.split("/")[2] for u in urls],
+            "depth": [1] * len(urls),
+            "priority": [1] * len(urls),
+            "url_hash": [stable_hash64(u) for u in urls],
+        }
+        r1 = sh_mem.admit(dict(batch))
+        r2 = sh_spill.admit(dict(batch))
+        assert (r1["admitted"], r1["dup"]) == (r2["admitted"], r2["dup"])
+    assert sh_spill.seen_exact.run_count > 0
+    assert sh_mem.seen_exact == sh_spill.seen_exact
+    # snapshot/restore round-trips the spilled store
+    restored = FrontierShard.restore(sh_spill.snapshot())
+    assert restored.seen_exact == sh_mem.seen_exact
