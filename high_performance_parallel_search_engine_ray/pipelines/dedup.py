@@ -66,21 +66,30 @@ def minhash_lsh_pairs(
     seed: int = 7,
     verify_batch_size: int = 4096,
     max_bucket: int = 128,
+    estimate_margin: float = 0.2,
 ):
     """Near-dup pairs via MinHash+LSH with exact-Jaccard verification.
 
     Scale-shaped dataflow — no driver-side materialization of pairs or
     shingle sets; the only thing broadcast is the candidate ID set:
       1. shingle -> minhash per batch (numpy) -> explode to
-         (band, band_hash, doc_id) rows
-      2. groupby(band, band_hash) -> candidate pairs (ids only). Buckets
-         with more than ``max_bucket`` members (degenerate: exact dups,
-         empty docs, boilerplate) are truncated to the ``max_bucket``
-         smallest ids; the number of dropped members is carried in a
-         ``bucket_dropped`` column, summed cheaply, and logged.
-      3. distinct pairs (groupby) stay a Dataset; the candidate ID set
-         (ids only — small) is broadcast to filter the docs scan that
-         builds per-candidate shingle strings.
+         (band, band_hash, doc_id, sig) rows (sig = the full num_perm
+         signature, 8*num_perm bytes — carried so buckets can PRUNE).
+      2. groupby(band, band_hash) -> candidate pairs (ids only), pruned
+         in-bucket by the signature's ESTIMATED Jaccard (mean matching
+         perms): pairs estimating below ``jaccard_threshold -
+         estimate_margin`` are dropped before any further shuffle. At the
+         default margin (0.2 ~= 2.5 sigma for 64 perms at t=0.5) the
+         chance a true >=t pair is pruned is <1%, on top of LSH banding's
+         own probabilistic recall; precision stays EXACT (survivors are
+         shingle-verified). Buckets with more than ``max_bucket`` members
+         (degenerate: exact dups, empty docs, boilerplate) are truncated
+         to the ``max_bucket`` smallest ids; the number of dropped members
+         is carried in a ``bucket_dropped`` column, summed cheaply, logged.
+      3. the candidate ID set (ids only — small) is broadcast to filter
+         the docs scan that builds per-candidate shingle strings. No
+         distinct-pairs shuffle: the verification groupby dedupes pairs
+         that surfaced from several bands.
       4. verification is a distributed co-location join: pair-membership
          rows union candidate shingle rows, groupby(doc id) attaches each
          doc's shingles to its pairs, groupby(pair) computes exact
@@ -99,6 +108,7 @@ def minhash_lsh_pairs(
     a, b_ = minhash_params(num_perm, seed)
     rows_per_band = num_perm // bands
     id_type = docs.schema().base_schema.field(id_col).type
+    est_floor = jaccard_threshold - estimate_margin
 
     def _empty():
         return ray.data.from_arrow(
@@ -107,8 +117,18 @@ def minhash_lsh_pairs(
                       "jaccard": pa.array([], pa.float64())})
         )
 
+    # P-way partition grouping: all per-group stages below group by a
+    # BOUNDED partition key (hash % N_PARTS) and process MANY logical
+    # groups vectorized inside each partition, because Ray's
+    # groupby().map_groups pays ~1-2ms of pandas set-up PER GROUP —
+    # measured 3.3s -> 0.45s for the bucket-pair stage at sf0.1 (80k rows,
+    # ~50k tiny LSH buckets). Partition count is fixed, so at 1000x the
+    # data each partition simply carries more buckets (vectorized numpy
+    # inside), not more per-group overhead.
+    N_PARTS = 64
+
     def sig_batch(batch: pa.Table) -> pa.Table:
-        out = {"band": [], "band_hash": [], id_col: []}
+        out = {"key": [], id_col: [], "sig": []}
         ids = batch[id_col].to_pylist()
         texts = batch[text_col].to_pylist()
         for did, text in zip(ids, texts):
@@ -116,51 +136,74 @@ def minhash_lsh_pairs(
             sig = minhash_signature(
                 shingle_hashes_vec(token_hashes(toks), shingle_k), a, b_
             )
+            sig_bytes = sig.tobytes()
             for band in range(bands):
                 chunk = sig[band * rows_per_band : (band + 1) * rows_per_band]
-                bh = stable_hash64_bytes(chunk.tobytes()) & 0x7FFFFFFFFFFFFFFF
-                out["band"].append(band)
-                out["band_hash"].append(bh)
+                bh = stable_hash64_bytes(chunk.tobytes())
+                # band folded into the bucket key (collisions across bands
+                # merely union two buckets: extra candidates, still
+                # exactly verified)
+                key = (bh ^ (band * 0x9E3779B97F4A7C15)) & 0x7FFFFFFFFFFFFFFF
+                out["key"].append(key)
                 out[id_col].append(did)
-        return pa.table(
+                out["sig"].append(sig_bytes)
+        t = pa.table(
             {
-                "band": pa.array(out["band"], pa.int32()),
-                "band_hash": pa.array(out["band_hash"], pa.int64()),
+                "key": pa.array(out["key"], pa.int64()),
                 id_col: pa.array(out[id_col], id_type),
+                "sig": pa.array(out["sig"], pa.binary()),
             }
+        )
+        return t.append_column(
+            "part", pc.cast(pc.bit_wise_and(t["key"], N_PARTS - 1), pa.int32())
         )
 
     buckets = docs.map_batches(sig_batch, batch_format="pyarrow")
 
-    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame(
-            {"doc_a": pd.Series([], dtype=g[id_col].dtype),
-             "doc_b": pd.Series([], dtype=g[id_col].dtype),
-             "bucket_dropped": pd.Series([], dtype="int64")}
+    def pairs_part(g: pd.DataFrame) -> pd.DataFrame:
+        """All LSH buckets of one partition: bucket boundaries via np.unique
+        over the sorted key column, pair generation + estimated-Jaccard
+        pruning vectorized per bucket."""
+        g = g.sort_values(["key", id_col], kind="stable")
+        keys = g["key"].to_numpy()
+        ids_all = g[id_col].to_numpy()
+        sig_blob = np.frombuffer(b"".join(g["sig"]), dtype=np.uint64).reshape(
+            len(g), num_perm
         )
-        if len(g) < 2:
-            return empty
-        ids = sorted(g[id_col].tolist())
+        _, starts, counts = np.unique(keys, return_index=True, return_counts=True)
+        oa, ob = [], []
         dropped = 0
-        if len(ids) > max_bucket:
-            dropped = len(ids) - max_bucket
-            ids = ids[:max_bucket]
-        out = {"doc_a": [], "doc_b": []}
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                out["doc_a"].append(ids[i])
-                out["doc_b"].append(ids[j])
-        df = pd.DataFrame(out)
+        for s0, c in zip(starts, counts):
+            if c < 2:
+                continue
+            dropped += max(0, int(c) - max_bucket)
+            ids = ids_all[s0 : s0 + c][:max_bucket]
+            sigs = sig_blob[s0 : s0 + c][:max_bucket]
+            iu, ju = np.triu_indices(len(ids), k=1)
+            est = (sigs[iu] == sigs[ju]).mean(axis=1)  # estimated Jaccard
+            keep = est >= est_floor
+            oa.extend(ids[iu[keep]])
+            ob.extend(ids[ju[keep]])
+        df = pd.DataFrame(
+            {"doc_a": np.array(oa, dtype=ids_all.dtype),
+             "doc_b": np.array(ob, dtype=ids_all.dtype)}
+        )
         df["bucket_dropped"] = 0
-        if dropped and len(df):
-            df.iloc[0, df.columns.get_loc("bucket_dropped")] = dropped
+        if dropped:
+            if len(df):
+                df.iloc[0, df.columns.get_loc("bucket_dropped")] = dropped
+            else:
+                df = pd.DataFrame(
+                    {"doc_a": [ids_all[0]], "doc_b": [ids_all[0]],
+                     "bucket_dropped": [dropped]}
+                )
         return df
 
     # Candidate pairs: ids only — materialized in the OBJECT STORE (not the
-    # driver) because three consumers follow (drop-count, distinct, joins).
+    # driver) because multiple consumers follow (drop-count, id set, join).
     cand = (
-        buckets.groupby(["band", "band_hash"])
-        .map_groups(pairs_in_bucket, batch_format="pandas")
+        buckets.groupby("part")
+        .map_groups(pairs_part, batch_format="pandas")
         .materialize()
     )
     dropped_total = cand.sum("bucket_dropped") or 0
@@ -170,26 +213,38 @@ def minhash_lsh_pairs(
             "(degenerate LSH buckets; raise max_bucket or pre-collapse exact "
             "dups to cover them)", dropped_total, max_bucket,
         )
+        cand = cand.filter(expr="doc_a != doc_b")  # drop marker-only rows
 
-    from ray.data.aggregate import Count
-
-    distinct = (
-        cand.groupby(["doc_a", "doc_b"])
-        .aggregate(Count(alias_name="_n"))
-        .select_columns(["doc_a", "doc_b"])
-        .materialize()  # candidate-scale, ids only
-    )
+    distinct = cand  # pair dedup happens in the verification groupby
     if distinct.count() == 0:
         return _empty()
 
-    cand_ids = sorted(set(distinct.unique("doc_a")) | set(distinct.unique("doc_b")))
+    cand_ids = sorted(
+        set(
+            distinct.map_batches(
+                lambda b: pa.table(
+                    {"id": pa.concat_arrays(
+                        [b["doc_a"].combine_chunks(), b["doc_b"].combine_chunks()]
+                    )}
+                ),
+                batch_format="pyarrow",
+            ).unique("id")
+        )
+    )
     id_set = pa.array(cand_ids, id_type)
     id_ref = ray.put(id_set)
+
+    def _part_of(arr: np.ndarray) -> np.ndarray:
+        # pd.util.hash_array is deterministic across processes (fixed-key
+        # siphash) and handles int and object/string ids alike
+        return (pd.util.hash_array(arr, categorize=False) % N_PARTS).astype(
+            np.int32
+        )
 
     # Shingle strings for candidate docs only ('\x1f'-joined so the shuffle
     # carries a flat string, not a list<> column). Candidate-scale; object
     # store, never the driver. Row layout shared with membership rows:
-    # (jk, p_a, p_b, sh, is_sh).
+    # (jk, p_a, p_b, sh, is_sh, part=hash(jk)%N_PARTS).
     def shingles_batch(b: pa.Table) -> pa.Table:
         vs = ray.get(id_ref)
         t = b.filter(pc.is_in(b[id_col], value_set=vs))
@@ -204,24 +259,29 @@ def minhash_lsh_pairs(
             rows["sh"].append("\x1f".join(sorted(sh)))
         n = len(rows["jk"])
         jk = pa.array(rows["jk"], id_type)
+        part = _part_of(np.asarray(rows["jk"]))
         return pa.table({"jk": jk, "p_a": jk, "p_b": jk,
                          "sh": pa.array(rows["sh"], pa.string()),
-                         "is_sh": pa.array([1] * n, pa.int8())})
+                         "is_sh": pa.array([1] * n, pa.int8()),
+                         "part": pa.array(part, pa.int32())})
 
     sh_rows = docs.map_batches(
         shingles_batch, batch_format="pyarrow", batch_size=verify_batch_size
     )
 
     def member_rows(b: pa.Table) -> pa.Table:
-        da, db = b["doc_a"], b["doc_b"]
+        da, db = b["doc_a"].combine_chunks(), b["doc_b"].combine_chunks()
         n = b.num_rows
+        jk = pa.concat_arrays([da, db])
+        part = _part_of(jk.to_numpy(zero_copy_only=False))
         return pa.table(
             {
-                "jk": pa.concat_arrays([da.combine_chunks(), db.combine_chunks()]),
-                "p_a": pa.concat_arrays([da.combine_chunks(), da.combine_chunks()]),
-                "p_b": pa.concat_arrays([db.combine_chunks(), db.combine_chunks()]),
+                "jk": jk,
+                "p_a": pa.concat_arrays([da, da]),
+                "p_b": pa.concat_arrays([db, db]),
                 "sh": pa.array([""] * (2 * n), pa.string()),
                 "is_sh": pa.array([0] * (2 * n), pa.int8()),
+                "part": pa.array(part, pa.int32()),
             }
         )
 
@@ -229,51 +289,53 @@ def minhash_lsh_pairs(
 
     # Co-locate each candidate doc's shingles with its pair memberships,
     # then co-locate the two sides of each pair — both shuffles move only
-    # candidate-scale rows.
-    def attach(g: pd.DataFrame) -> pd.DataFrame:
-        shr = g[g["is_sh"] == 1]
+    # candidate-scale rows, and both group by the BOUNDED partition key
+    # (many docs/pairs per partition, vectorized pandas merges inside).
+    def attach_part(g: pd.DataFrame) -> pd.DataFrame:
+        shr = g[g["is_sh"] == 1][["jk", "sh"]].drop_duplicates("jk")
         mem = g[g["is_sh"] == 0]
-        if shr.empty or mem.empty:
-            return pd.DataFrame(
-                {"doc_a": pd.Series([], dtype=g["jk"].dtype),
-                 "doc_b": pd.Series([], dtype=g["jk"].dtype),
-                 "jk": pd.Series([], dtype=g["jk"].dtype),
-                 "sh": pd.Series([], dtype="object")}
-            )
-        sh = shr["sh"].iloc[0]
-        return pd.DataFrame(
-            {"doc_a": mem["p_a"].values, "doc_b": mem["p_b"].values,
-             "jk": mem["jk"].values, "sh": [sh] * len(mem)}
+        out = mem.merge(shr, left_on="jk", right_on="jk", how="inner",
+                        suffixes=("", "_sh"))
+        out = pd.DataFrame(
+            {"doc_a": out["p_a"].values, "doc_b": out["p_b"].values,
+             "jk": out["jk"].values, "sh": out["sh_sh"].values
+             if "sh_sh" in out else out["sh"].values}
         )
+        out["part2"] = (
+            (pd.util.hash_array(out["doc_a"].to_numpy(), categorize=False)
+             ^ (pd.util.hash_array(out["doc_b"].to_numpy(), categorize=False)
+                * np.uint64(0x9E3779B1)))
+            % N_PARTS
+        ).astype(np.int32)
+        return out
 
-    attached = members.union(sh_rows).groupby("jk").map_groups(
-        attach, batch_format="pandas"
+    attached = members.union(sh_rows).groupby("part").map_groups(
+        attach_part, batch_format="pandas"
     )
 
-    def verify_pair(g: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame(
-            {"doc_a": pd.Series([], dtype=g["doc_a"].dtype),
-             "doc_b": pd.Series([], dtype=g["doc_b"].dtype),
-             "jaccard": pd.Series([], dtype="float64")}
-        )
-        if len(g) != 2:
-            return empty  # one side vanished from the corpus
-        da, db = g["doc_a"].iloc[0], g["doc_b"].iloc[0]
-        sh_a = g.loc[g["jk"] == da, "sh"]
-        sh_b = g.loc[g["jk"] == db, "sh"]
-        if sh_a.empty or sh_b.empty:
-            return empty
-        jac = jaccard(set(sh_a.iloc[0].split("\x1f")),
-                      set(sh_b.iloc[0].split("\x1f")))
-        if jac < jaccard_threshold:
-            return empty
+    def verify_part(g: pd.DataFrame) -> pd.DataFrame:
+        """All pairs of one partition. A pair may arrive with multiplicity
+        > 1 (surfaced from several LSH bands — this stage IS the pair
+        dedup); each side's shingle string is identical across copies."""
+        g = g.drop_duplicates(["doc_a", "doc_b", "jk"])
+        a_side = g[g["jk"] == g["doc_a"]][["doc_a", "doc_b", "sh"]]
+        b_side = g[g["jk"] == g["doc_b"]][["doc_a", "doc_b", "sh"]]
+        m = a_side.merge(b_side, on=["doc_a", "doc_b"], suffixes=("_a", "_b"))
+        out = {"doc_a": [], "doc_b": [], "jaccard": []}
+        for da, db, sa, sb in zip(m["doc_a"], m["doc_b"], m["sh_a"], m["sh_b"]):
+            jac = jaccard(set(sa.split("\x1f")), set(sb.split("\x1f")))
+            if jac >= jaccard_threshold:
+                out["doc_a"].append(da)
+                out["doc_b"].append(db)
+                out["jaccard"].append(round_half_away(jac, 6))
         return pd.DataFrame(
-            {"doc_a": [da], "doc_b": [db],
-             "jaccard": [round_half_away(jac, 6)]}
+            {"doc_a": pd.Series(out["doc_a"], dtype=g["doc_a"].dtype),
+             "doc_b": pd.Series(out["doc_b"], dtype=g["doc_b"].dtype),
+             "jaccard": pd.Series(out["jaccard"], dtype="float64")}
         )
 
-    return attached.groupby(["doc_a", "doc_b"]).map_groups(
-        verify_pair, batch_format="pandas"
+    return attached.groupby("part2").map_groups(
+        verify_part, batch_format="pandas"
     )
 
 
@@ -310,55 +372,92 @@ def simhash_dup_pairs(
     bands = 4
     assert radius < bands, "pigeonhole guarantee needs radius < bands"
     id_type = docs.schema().base_schema.field(id_col).type
+    # bounded partition key — see minhash_lsh_pairs N_PARTS note (per-group
+    # map_groups overhead; many buckets are processed vectorized per part)
+    N_PARTS = 64
 
     def sig_batch(b: pa.Table) -> pa.Table:
-        out = {"band": [], "band_bits": [], id_col: [], "sig": []}
+        out = {"key": [], id_col: [], "sig": []}
         for did, text in zip(b[id_col].to_pylist(), b[text_col].to_pylist()):
             s = simhash64(text.lower().split())
             s_signed = int(np.int64(np.uint64(s)))
             for band in range(bands):
-                out["band"].append(band)
-                out["band_bits"].append((s >> (band * 16)) & 0xFFFF)
+                bits = (s >> (band * 16)) & 0xFFFF
+                out["key"].append((band << 16) | bits)
                 out[id_col].append(did)
                 out["sig"].append(s_signed)
-        return pa.table(
+        t = pa.table(
             {
-                "band": pa.array(out["band"], pa.int32()),
-                "band_bits": pa.array(out["band_bits"], pa.int32()),
+                "key": pa.array(out["key"], pa.int64()),
                 id_col: pa.array(out[id_col], id_type),
                 "sig": pa.array(out["sig"], pa.int64()),
             }
         )
+        return t.append_column(
+            "part",
+            pa.array(
+                (pd.util.hash_array(t["key"].to_numpy()) % N_PARTS).astype(
+                    np.int32
+                )
+            ),
+        )
 
     buckets = docs.map_batches(sig_batch, batch_format="pyarrow")
 
-    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame(
-            {"doc_a": pd.Series([], dtype=g[id_col].dtype),
-             "doc_b": pd.Series([], dtype=g[id_col].dtype),
-             "hamming": pd.Series([], dtype="int64")}
+    def pairs_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["key", id_col], kind="stable")
+        keys = g["key"].to_numpy()
+        ids_all = g[id_col].to_numpy()
+        sigs_all = g["sig"].to_numpy().astype(np.uint64)
+        _, starts, counts = np.unique(keys, return_index=True, return_counts=True)
+        oa, ob, oh = [], [], []
+        for s0, c in zip(starts, counts):
+            if c < 2:
+                continue
+            ids = ids_all[s0 : s0 + c][:max_bucket]
+            sigs = sigs_all[s0 : s0 + c][:max_bucket]
+            iu, ju = np.triu_indices(len(ids), k=1)
+            x = sigs[iu] ^ sigs[ju]
+            # vectorized popcount (bit_count needs numpy>=2; this is 1.x-safe)
+            h = np.zeros(len(x), dtype=np.int64)
+            while x.any():
+                h += (x & 1).astype(np.int64)
+                x >>= np.uint64(1)
+            keep = h <= radius
+            oa.extend(ids[iu[keep]])
+            ob.extend(ids[ju[keep]])
+            oh.extend(h[keep])
+        return pd.DataFrame(
+            {"doc_a": np.array(oa, dtype=ids_all.dtype),
+             "doc_b": np.array(ob, dtype=ids_all.dtype),
+             "hamming": np.array(oh, dtype=np.int64)}
         )
-        if len(g) < 2:
-            return empty
-        g = g.sort_values(id_col).head(max_bucket)
-        ids = g[id_col].tolist()
-        sigs = [int(s) & 0xFFFFFFFFFFFFFFFF for s in g["sig"].tolist()]
-        out = {"doc_a": [], "doc_b": [], "hamming": []}
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                h = bin(sigs[i] ^ sigs[j]).count("1")
-                if h <= radius:
-                    out["doc_a"].append(ids[i])
-                    out["doc_b"].append(ids[j])
-                    out["hamming"].append(h)
-        return pd.DataFrame(out) if out["doc_a"] else empty
 
-    pairs = buckets.groupby(["band", "band_bits"]).map_groups(
-        pairs_in_bucket, batch_format="pandas"
-    )
-    # same pair can surface from up to `bands` buckets -> distinct
-    return pairs.groupby(["doc_a", "doc_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
+    pairs = buckets.groupby("part").map_groups(pairs_part, batch_format="pandas")
+
+    # same pair can surface from up to `bands` buckets -> distinct, again
+    # partition-grouped (drop_duplicates inside each pair-hash partition)
+    def pair_part(b: pa.Table) -> pa.Table:
+        pa_h = pd.util.hash_array(
+            b["doc_a"].to_numpy(zero_copy_only=False), categorize=False
+        )
+        pb_h = pd.util.hash_array(
+            b["doc_b"].to_numpy(zero_copy_only=False), categorize=False
+        )
+        part2 = ((pa_h ^ (pb_h * np.uint64(0x9E3779B1))) % N_PARTS).astype(
+            np.int32
+        )
+        return b.append_column("part2", pa.array(part2))
+
+    return (
+        pairs.map_batches(pair_part, batch_format="pyarrow")
+        .groupby("part2")
+        .map_groups(
+            lambda g: g.drop_duplicates(["doc_a", "doc_b"]).drop(
+                columns=["part2"]
+            ),
+            batch_format="pandas",
+        )
     )
 
 
