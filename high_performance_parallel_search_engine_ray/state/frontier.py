@@ -155,9 +155,13 @@ class FrontierShard:
         batch_added: set[str] = set()
         maybe = None
         if self.use_filters and hashes is not None:
-            maybe = self.bloom.might_contain_many(
-                np.asarray(hashes, dtype=np.uint64)
-            )
+            h_arr = np.asarray(hashes, dtype=np.uint64)
+            # one vectorized pass per batch for BOTH filters; the loop then
+            # reads precomputed booleans (dup-heavy rounds probe the cuckoo
+            # for every duplicate — per-URL numpy-scalar calls dominated)
+            maybe = self.bloom.might_contain_many(h_arr)
+            if not self.cuckoo.degraded:
+                maybe = maybe & self.cuckoo.contains_many(h_arr)
         for i in range(len(urls)):
             url = str(urls[i])
             host = str(hosts[i])
@@ -171,20 +175,30 @@ class FrontierShard:
                 dup += 1
                 continue
             h = int(hashes[i]) if hashes is not None else stable_hash64(url)
-            if maybe is not None and not maybe[i]:
-                pass  # authoritative bloom negative: definitely new
-            elif (
-                self.use_filters
-                and not self.cuckoo.degraded  # degraded -> can't prove absence
-                and not self.cuckoo.contains(h)
-            ):
-                pass  # authoritative cuckoo negative: definitely new
-            elif url in self.seen_exact:
-                dup += 1
-                continue
-            elif maybe is not None:
-                # filters said "maybe seen" but the exact store disagrees
-                self.stats["filter_false_positives"] += 1
+            if maybe is not None:
+                if not maybe[i]:
+                    pass  # authoritative filter negative: definitely new
+                elif url in self.seen_exact:
+                    dup += 1
+                    continue
+                else:
+                    # filters said "maybe seen"; the exact store disagrees
+                    self.stats["filter_false_positives"] += 1
+            else:
+                # per-item path (callers that pass no url_hash, e.g. seeds)
+                if self.use_filters and not self.bloom.might_contain(h):
+                    pass
+                elif (
+                    self.use_filters
+                    and not self.cuckoo.degraded  # degraded: can't prove absence
+                    and not self.cuckoo.contains(h)
+                ):
+                    pass
+                elif url in self.seen_exact:
+                    dup += 1
+                    continue
+                elif self.use_filters:
+                    self.stats["filter_false_positives"] += 1
             batch_added.add(url)
             self.seen_exact.add(url)
             if self.use_filters:
