@@ -187,6 +187,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def media_feats(sf_dir):
         return multimodal.media_features(_docs(sf_dir))
 
+    def media_resized(sf_dir):
+        return multimodal.media_resize(_docs(sf_dir))
+
+    def media_frames(sf_dir):
+        return multimodal.media_frame_samples(_docs(sf_dir))
+
     def crawl_smoke(sf_dir):
         # Sharded frontier crawl over the deterministic synthetic web
         # (sf_dir-independent; the crawl's own corpus is the input contract).
@@ -292,6 +298,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_topk": ann_ivf,
         # multimodal plumbing
         "media_features": media_feats,
+        "media_resize": media_resized,
+        "media_frame_samples": media_frames,
         # crawl engine (non-SQL: stateful iterative dataflow)
         "crawl_sharded_smoke": crawl_smoke,
         "crawl_exact_trace": crawl_exact_trace,

@@ -73,26 +73,30 @@ def minhash_lsh_pairs(
     Scale-shaped dataflow — no driver-side materialization of pairs or
     shingle sets; the only thing broadcast is the candidate ID set:
       1. shingle -> minhash per batch (numpy) -> explode to
-         (band, band_hash, doc_id, sig) rows (sig = the full num_perm
-         signature, 8*num_perm bytes — carried so buckets can PRUNE).
-      2. groupby(band, band_hash) -> candidate pairs (ids only), pruned
-         in-bucket by the signature's ESTIMATED Jaccard (mean matching
-         perms): pairs estimating below ``jaccard_threshold -
-         estimate_margin`` are dropped before any further shuffle. At the
-         default margin (0.2 ~= 2.5 sigma for 64 perms at t=0.5) the
-         chance a true >=t pair is pruned is <1%, on top of LSH banding's
-         own probabilistic recall; precision stays EXACT (survivors are
-         shingle-verified). Buckets with more than ``max_bucket`` members
-         (degenerate: exact dups, empty docs, boilerplate) are truncated
-         to the ``max_bucket`` smallest ids; the number of dropped members
-         is carried in a ``bucket_dropped`` column, summed cheaply, logged.
+         (bucket key, doc_id, sig) rows (key folds band into the band
+         hash; sig = the full num_perm signature, 8*num_perm bytes —
+         carried so buckets can PRUNE).
+      2. partition-grouped bucket stage (groupby hash(key) % N_PARTS, all
+         buckets of a partition processed vectorized — see the N_PARTS
+         note below) -> candidate pairs (ids only), pruned in-bucket by
+         the signature's ESTIMATED Jaccard (mean matching perms): pairs
+         estimating below ``jaccard_threshold - estimate_margin`` are
+         dropped before any further shuffle. At the default margin
+         (0.2 ~= 2.5 sigma for 64 perms at t=0.5) the chance a true >=t
+         pair is pruned is <1%, on top of LSH banding's own probabilistic
+         recall; precision stays EXACT (survivors are shingle-verified).
+         Buckets with more than ``max_bucket`` members (degenerate: exact
+         dups, empty docs, boilerplate) are truncated to the
+         ``max_bucket`` smallest ids; the number of dropped members is
+         carried in a ``bucket_dropped`` column, summed cheaply, logged.
       3. the candidate ID set (ids only — small) is broadcast to filter
          the docs scan that builds per-candidate shingle strings. No
-         distinct-pairs shuffle: the verification groupby dedupes pairs
+         distinct-pairs shuffle: the verification stage dedupes pairs
          that surfaced from several bands.
       4. verification is a distributed co-location join: pair-membership
-         rows union candidate shingle rows, groupby(doc id) attaches each
-         doc's shingles to its pairs, groupby(pair) computes exact
+         rows union candidate shingle rows, a partition-grouped stage on
+         hash(doc id) merge-attaches each doc's shingles to its pairs,
+         then a partition-grouped stage on hash(pair) computes exact
          word-shingle Jaccard. (Ray 2.49's Dataset.join breaks on empty
          hash partitions — ArrowBlockBuilder().build() yields a
          zero-column table Acero rejects — so the join is expressed as

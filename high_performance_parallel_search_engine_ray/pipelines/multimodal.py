@@ -112,3 +112,121 @@ def media_features(docs, concurrency: int = 2, batch_size: int = 64):
         concurrency=concurrency,
         num_cpus=1,
     )
+
+
+class MediaResizeStage:
+    """Actor-pool image resize. Same stub contract as MediaFeatureStage:
+    decode=True is the seam where PIL/opencv pixel work goes
+    (NotImplementedError in this container); decode=False performs a
+    deterministic byte-level stand-in (truncate/cycle the payload to
+    target_w*target_h bytes) so the schema, actor signature, batch sizing
+    and output layout are real and testable. Non-image rows pass through
+    untouched (width/height stay -1)."""
+
+    def __init__(self, target_w: int = 224, target_h: int = 224, decode: bool = False):
+        self.tw = int(target_w)
+        self.th = int(target_h)
+        self.decode = decode
+        self._target_size = self.tw * self.th  # computed once per actor
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        if self.decode:
+            raise NotImplementedError(
+                "real image resize requires PIL/opencv, not available in this "
+                "container; run with decode=False for the byte-level stand-in"
+            )
+        payloads, widths, heights = [], [], []
+        for mt, payload, w, h in zip(
+            b["media_type"].to_pylist(), b["payload"].to_pylist(),
+            b["width"].to_pylist(), b["height"].to_pylist(),
+        ):
+            if mt != "image":
+                payloads.append(payload)
+                widths.append(w)
+                heights.append(h)
+                continue
+            arr = np.frombuffer(payload, dtype=np.uint8)
+            reps = -(-self._target_size // max(1, arr.size))  # ceil
+            out = np.tile(arr, reps)[: self._target_size]
+            payloads.append(out.tobytes())
+            widths.append(self.tw)
+            heights.append(self.th)
+        return pa.table(
+            {
+                "media_id": b["media_id"],
+                "media_type": b["media_type"],
+                "payload": pa.array(payloads, pa.large_binary()),
+                "width": pa.array(widths, pa.int32()),
+                "height": pa.array(heights, pa.int32()),
+                "duration_ms": b["duration_ms"],
+            }
+        )
+
+
+class FrameSampleStage:
+    """Actor-pool video frame sampler: explodes each video row into
+    ceil(duration_ms / interval_ms) frame rows (media_id, frame_idx, ts_ms,
+    payload) — the flat_map-shaped stream expansion a video pipeline needs.
+    Frame payloads are deterministic byte slices of the source payload
+    (the decode seam is the same stub contract as the other stages);
+    non-video rows produce no frames."""
+
+    def __init__(self, interval_ms: int = 1000, max_frames: int = 32, decode: bool = False):
+        self.interval_ms = int(interval_ms)
+        self.max_frames = int(max_frames)
+        self.decode = decode
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        if self.decode:
+            raise NotImplementedError(
+                "real frame extraction requires pyav/ffmpeg, not available in "
+                "this container; run with decode=False for byte-slice frames"
+            )
+        out = {"media_id": [], "frame_idx": [], "ts_ms": [], "payload": []}
+        for mid, mt, payload, dur in zip(
+            b["media_id"].to_pylist(), b["media_type"].to_pylist(),
+            b["payload"].to_pylist(), b["duration_ms"].to_pylist(),
+        ):
+            if mt != "video" or dur <= 0:
+                continue
+            n = min(self.max_frames, -(-dur // self.interval_ms))
+            chunk = max(1, len(payload) // max(1, n))
+            for i in range(n):
+                out["media_id"].append(mid)
+                out["frame_idx"].append(i)
+                out["ts_ms"].append(i * self.interval_ms)
+                out["payload"].append(payload[i * chunk : (i + 1) * chunk])
+        return pa.table(
+            {
+                "media_id": pa.array(out["media_id"], pa.string()),
+                "frame_idx": pa.array(out["frame_idx"], pa.int32()),
+                "ts_ms": pa.array(out["ts_ms"], pa.int32()),
+                "payload": pa.array(out["payload"], pa.large_binary()),
+            }
+        )
+
+
+def media_resize(docs, target_w: int = 224, target_h: int = 224,
+                 concurrency: int = 2, batch_size: int = 64):
+    media = attach_fake_media(docs)
+    return media.map_batches(
+        MediaResizeStage,
+        fn_constructor_kwargs=dict(target_w=target_w, target_h=target_h),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
+def media_frame_samples(docs, interval_ms: int = 1000, max_frames: int = 32,
+                        concurrency: int = 2, batch_size: int = 64):
+    media = attach_fake_media(docs)
+    return media.map_batches(
+        FrameSampleStage,
+        fn_constructor_kwargs=dict(interval_ms=interval_ms, max_frames=max_frames),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )

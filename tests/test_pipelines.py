@@ -294,3 +294,63 @@ def test_embedding_lsh_dedup_finds_planted_dups(ray_session):
     assert all(a <= 3 and b <= 3 for a, b in pairs)
     for c in out["cosine"]:
         assert c >= 0.95
+
+
+def test_media_resize_plumbing(docs):
+    """Images resize to exactly target_w*target_h bytes with updated
+    metadata; non-images pass through untouched; decode=True is the
+    documented stub seam."""
+    import pyarrow as pa
+
+    from high_performance_parallel_search_engine_ray.pipelines.multimodal import (
+        MediaResizeStage,
+        attach_fake_media,
+        media_resize,
+    )
+
+    src = {r["media_id"]: r for r in attach_fake_media(docs).take_all()}
+    out = media_resize(docs, target_w=32, target_h=16).take_all()
+    assert len(out) == len(src)
+    n_img = 0
+    for r in out:
+        s = src[r["media_id"]]
+        if r["media_type"] == "image":
+            n_img += 1
+            assert len(r["payload"]) == 32 * 16
+            assert (r["width"], r["height"]) == (32, 16)
+        else:
+            assert r["payload"] == s["payload"]
+            assert (r["width"], r["height"]) == (s["width"], s["height"])
+    assert n_img > 0
+    with pytest.raises(NotImplementedError):
+        MediaResizeStage(decode=True)(
+            pa.table({"media_id": ["x"], "media_type": ["image"],
+                      "payload": pa.array([b"abc"], pa.large_binary()),
+                      "width": [1], "height": [1], "duration_ms": [-1]})
+        )
+
+
+def test_media_frame_samples_plumbing(docs):
+    """Videos explode into ceil(duration/interval) frame rows (capped),
+    monotone ts; non-videos produce nothing."""
+    from high_performance_parallel_search_engine_ray.pipelines.multimodal import (
+        attach_fake_media,
+        media_frame_samples,
+    )
+
+    src = {r["media_id"]: r for r in attach_fake_media(docs).take_all()}
+    frames = media_frame_samples(docs, interval_ms=10_000, max_frames=4).take_all()
+    assert frames
+    by_media = {}
+    for f in frames:
+        by_media.setdefault(f["media_id"], []).append(f)
+    for mid, fs in by_media.items():
+        s = src[mid]
+        assert s["media_type"] == "video"
+        expect = min(4, -(-s["duration_ms"] // 10_000))
+        assert len(fs) == expect
+        fs.sort(key=lambda f: f["frame_idx"])
+        assert [f["ts_ms"] for f in fs] == [i * 10_000 for i in range(expect)]
+        assert all(len(f["payload"]) > 0 for f in fs)
+    n_videos = sum(1 for r in src.values() if r["media_type"] == "video")
+    assert len(by_media) == n_videos

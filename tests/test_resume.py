@@ -149,3 +149,13 @@ def test_spilled_seenset_crawl_identical(ray_session, smoke_corpus):
     )
     assert seen_r == seen_mem
     assert docs_r == docs_mem
+
+
+def test_fetch_slice_groups_invariant(ray_session, smoke_corpus):
+    """The admission-exchange granularity (whole tables / node groups /
+    per-shard slices) must not change the crawl."""
+    _, seen_1, docs_1 = _run(smoke_corpus, "/tmp/t_slice1", fetch_slice_groups=1)
+    _, seen_2, docs_2 = _run(smoke_corpus, "/tmp/t_slice2", fetch_slice_groups=2)
+    _, seen_4, docs_4 = _run(smoke_corpus, "/tmp/t_slice4", fetch_slice_groups=4)
+    assert seen_2 == seen_1 and docs_2 == docs_1
+    assert seen_4 == seen_1 and docs_4 == docs_1
