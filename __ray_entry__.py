@@ -115,14 +115,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def bm25_reference_suite(sf_dir):
         # the reference's 5 fixed eval queries (`Serial Version/src/
-        # evaluate.c:12-19`) -- vocabulary-dependent, so rows-only check
-        import pyarrow as pa
-
-        parts = []
-        for q in rank.bm25_eval_queries():
-            t = rank.bm25_topk(_docs(sf_dir), q, k=5)
-            parts.append(t.append_column("query", pa.array([q] * t.num_rows)))
-        return pa.concat_tables(parts)
+        # evaluate.c:12-19`) -- vocabulary-dependent, so rows-only check;
+        # ONE shared tokenize pass across the suite (bm25_multi)
+        return rank.bm25_multi(_docs(sf_dir), rank.bm25_eval_queries(), k=5)
 
     def pattern_match(sf_dir):
         return rank.pattern_match_counts(

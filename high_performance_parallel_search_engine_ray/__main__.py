@@ -98,10 +98,18 @@ def cmd_search(args) -> int:
     from .pipelines.rank import bm25_topk, bm25_topk_expanded
 
     docs = _docs_dataset(args.docs)
-    fn = bm25_topk_expanded if args.expand_terms else bm25_topk
     queries = [args.query] if args.query else [line.strip() for line in sys.stdin if line.strip()]
+    tf = None
+    if len(queries) > 1 and not args.expand_terms:
+        # stdin batch mode: tokenize once, query many
+        from .pipelines.index import term_doc_tf
+
+        tf = term_doc_tf(docs).materialize()
     for q in queries:
-        t = fn(docs, q, k=args.k)
+        if args.expand_terms:
+            t = bm25_topk_expanded(docs, q, k=args.k)
+        else:
+            t = bm25_topk(docs, q, k=args.k, tf=tf)
         print(json.dumps({"query": q, "results": t.to_pylist()}))
     return 0
 
@@ -114,6 +122,7 @@ def cmd_evaluate(args) -> int:
 
     _ray_init(args.num_cpus)
     from .pipelines.crawl import CrawlConfig, ShardedCrawl
+    from .pipelines.index import term_doc_tf
     from .pipelines.metrics import MetricsRecorder
     from .pipelines.rank import bm25_eval_queries, bm25_topk
     from .sources.corpus import generate_corpus
@@ -130,10 +139,13 @@ def cmd_evaluate(args) -> int:
         )
         res = eng.run()
     docs = _docs_dataset(args.out)
+    # index once (tf materialized in the object store), query many — the
+    # reference's evaluate loop builds the index once too (evaluate.c:28-66)
+    tf = term_doc_tf(docs).materialize()
     results = {}
     for q in bm25_eval_queries():
         t0 = time.perf_counter()
-        top = bm25_topk(docs, q, k=5)
+        top = bm25_topk(docs, q, k=5, tf=tf)
         rec.record_query_latency((time.perf_counter() - t0) * 1000.0)
         results[q] = top.to_pylist()
     rec.record("pages_crawled", res["pages_crawled"], unit="count")

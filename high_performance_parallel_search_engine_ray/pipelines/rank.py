@@ -124,6 +124,26 @@ def bm25_topk(
     )
 
 
+def bm25_multi(
+    docs,
+    queries: list[str],
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> "pa.Table":
+    """Batch evaluation: top-k for EVERY query over ONE shared tokenize
+    pass (tf materialized once in the object store and reused — the multi-
+    query analog of the reference's evaluate loop, `Serial Version/src/
+    evaluate.c:28-66`, which also builds the index once). Returns one
+    table with a ``query`` column."""
+    tf = term_doc_tf(docs, id_col, text_col).materialize()
+    parts = []
+    for q in queries:
+        t = bm25_topk(docs, q, k, id_col, text_col, tf=tf)
+        parts.append(t.append_column("query", pa.array([q] * t.num_rows)))
+    return pa.concat_tables(parts)
+
+
 def expand_query_terms(qterms: list[str], known_terms: set[str]) -> list[str]:
     """Plural/singular fallback (`OpenMP Version/src/ranking.c:110-150`): a
     query term absent from the index retries as term+'s', then term[:-1]."""
