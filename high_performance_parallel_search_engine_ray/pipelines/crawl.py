@@ -436,6 +436,10 @@ class ShardedCrawl:
         cfg = self.cfg
         ck = os.path.join(cfg.out_dir, f"ckpt/round={self.round:05d}")
         os.makedirs(ck, exist_ok=True)
+        # compact spilled seen-set runs BEFORE snapshotting so the
+        # checkpoint references the merged run; obsolete files are GC'd
+        # only after the manifest lands (below)
+        ray.get([a.maybe_compact_seen.remote() for a in self._actors])
         snaps = ray.get([a.snapshot.remote() for a in self._actors])
         for s, payload in enumerate(snaps):
             tmp = os.path.join(ck, f"shard-{s:04d}.bin.tmp")
@@ -454,6 +458,8 @@ class ShardedCrawl:
                 "corpus_dir": cfg.corpus_dir,
             },
         )
+        # manifest is durable -> pre-compaction runs are unreferenced
+        ray.get([a.gc_seen_runs.remote() for a in self._actors])
 
     # -- outputs -----------------------------------------------------------
     def docs_dataset(self):

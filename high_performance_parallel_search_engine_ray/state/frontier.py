@@ -357,6 +357,35 @@ class FrontierShard:
     def pending_count(self) -> int:
         return sum(len(v) for v in self.pending.values())
 
+    # -- seen-set compaction (LSM-style; crawl checkpoint drives it) -------
+    def maybe_compact_seen(self, max_runs: int = 4) -> int:
+        """Merge spilled seen-set runs when they exceed ``max_runs`` (each
+        run costs one searchsorted per membership probe). Obsolete run
+        files are retained until gc_seen_runs() — the last durable
+        checkpoint may still reference them."""
+        if self.seen_exact.run_count > max_runs:
+            self._obsolete_seen_runs = getattr(
+                self, "_obsolete_seen_runs", []
+            ) + self.seen_exact.compact()
+        return self.seen_exact.run_count
+
+    def gc_seen_runs(self) -> int:
+        """Unlink runs obsoleted by compaction — call ONLY after a
+        checkpoint that references the compacted state is durable. Crash
+        before this leaks the files (harmless; the old manifest's runs are
+        intact)."""
+        import os as _os
+
+        n = 0
+        for p in getattr(self, "_obsolete_seen_runs", []):
+            try:
+                _os.unlink(p)
+                n += 1
+            except FileNotFoundError:
+                pass
+        self._obsolete_seen_runs = []
+        return n
+
     def get_stats(self) -> dict:
         return dict(self.stats, pending=self.pending_count(), shard=self.shard_id)
 

@@ -144,6 +144,63 @@ class SeenSet:
     def run_count(self) -> int:
         return len(self._run_paths)
 
+    def compact(self) -> list[str]:
+        """Merge all spilled runs into one (k-way streaming merge over row
+        groups — memory stays one row group per run, never the full store)
+        and return the now-obsolete run paths. The CALLER owns deletion:
+        old runs may still be referenced by the last durable checkpoint, so
+        they must only be unlinked after a checkpoint that references the
+        compacted state lands (LSM-style garbage collection; see
+        FrontierShard.maybe_compact / ShardedCrawl._checkpoint). A crash
+        between compaction and that checkpoint leaves the old manifest
+        pointing at the old runs — still on disk, still correct; the
+        compacted file simply leaks (harmless)."""
+        import heapq
+
+        if len(self._run_paths) <= 1:
+            return []
+
+        def run_iter(path):
+            pf = pq.ParquetFile(path)
+            for rg in range(pf.num_row_groups):
+                t = pf.read_row_group(rg)
+                yield from zip(t["hash"].to_numpy().tolist(), t["url"].to_pylist())
+
+        out_path = os.path.join(self.spill_dir, f"run-{uuid.uuid4().hex}.parquet")
+        tmp = out_path + ".tmp"
+        schema = pa.schema([("hash", pa.uint64()), ("url", pa.string())])
+        writer = pq.ParquetWriter(tmp, schema)
+        merged_hashes: list[int] = []
+        buf_h: list[int] = []
+        buf_u: list[str] = []
+
+        def flush():
+            writer.write_table(
+                pa.table(
+                    {"hash": pa.array(buf_h, pa.uint64()),
+                     "url": pa.array(buf_u, pa.string())}
+                ),
+                row_group_size=_ROW_GROUP,
+            )
+            merged_hashes.extend(buf_h)
+            buf_h.clear()
+            buf_u.clear()
+
+        for h, u in heapq.merge(*(run_iter(p) for p in self._run_paths)):
+            buf_h.append(h)
+            buf_u.append(u)
+            if len(buf_h) >= _ROW_GROUP:
+                flush()
+        if buf_h:
+            flush()
+        writer.close()
+        os.replace(tmp, out_path)
+        obsolete = list(self._run_paths)
+        self._run_paths = [out_path]
+        self._run_hashes = [np.array(merged_hashes, dtype=np.uint64)]
+        self._rg_cache.clear()
+        return obsolete
+
     # -- checkpoint state (runs are immutable on-disk; record paths only) --
     def to_state(self) -> dict:
         return {

@@ -268,3 +268,60 @@ def test_frontier_spilled_seen_matches_inmemory(tmp_path):
     # snapshot/restore round-trips the spilled store
     restored = FrontierShard.restore(sh_spill.snapshot())
     assert restored.seen_exact == sh_mem.seen_exact
+
+
+def test_seenset_compaction(tmp_path):
+    """compact() merges runs into one, preserves exact membership, and the
+    caller-owned GC contract holds (old files intact until deleted)."""
+    import os
+
+    from high_performance_parallel_search_engine_ray.state.seenset import SeenSet
+
+    s = SeenSet(spill_dir=str(tmp_path / "sp"), memory_cap=25)
+    urls = [f"https://h{i % 5}.example.org/x/{i}" for i in range(300)]
+    for u in urls:
+        s.add(u)
+    assert s.run_count >= 5
+    obsolete = s.compact()
+    assert s.run_count == 1
+    assert all(os.path.exists(p) for p in obsolete)  # caller owns deletion
+    assert len(s) == 300
+    assert all(u in s for u in urls)
+    assert f"https://h0.example.org/x/999" not in s
+    # state round-trip after compaction
+    s2 = SeenSet.from_state(s.to_state())
+    assert set(s2) == set(urls)
+    # second compact is a no-op (single run)
+    assert s.compact() == []
+
+
+def test_frontier_compaction_gc(tmp_path):
+    import os
+
+    from high_performance_parallel_search_engine_ray.functions.hashing import (
+        stable_hash64,
+    )
+    from high_performance_parallel_search_engine_ray.state.frontier import (
+        FrontierShard,
+    )
+
+    sh = FrontierShard(0, 1, seen_spill_dir=str(tmp_path / "sp"), seen_memory_cap=16)
+    urls = [f"https://a.example.org/p/{i}" for i in range(200)]
+    sh.admit(
+        {"url": urls, "host": ["a.example.org"] * 200, "depth": [1] * 200,
+         "priority": [1] * 200, "url_hash": [stable_hash64(u) for u in urls]}
+    )
+    assert sh.seen_exact.run_count > 4
+    sh.maybe_compact_seen(max_runs=4)
+    assert sh.seen_exact.run_count == 1
+    assert sh._obsolete_seen_runs
+    old = list(sh._obsolete_seen_runs)
+    n = sh.gc_seen_runs()
+    assert n == len(old)
+    assert not any(os.path.exists(p) for p in old)
+    # membership still exact after compaction + gc
+    r = sh.admit(
+        {"url": urls[:50], "host": ["a.example.org"] * 50, "depth": [1] * 50,
+         "priority": [1] * 50, "url_hash": [stable_hash64(u) for u in urls[:50]]}
+    )
+    assert r["dup"] == 50 and r["admitted"] == 0
