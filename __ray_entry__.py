@@ -265,6 +265,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_events_per_user": relational.top_events_per_user,
         "events_sliding": relational.events_sliding,
         "events_asof_signup": relational.events_asof_signup,
+        "shipping_monthly": relational.shipping_monthly,
+        "brand_median_price": relational.brand_median_price,
+        "orders_above_cust_avg": relational.orders_above_cust_avg,
+        "distinct_users_daily": relational.distinct_users_daily,
+        "kmv_distinct_users": relational.kmv_distinct_users,
         # search-engine path (tokenize/index/rank)
         "term_doc_tf": tf_table,
         "doc_lengths": dl_table,
@@ -425,6 +430,39 @@ FROM events GROUP BY event_type
 SELECT n_nationkey, n_name FROM nation
 WHERE n_nationkey IN (SELECT c_nationkey FROM customer)
   AND n_nationkey IN (SELECT s_nationkey FROM supplier)
+""",
+        "shipping_monthly": """
+SELECT date_trunc('month', l_shipdate) AS ship_month,
+       round(sum(l_quantity), 2) AS sum_qty,
+       -- integer ten-thousandths: per-line round then associative BIGINT
+       -- sum, mirroring the Ray side exactly (order-independent)
+       round(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000)
+                      AS BIGINT)) / 10000.0, 2) AS revenue,
+       count(*) AS n_lines
+FROM lineitem GROUP BY 1
+""",
+        "brand_median_price": """
+SELECT p_brand,
+       round(quantile_cont(p_retailprice, 0.5), 6) AS median_price,
+       count(*) AS n_parts
+FROM part GROUP BY p_brand
+""",
+        "orders_above_cust_avg": """
+WITH ca AS (
+  SELECT o_custkey AS c_key,
+         round(round(sum(o_totalprice), 2) / count(*), 6) AS cust_avg
+  FROM orders GROUP BY o_custkey
+)
+SELECT o.o_orderkey, o.o_custkey, o.o_totalprice, ca.cust_avg
+FROM orders o JOIN ca ON ca.c_key = o.o_custkey
+WHERE o.o_totalprice > ca.cust_avg * 1.5
+ORDER BY o.o_totalprice DESC, o.o_orderkey
+LIMIT 50
+""",
+        "distinct_users_daily": """
+SELECT date_trunc('day', ts) AS day,
+       count(DISTINCT user_id) AS n_users
+FROM events GROUP BY 1
 """,
         "top_events_per_user": """
 WITH ranked AS (

@@ -693,3 +693,197 @@ def events_asof_signup(sf_dir: str):
         return g[["event_id", "user_id", "last_signup_ts"]]
 
     return ev.groupby("user_id").map_groups(asof, batch_format="pandas")
+
+
+# -- lineitem monthly shipping summary (Q12-ish temporal rollup) -------------
+
+def shipping_monthly(sf_dir: str):
+    """Per ship month: line count, sum qty, revenue. Partial aggregation
+    inside map_batches (floor_temporal month bucketing) before a tiny
+    groupby — the temporal-rollup pattern at fact scale."""
+    from ray.data.aggregate import Sum
+
+    li = _read(
+        sf_dir, "lineitem",
+        ["l_shipdate", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        month = pc.floor_temporal(b["l_shipdate"], unit="month")
+        # integer ten-thousandths of currency: per-line rounding matches the
+        # oracle bit-for-bit and int64 summation is ASSOCIATIVE, so the
+        # many-group revenue sums can't flip at a 2dp rounding boundary
+        # from cross-engine summation order (83 monthly groups make that
+        # boundary hit likely with double sums).
+        rev4 = round_half_away(
+            pc.multiply(
+                pc.multiply(b["l_extendedprice"], pc.subtract(1.0, b["l_discount"])),
+                10000.0,
+            ).to_numpy(),
+            0,
+        ).astype(np.int64)
+        t = pa.table(
+            {
+                "ship_month": month,
+                "qty": b["l_quantity"],
+                "rev4": pa.array(rev4, pa.int64()),
+            }
+        )
+        return _agg_rename(
+            t.group_by(["ship_month"]).aggregate(
+                [("qty", "sum"), ("rev4", "sum"), ([], "count_all")]
+            ),
+            {"qty_sum": "sum_qty", "rev4_sum": "rev4", "count_all": "n_lines"},
+        )
+
+    agg = (
+        li.map_batches(partial, batch_format="pyarrow")
+        .groupby("ship_month")
+        .aggregate(
+            Sum("sum_qty", alias_name="sum_qty"),
+            Sum("rev4", alias_name="rev4"),
+            Sum("n_lines", alias_name="n_lines"),
+        )
+    )
+
+    def finalize(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "ship_month": b["ship_month"].cast(pa.timestamp("us")),
+                "sum_qty": round_half_away(b["sum_qty"], 2),
+                "revenue": pa.array(
+                    round_half_away(
+                        b["rev4"].to_numpy().astype(np.float64) / 10000.0, 2
+                    ),
+                    pa.float64(),
+                ),
+                "n_lines": b["n_lines"],
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+# -- median retail price per brand (percentile aggregate) --------------------
+
+def brand_median_price(sf_dir: str):
+    """Per p_brand: median p_retailprice (linear interpolation — matches
+    SQL quantile_cont). Ordered-group aggregate via groupby().map_groups."""
+    part = _read(sf_dir, "part", ["p_brand", "p_retailprice"])
+
+    def med(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "p_brand": [g["p_brand"].iloc[0]],
+                "median_price": [
+                    round_half_away(float(g["p_retailprice"].quantile(0.5)), 6)
+                ],
+                "n_parts": [len(g)],
+            }
+        )
+
+    return part.groupby("p_brand").map_groups(med, batch_format="pandas")
+
+
+# -- orders above their customer's average (correlated-subquery shape) -------
+
+def orders_above_cust_avg(sf_dir: str, factor: float = 1.5, k: int = 50):
+    """Orders with o_totalprice > factor * their customer's average order
+    price: per-customer aggregate attached back to the fact rows
+    (_attach_or_join), vectorized predicate. The average divides the
+    2dp-rounded sum so both engines compare the identical double (the
+    pricing_summary float policy)."""
+    from ray.data.aggregate import Count, Sum
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    npart = _join_partitions(n_joins=1)
+    avg = orders.groupby("o_custkey").aggregate(
+        Sum("o_totalprice", alias_name="spent"), Count(alias_name="n")
+    )
+
+    def finalize_avg(b: pa.Table) -> pa.Table:
+        sp = round_half_away(b["spent"], 2).to_numpy()
+        n = b["n"].to_numpy().astype(np.float64)
+        return pa.table(
+            {
+                "c_key": b["o_custkey"],
+                "cust_avg": pa.array(round_half_away(sp / n, 6), pa.float64()),
+            }
+        )
+
+    cust_avg = avg.map_batches(finalize_avg, batch_format="pyarrow")
+    joined = _attach_or_join(
+        orders, "o_custkey", cust_avg, "c_key", ["cust_avg"], npart
+    )
+
+    def flag(b: pa.Table) -> pa.Table:
+        mask = pc.greater(b["o_totalprice"], pc.multiply(b["cust_avg"], factor))
+        return b.filter(mask)
+
+    out = joined.map_batches(flag, batch_format="pyarrow")
+    return out.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(k)
+
+
+# -- exact distinct users per day (two-level distinct aggregation) -----------
+
+def distinct_users_daily(sf_dir: str):
+    """COUNT(DISTINCT user_id) per day without shipping raw events twice:
+    in-batch (day, user) distinct -> groupby dedup -> per-day count."""
+    from ray.data.aggregate import Count
+
+    ev = _read(sf_dir, "events", ["ts", "user_id"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(b["ts"], unit="day")
+        t = pa.table({"day": day, "user_id": b["user_id"]})
+        return t.group_by(["day", "user_id"]).aggregate([])  # in-batch distinct
+
+    pairs = ev.map_batches(partial, batch_format="pyarrow")
+    distinct = pairs.groupby(["day", "user_id"]).aggregate(Count(alias_name="_n"))
+    return distinct.groupby("day").aggregate(Count(alias_name="n_users"))
+
+
+# -- KMV distinct-count sketch (approximate; mergeable) ----------------------
+
+def kmv_distinct_users(sf_dir: str, k: int = 1024):
+    """Approximate COUNT(DISTINCT user_id) via a K-minimum-values sketch:
+    each batch keeps its k smallest 64-bit user hashes (vectorized
+    np.partition), partial sketches merge associatively in a final
+    reduction, and the estimate is (k-1) / kth_min_normalized. Mergeability
+    is what matters at 100 TB: the shuffle carries k hashes per block
+    instead of the distinct set. Returns one row
+    (estimate, exact_at_k_cutoff=n_hashes<k). Deterministic (stable hash);
+    accuracy ~ 1/sqrt(k) (~3% at k=1024) — rows-only check + a pytest
+    tolerance gate, no SQL oracle for the estimate itself."""
+    from ..functions.hashing import stable_hash64
+
+    ev = _read(sf_dir, "events", ["user_id"])
+
+    def sketch_batch(b: pa.Table) -> pa.Table:
+        users = b["user_id"].to_numpy(zero_copy_only=False)
+        uniq = np.unique(users)
+        hs = np.array(
+            [stable_hash64(str(u)) for u in uniq], dtype=np.uint64
+        )
+        if hs.size > k:
+            hs = np.partition(hs, k - 1)[:k]
+        return pa.table({"h": pa.array(np.sort(hs), pa.uint64())})
+
+    parts = ev.map_batches(sketch_batch, batch_format="pyarrow")
+    # merge: k smallest of the union (small data — k per input block)
+    merged = np.sort(
+        np.unique(parts.to_pandas()["h"].to_numpy().astype(np.uint64))
+    )
+    if merged.size >= k:
+        kth = merged[k - 1]
+        est = (k - 1) / (float(kth) / float(2**64))
+        exact = False
+    else:
+        est = float(merged.size)
+        exact = True
+    return pa.table(
+        {
+            "estimate": pa.array([round_half_away(est, 2)], pa.float64()),
+            "is_exact": pa.array([exact], pa.bool_()),
+        }
+    )

@@ -354,3 +354,23 @@ def test_media_frame_samples_plumbing(docs):
         assert all(len(f["payload"]) > 0 for f in fs)
     n_videos = sum(1 for r in src.values() if r["media_type"] == "video")
     assert len(by_media) == n_videos
+
+
+def test_kmv_distinct_sketch_tolerance(ray_session):
+    """KMV estimate within ~5 sigma (~1/sqrt(k)) of the exact distinct
+    count; exact when fewer than k distinct values exist."""
+    import pandas as pd
+
+    from high_performance_parallel_search_engine_ray.pipelines.relational import (
+        kmv_distinct_users,
+    )
+
+    out = kmv_distinct_users(SF, k=256).to_pandas()
+    exact = pd.read_parquet(f"{SF}/events.parquet", columns=["user_id"])[
+        "user_id"
+    ].nunique()
+    est = out["estimate"].iloc[0]
+    if out["is_exact"].iloc[0]:
+        assert est == exact
+    else:
+        assert abs(est - exact) / exact < 5 / (256 ** 0.5)
