@@ -41,6 +41,12 @@ BENCH_QUERIES = [
     "minhash_lsh_pairs",
     "quality_scores",
     "ann_brute_topk",
+    # round-2 additions
+    "simhash_dup_pairs",
+    "shipping_monthly",
+    "distinct_users_daily",
+    "lang_id",
+    "token_counts",
 ]
 
 

@@ -374,3 +374,42 @@ def test_kmv_distinct_sketch_tolerance(ray_session):
         assert est == exact
     else:
         assert abs(est - exact) / exact < 5 / (256 ** 0.5)
+
+
+def test_langid_vectorized_matches_scalar(ray_session):
+    """The vectorized LangIdStage must agree with the scalar
+    textstats.lang_id on every doc, including unicode, empties, ties, and
+    the 4000-char head cut."""
+    from high_performance_parallel_search_engine_ray.functions.rounding import (
+        round_half_away,
+    )
+    from high_performance_parallel_search_engine_ray.functions.textstats import (
+        lang_id,
+    )
+    from high_performance_parallel_search_engine_ray.pipelines.text import (
+        lang_id_table,
+    )
+
+    texts = [
+        "",
+        "   \t\n ",
+        "the cat is on the mat and it was there for a while",
+        "der hund ist nicht auf der matte und das ist auch gut",
+        "le chien est sur le tapis et il était là pour ses amis",
+        "el perro es de la casa y él era para sus amigos",
+        "xyzzy qwerty 12345 #$%",
+        "the der le el",                      # cross-language tie bait
+        "naïve café über straße à-propos",
+        ("the " * 1500) + ("der " * 1500),    # head-cut sensitivity (>4000 chars)
+    ]
+    rows = [{"doc_id": i, "text": t} for i, t in enumerate(texts)]
+    out = (
+        lang_id_table(rd.from_items(rows))
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    for i, t in enumerate(texts):
+        lang, score = lang_id(t)
+        assert out.loc[i, "lang_pred"] == lang, (i, t[:40])
+        assert out.loc[i, "lang_score"] == round_half_away(score, 6), (i, t[:40])
