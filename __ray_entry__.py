@@ -167,9 +167,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def emb_dups_lsh(sf_dir):
         # label-free scale path: random-hyperplane LSH buckets instead of
         # label blocks (approximate recall — no SQL oracle; the planted-dup
-        # pytest + subset-of-exact check cover it)
+        # pytest covers it). threshold 0.3 matches embedding_dup_pairs so
+        # the synthetic embeddings actually yield pairs at test scale.
         return _pairs_table(
-            dedup.embedding_dup_pairs_lsh(_emb(sf_dir), threshold=0.9),
+            dedup.embedding_dup_pairs_lsh(_emb(sf_dir), threshold=0.3),
             ["id_a", "id_b", "cosine"],
         )
 
