@@ -134,6 +134,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def ann_ivf(sf_dir):
         return ann.ivf_topk(_emb(sf_dir), _query_vectors(sf_dir), k=10)
 
+    def ann_lsh(sf_dir):
+        return ann.lsh_topk(_emb(sf_dir), _query_vectors(sf_dir), k=10)
+
     def minhash_pairs(sf_dir):
         return _pairs_table(
             dedup.minhash_lsh_pairs(_docs(sf_dir), jaccard_threshold=0.4),
@@ -297,6 +300,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "ann_brute_topk": ann_topk,
         "ann_ivf_topk": ann_ivf,
+        "ann_lsh_topk": ann_lsh,
         # multimodal plumbing
         "media_features": media_feats,
         "media_resize": media_resized,

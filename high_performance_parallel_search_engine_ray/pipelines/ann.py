@@ -8,6 +8,11 @@
   vector to its nearest centroid (one pass), probe the nprobe closest
   centroids per query. Trades recall for touching only a fraction of the
   corpus per query; recall vs brute force is measured in tests.
+- lsh_topk: data-independent scale path — random-hyperplane sign buckets
+  (no training pass at all); each query scores only vectors whose bucket is
+  hamming-close to its own (multiprobe). Complements IVF: no sample/Lloyd
+  step to coordinate, bucket assignment is a single matmul per batch, and
+  the same signature space serves dedup (dedup.embedding_dup_pairs_lsh).
 
 GPU analog in the reference: `gpu_cosine_similarity` kernels
 (`CUDA-OpenMP Hybrid Version/src/cuda_kernels.cu:198-225`) — here the batch
@@ -52,6 +57,75 @@ def brute_force_topk(
             out["query_idx"].extend([qi] * idx.shape[1])
             out[id_col].extend(ids[idx[qi]].tolist())
             out["cosine"].extend(scores[qi].tolist())
+        return pa.table(
+            {
+                "query_idx": pa.array(out["query_idx"], pa.int32()),
+                id_col: pa.array(out[id_col]),
+                "cosine": pa.array(out["cosine"], pa.float64()),
+            }
+        )
+
+    import pandas as pd
+
+    local = embeddings.map_batches(local_topk, batch_format="pyarrow")
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cosine", id_col], ascending=[False, True]).head(k)
+        g = g.copy()
+        g["cosine"] = round_half_away(g["cosine"].to_numpy(), 6)
+        g["rank"] = range(1, len(g) + 1)
+        return g
+
+    return local.groupby("query_idx").map_groups(merge, batch_format="pandas")
+
+
+def lsh_topk(
+    embeddings,
+    query_vectors: np.ndarray,
+    k: int = 10,
+    n_planes: int = 12,
+    max_hamming: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 11,
+):
+    """LSH-bucketed cosine top-k: corpus vectors hash to sign buckets of
+    ``n_planes`` random hyperplanes (one matmul per batch, no training);
+    each query scores only vectors whose bucket differs from the query's
+    bucket by <= ``max_hamming`` bits (multiprobe). Candidate fraction
+    ~= sum_{i<=h} C(n,i)/2^n (n=12, h=2: ~1.9%), recall grows with
+    max_hamming; measured vs brute force in tests. Approximate by
+    construction — rows-only driver check."""
+    import ray
+
+    q = np.asarray(query_vectors, dtype=np.float64)
+    dim = q.shape[1]
+    planes = np.random.default_rng(seed).standard_normal((dim, n_planes))
+    weights = (1 << np.arange(n_planes)).astype(np.int64)
+
+    def bucket_of(m: np.ndarray) -> np.ndarray:
+        return ((m @ planes) >= 0) @ weights
+
+    q_buckets = bucket_of(q)
+    # popcount table for n_planes-bit xor values (tiny: 4096 entries)
+    pop = np.array([bin(i).count("1") for i in range(1 << n_planes)], dtype=np.int8)
+    refs = ray.put((q, q_buckets, planes, weights, pop))
+
+    def local_topk(b: pa.Table) -> pa.Table:
+        qm, qb, pl, w, popc = ray.get(refs)
+        ids = np.asarray(b[id_col].to_pylist())
+        m = _to_matrix(b[vec_col].to_pylist())
+        cb = ((m @ pl) >= 0) @ w
+        out = {"query_idx": [], id_col: [], "cosine": []}
+        for qi in range(qm.shape[0]):
+            mask = popc[np.bitwise_xor(cb, qb[qi])] <= max_hamming
+            if not mask.any():
+                continue
+            idx, scores = cosine_topk(qm[qi : qi + 1], m[mask], k)
+            sub_ids = ids[mask]
+            out["query_idx"].extend([qi] * idx.shape[1])
+            out[id_col].extend(sub_ids[idx[0]].tolist())
+            out["cosine"].extend(scores[0].tolist())
         return pa.table(
             {
                 "query_idx": pa.array(out["query_idx"], pa.int32()),

@@ -413,3 +413,50 @@ def test_langid_vectorized_matches_scalar(ray_session):
         lang, score = lang_id(t)
         assert out.loc[i, "lang_pred"] == lang, (i, t[:40])
         assert out.loc[i, "lang_score"] == round_half_away(score, 6), (i, t[:40])
+
+
+def test_ann_lsh_recall_vs_brute(emb):
+    """LSH-bucketed ANN. Two properties: (1) a query that IS a corpus
+    vector always recalls itself at rank 1 (hamming 0 to its own bucket);
+    (2) PLANTED angular clusters are recalled — random high-dim embeddings
+    have no angular structure, so raw recall vs brute force is the wrong
+    yardstick there (reported, low bar), but true near-neighbors share
+    buckets with high probability."""
+    import pyarrow.parquet as pq
+
+    from high_performance_parallel_search_engine_ray.pipelines.ann import (
+        brute_force_topk,
+        lsh_topk,
+    )
+
+    t = pq.read_table(f"{SF}/embeddings.parquet")
+    d = {v: e for v, e in zip(t["vec_id"].to_pylist(), t["embedding"].to_pylist())}
+    q = np.array([d[i] for i in range(5)], dtype=np.float64)
+    bf = brute_force_topk(emb, q, k=10).to_pandas()
+    ls = lsh_topk(emb, q, k=10, n_planes=12, max_hamming=3).to_pandas()
+    for qi in range(5):
+        top1 = ls[(ls.query_idx == qi) & (ls["rank"] == 1)]
+        assert len(top1) == 1 and abs(top1["cosine"].iloc[0] - 1.0) < 1e-9
+    recalls = []
+    for qi in range(5):
+        b = set(bf[bf.query_idx == qi]["vec_id"])
+        recalls.append(len(b & set(ls[ls.query_idx == qi]["vec_id"])) / len(b))
+    assert np.mean(recalls) >= 0.1  # unstructured corpus; ~2% scored/query
+
+    # planted clusters: 5 centers x 6 near-copies -> near-copies recalled
+    rng = np.random.default_rng(5)
+    rows, q2 = [], []
+    for c in range(5):
+        base = rng.standard_normal(32)
+        q2.append(base)
+        for j in range(6):
+            v = base + 0.02 * rng.standard_normal(32)
+            rows.append({"vec_id": c * 10 + j, "embedding": v.tolist()})
+    for i in range(300):  # background noise
+        rows.append({"vec_id": 1000 + i, "embedding": rng.standard_normal(32).tolist()})
+    ds = rd.from_items(rows)
+    out = lsh_topk(ds, np.array(q2), k=6, n_planes=12, max_hamming=2).to_pandas()
+    for c in range(5):
+        got = set(out[out.query_idx == c]["vec_id"])
+        planted = {c * 10 + j for j in range(6)}
+        assert len(got & planted) >= 5, (c, got)
