@@ -21,11 +21,20 @@ splitting). Each round:
 
   release (politeness window)      -> per-shard frontier Arrow tables
   persistent fetch actors (bucket-routed; see _spawn_fetchers) -> links +
-                                      outcomes; docs written per-round
-  direct object-store shuffle      -> every shard actor selects its rows
-                                      from the fetcher outputs and admits
-                                      in discovery order (admit_tables)
-  checkpoint: shard snapshots + metrics + manifest (atomic rename)
+                                      outcomes, returned as
+                                      fetch_slice_groups contiguous
+                                      shard-range slices (separate plasma
+                                      objects; a partitioned exchange —
+                                      set groups to node count on a
+                                      cluster); docs written per-round
+  direct object-store shuffle      -> each shard actor reads its group's
+                                      slices and admits in discovery
+                                      order (admit_tables); the exact
+                                      seen-store spills sorted runs to
+                                      disk past seen_memory_cap
+                                      (state/seenset.py)
+  checkpoint: seen-run compaction + shard snapshots + metrics + manifest
+              (atomic rename), then LSM-style GC of obsolete seen runs
 
 The inner loop deliberately uses actors + the object store instead of
 per-round Dataset executions: a BFS frontier is a feedback loop (round N's

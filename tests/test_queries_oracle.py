@@ -92,7 +92,12 @@ def test_entry_smoke(ray_session):
     assert "score" in df.columns
 
 
-JOIN_QUERIES = ["top_revenue_orders", "region_nation_revenue", "top_customers"]
+JOIN_QUERIES = [
+    "top_revenue_orders",
+    "region_nation_revenue",
+    "top_customers",
+    "orders_above_cust_avg",
+]
 
 
 @pytest.mark.parametrize("name", JOIN_QUERIES)
