@@ -274,6 +274,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_above_cust_avg": relational.orders_above_cust_avg,
         "distinct_users_daily": relational.distinct_users_daily,
         "kmv_distinct_users": relational.kmv_distinct_users,
+        "events_nearby_counts": relational.events_nearby_counts,
         # search-engine path (tokenize/index/rank)
         "term_doc_tf": tf_table,
         "doc_lengths": dl_table,
@@ -468,6 +469,16 @@ LIMIT 50
 SELECT date_trunc('day', ts) AS day,
        count(DISTINCT user_id) AS n_users
 FROM events GROUP BY 1
+""",
+        "events_nearby_counts": """
+SELECT e1.event_id, e1.user_id,
+       count(e2.event_id) AS n_nearby
+FROM events e1
+LEFT JOIN events e2
+  ON e2.user_id = e1.user_id
+ AND e2.event_id <> e1.event_id
+ AND abs(epoch(e2.ts) - epoch(e1.ts)) <= 300
+GROUP BY e1.event_id, e1.user_id
 """,
         "top_events_per_user": """
 WITH ranked AS (

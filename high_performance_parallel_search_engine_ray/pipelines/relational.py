@@ -887,3 +887,31 @@ def kmv_distinct_users(sf_dir: str, k: int = 1024):
             "is_exact": pa.array([exact], pa.bool_()),
         }
     )
+
+
+# -- range join: events within a time window of each other -------------------
+
+def events_nearby_counts(sf_dir: str, window_s: int = 300):
+    """Per event: how many OTHER events of the same user fall within
+    ±window_s seconds — the RANGE-JOIN pattern. Expressed as ordered
+    per-user groups with a vectorized two-pointer (np.searchsorted over the
+    sorted timestamp array), so the per-group cost is O(n log n) instead of
+    the oracle's O(n^2) self-join. Partitioning assumption: one user's
+    events fit one group (same as sessionize)."""
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def nearby(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        w = window_s * 1_000_000
+        lo = np.searchsorted(ts, ts - w, side="left")
+        hi = np.searchsorted(ts, ts + w, side="right")
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy(),
+                "user_id": g["user_id"].to_numpy(),
+                "n_nearby": (hi - lo - 1).astype(np.int64),
+            }
+        )
+
+    return ev.groupby("user_id").map_groups(nearby, batch_format="pandas")
