@@ -56,3 +56,39 @@ def test_normalize_url_matches_compiled_c(ref_normalize_url_bin, url):
         check=True,
     ).stdout.decode().split("\n")[0]
     assert normalize_url(url) == want
+
+
+# -- SeenSet vs model set (spill-backed exact store) -------------------------
+
+@settings(max_examples=60, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    st.lists(
+        st.tuples(st.sampled_from(["add", "probe"]), st.integers(0, 120)),
+        min_size=1,
+        max_size=200,
+    ),
+    st.integers(2, 40),
+)
+def test_seenset_matches_model_set(tmp_path_factory, ops, cap):
+    """Random interleavings of add/probe against a model set: the
+    spill-backed store must answer identically at every step, across any
+    spill boundary the cap induces, and after a state round-trip."""
+    from high_performance_parallel_search_engine_ray.state.seenset import SeenSet
+
+    d = tmp_path_factory.mktemp("seen_prop")
+    s = SeenSet(spill_dir=str(d), memory_cap=cap)
+    model: set[str] = set()
+    for op, i in ops:
+        u = f"https://h{i % 7}.example.org/p/{i}"
+        if op == "add":
+            if u not in s:
+                s.add(u)
+            model.add(u)
+        else:
+            assert (u in s) == (u in model)
+        assert len(s) == len(model)
+    restored = SeenSet.from_state(s.to_state())
+    assert set(restored) == model
+    for i in range(130):
+        u = f"https://h{i % 7}.example.org/p/{i}"
+        assert (u in restored) == (u in model)
