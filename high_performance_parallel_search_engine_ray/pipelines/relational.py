@@ -397,6 +397,41 @@ def events_hourly(sf_dir: str):
     return _round_cols(agg, {"sum_value": 6})
 
 
+# -- partition-grouped per-entity processing ---------------------------------
+
+# Per-entity map_groups (one pandas call per user/customer) pays Ray's
+# ~1-2 ms-per-group setup — billions of entities at design scale makes that
+# the dominant cost (same lesson as the LSH stages in pipelines/dedup.py).
+# These helpers group by a BOUNDED hash partition instead and vectorize over
+# ALL entities of the partition inside one pandas/numpy call.
+_ENTITY_PARTS = 64
+
+
+def _with_part(ds, key: str):
+    """Append part = hash(key) % _ENTITY_PARTS (deterministic fixed-key
+    siphash via pd.util.hash_array; works for int and string keys)."""
+
+    def add_part(b: pa.Table) -> pa.Table:
+        part = (
+            pd.util.hash_array(
+                b[key].to_numpy(zero_copy_only=False), categorize=False
+            )
+            % _ENTITY_PARTS
+        ).astype(np.int32)
+        return b.append_column("part", pa.array(part))
+
+    return ds.map_batches(add_part, batch_format="pyarrow")
+
+
+def _by_partition(ds, key: str, part_fn):
+    """groupby(bounded partition).map_groups(part_fn) — part_fn sees every
+    entity of its partition at once (sorted by caller) and must drop the
+    'part' column from its output."""
+    return _with_part(ds, key).groupby("part").map_groups(
+        part_fn, batch_format="pandas"
+    )
+
+
 # -- events: per-user stats -------------------------------------------------
 
 def user_stats(sf_dir: str):
@@ -432,25 +467,37 @@ def user_stats(sf_dir: str):
 def sessionize(sf_dir: str, gap_minutes: int = 30):
     """Per user: number of sessions and largest session (event count), where
     a new session starts when the gap to the previous event exceeds
-    ``gap_minutes``. Ordered-group processing via groupby().map_groups —
-    Ray Data's streaming-window idiom (no watermarks; the oracle is a SQL
-    window over lag())."""
+    ``gap_minutes``. Partition-grouped streaming-window idiom: every user
+    of a partition is processed in ONE vectorized pass (sort by (user, ts),
+    session starts = user boundary OR gap, session ids by cumsum, per-user
+    rollup via a C-speed pandas groupby) — no per-user pandas call. The
+    oracle is a SQL window over lag()."""
     ev = _read(sf_dir, "events", ["user_id", "ts"])
+    gap_us = gap_minutes * 60 * 1_000_000
 
-    def sess(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("ts")
-        gaps = g["ts"].diff().dt.total_seconds().fillna(0.0)
-        new_sess = (gaps > gap_minutes * 60).cumsum()
-        sizes = new_sess.value_counts()
+    def sess_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts"], kind="stable")
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        users = g["user_id"].to_numpy()
+        new_user = np.empty(len(g), dtype=bool)
+        new_user[0] = True
+        new_user[1:] = users[1:] != users[:-1]
+        gap = np.empty(len(g), dtype=np.int64)
+        gap[0] = 0
+        gap[1:] = ts[1:] - ts[:-1]
+        sess_id = np.cumsum(new_user | (gap > gap_us))
+        df = pd.DataFrame({"user_id": users, "sess_id": sess_id})
+        sizes = df.groupby(["user_id", "sess_id"], sort=False).size()
+        out = sizes.groupby(level=0, sort=False).agg(["count", "max"])
         return pd.DataFrame(
             {
-                "user_id": [g["user_id"].iloc[0]],
-                "n_sessions": [int(new_sess.nunique())],
-                "max_session_events": [int(sizes.max())],
+                "user_id": out.index.to_numpy(),
+                "n_sessions": out["count"].to_numpy().astype(np.int64),
+                "max_session_events": out["max"].to_numpy().astype(np.int64),
             }
         )
 
-    return ev.groupby("user_id").map_groups(sess, batch_format="pandas")
+    return _by_partition(ev, "user_id", sess_part)
 
 
 # -- running totals per customer (window function analog) -------------------
@@ -463,12 +510,20 @@ def running_order_totals(sf_dir: str, max_customers: int = 200):
         sf_dir, "orders", ["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"]
     ).filter(expr=f"o_custkey < {max_customers}")
 
-    def running(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["o_orderdate", "o_orderkey"]).copy()
-        g["running_total"] = round_half_away(g["o_totalprice"].cumsum().to_numpy(), 6)
-        return g[["o_custkey", "o_orderkey", "running_total"]]
+    def running_part(g: pd.DataFrame) -> pd.DataFrame:
+        # all customers of the partition in one pass: per-customer cumsum
+        # via the C-speed pandas groupby (no per-customer call)
+        g = g.sort_values(["o_custkey", "o_orderdate", "o_orderkey"], kind="stable")
+        rt = g.groupby("o_custkey", sort=False)["o_totalprice"].cumsum()
+        return pd.DataFrame(
+            {
+                "o_custkey": g["o_custkey"].to_numpy(),
+                "o_orderkey": g["o_orderkey"].to_numpy(),
+                "running_total": round_half_away(rt.to_numpy(), 6),
+            }
+        )
 
-    return orders.groupby("o_custkey").map_groups(running, batch_format="pandas")
+    return _by_partition(orders, "o_custkey", running_part)
 
 
 # -- simple scans / distinct / counts ---------------------------------------
@@ -607,13 +662,19 @@ def top_events_per_user(sf_dir: str, k: int = 3):
     pattern as groupby().map_groups (deterministic tie-break event_id)."""
     ev = _read(sf_dir, "events", ["user_id", "event_id", "value"])
 
-    def topk(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["value", "event_id"], ascending=[False, True]).head(k)
+    def topk_part(g: pd.DataFrame) -> pd.DataFrame:
+        # all users of the partition in one sort; per-user head(k) + rank
+        # via cumcount (C-speed groupby, no per-user pandas call)
+        g = g.sort_values(
+            ["user_id", "value", "event_id"], ascending=[True, False, True],
+            kind="stable",
+        )
         g = g.copy()
-        g["rank"] = range(1, len(g) + 1)
+        g["rank"] = g.groupby("user_id", sort=False).cumcount() + 1
+        g = g[g["rank"] <= k]
         return g[["user_id", "event_id", "value", "rank"]]
 
-    return ev.groupby("user_id").map_groups(topk, batch_format="pandas")
+    return _by_partition(ev, "user_id", topk_part)
 
 
 # -- sliding window over events ---------------------------------------------
@@ -679,20 +740,32 @@ def events_asof_signup(sf_dir: str):
 
     epoch = pd.Timestamp("1970-01-01")
 
-    def asof(g: pd.DataFrame) -> pd.DataFrame:
-        # signup rows sort BEFORE other events at an equal ts so the ffill
-        # sees them — the oracle's `s.ts <= e.ts` includes same-instant
-        # signups regardless of event_id order.
+    def asof_part(g: pd.DataFrame) -> pd.DataFrame:
+        # all users of the partition in one pass. Signup rows sort BEFORE
+        # other events at an equal ts so the ffill sees them — the oracle's
+        # `s.ts <= e.ts` includes same-instant signups regardless of
+        # event_id order. The ffill is global over the (user, ts)-sorted
+        # frame but masked to reset at user boundaries.
         g = g.copy()
         g["_not_signup"] = (g["event_type"] != "signup").astype(int)
-        g = g.sort_values(["ts", "_not_signup", "event_id"])
+        g = g.sort_values(["user_id", "ts", "_not_signup", "event_id"],
+                          kind="stable")
         sign_ts = g["ts"].where(g["event_type"] == "signup")
+        filled = sign_ts.ffill()
+        # reset per user: positions before a user's first signup must not
+        # inherit the previous user's fill
+        users = g["user_id"].to_numpy()
+        has_signup = (
+            (g["event_type"] == "signup").groupby(users, sort=False).cummax()
+        )
         # no-signup-yet -> epoch sentinel (nulls hash inconsistently across
         # engines; the oracle COALESCEs identically)
-        g["last_signup_ts"] = sign_ts.ffill().fillna(epoch)
+        g["last_signup_ts"] = filled.where(
+            has_signup.to_numpy(), other=epoch
+        ).fillna(epoch)
         return g[["event_id", "user_id", "last_signup_ts"]]
 
-    return ev.groupby("user_id").map_groups(asof, batch_format="pandas")
+    return _by_partition(ev, "user_id", asof_part)
 
 
 # -- lineitem monthly shipping summary (Q12-ish temporal rollup) -------------
@@ -900,12 +973,20 @@ def events_nearby_counts(sf_dir: str, window_s: int = 300):
     events fit one group (same as sessionize)."""
     ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
 
-    def nearby(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
+    def nearby_part(g: pd.DataFrame) -> pd.DataFrame:
+        # all users of the partition in ONE searchsorted pair: remap each
+        # user's timestamps onto a disjoint segment of the number line
+        # (user_index * stride, stride > span + window), so windows can
+        # never cross users and no per-user loop is needed
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
         ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
         w = window_s * 1_000_000
-        lo = np.searchsorted(ts, ts - w, side="left")
-        hi = np.searchsorted(ts, ts + w, side="right")
+        codes, _ = pd.factorize(g["user_id"].to_numpy(), sort=False)
+        ts0 = ts - ts.min()
+        stride = int(ts0.max()) + 2 * w + 2
+        virt = codes.astype(np.int64) * stride + ts0
+        lo = np.searchsorted(virt, virt - w, side="left")
+        hi = np.searchsorted(virt, virt + w, side="right")
         return pd.DataFrame(
             {
                 "event_id": g["event_id"].to_numpy(),
@@ -914,4 +995,4 @@ def events_nearby_counts(sf_dir: str, window_s: int = 300):
             }
         )
 
-    return ev.groupby("user_id").map_groups(nearby, batch_format="pandas")
+    return _by_partition(ev, "user_id", nearby_part)

@@ -460,3 +460,57 @@ def test_ann_lsh_recall_vs_brute(emb):
         got = set(out[out.query_idx == c]["vec_id"])
         planted = {c * 10 + j for j in range(6)}
         assert len(got & planted) >= 5, (c, got)
+
+
+def test_asof_partitioned_ffill_resets_across_users(ray_session, tmp_path):
+    """The partition-grouped as-of join processes MANY users in one frame:
+    a user whose early events precede their first signup must get the epoch
+    sentinel, never the previous user's forward-filled signup ts. Also
+    pins the same-instant-signup rule (signup at ts == event ts counts)."""
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from high_performance_parallel_search_engine_ray.pipelines.relational import (
+        events_asof_signup,
+    )
+
+    t0 = pd.Timestamp("2024-01-01")
+    rows = []
+    eid = 0
+    for u in range(40):  # enough users that partitions hold several each
+        for j, (off, etype) in enumerate(
+            [(0, "click"), (60, "signup"), (120, "click"), (120, "signup"),
+             (180, "view")]
+        ):
+            rows.append(
+                {"event_id": eid, "user_id": u,
+                 "ts": t0 + pd.Timedelta(seconds=off + u),  # interleave users
+                 "event_type": etype, "value": 0.0, "props": "{}"}
+            )
+            eid += 1
+    df = pd.DataFrame(rows)
+    pq.write_table(pa.Table.from_pandas(df), str(tmp_path / "events.parquet"))
+
+    got = (
+        events_asof_signup(str(tmp_path))
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{tmp_path}/events.parquet'")
+    want = con.execute("""
+        SELECT e.event_id, e.user_id,
+               coalesce(max(s.ts), TIMESTAMP '1970-01-01') AS last_signup_ts
+        FROM events e
+        LEFT JOIN events s ON s.user_id = e.user_id
+         AND s.event_type = 'signup' AND s.ts <= e.ts
+        GROUP BY e.event_id, e.user_id
+        ORDER BY e.event_id
+    """).fetchdf()
+    assert (got["last_signup_ts"].to_numpy() == want["last_signup_ts"].to_numpy()).all()
+    # each user's first event (before any signup) got the epoch sentinel
+    firsts = got[got["event_id"] % 5 == 0]
+    assert (firsts["last_signup_ts"] == pd.Timestamp("1970-01-01")).all()
