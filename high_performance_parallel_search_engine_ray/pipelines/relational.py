@@ -32,6 +32,13 @@ def _read(sf_dir: str, table: str, columns=None):
     return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
+def _table_rows(sf_dir: str, table: str) -> int:
+    """Row count from parquet footer metadata — no data read."""
+    import pyarrow.parquet as pq
+
+    return pq.read_metadata(f"{sf_dir}/{table}.parquet").num_rows
+
+
 # Build sides at or below this row count broadcast (bounded driver pull +
 # ray.put once); above it they hash-shuffle join. Tests set this to 0 to
 # force the shuffle path (scale-path equivalence).
@@ -47,6 +54,7 @@ def _attach_or_join(
     npart: int,
     broadcast_threshold: int | None = None,
     launder_fact: bool = False,
+    dim_count_hint: int | None = None,
 ):
     """Cost-based inner join of ``dim`` (unique ``dim_key`` + ``value_cols``)
     onto ``fact``: broadcast when the build side is provably small, hash
@@ -68,8 +76,14 @@ def _attach_or_join(
     """
     if broadcast_threshold is None:
         broadcast_threshold = BROADCAST_THRESHOLD
-    dim = dim.materialize()
-    if dim.count() <= broadcast_threshold:
+    if dim_count_hint is None:
+        # derived dims are consumed twice (count + pull/join) -> pin blocks
+        dim = dim.materialize()
+        n_dim = dim.count()
+    else:
+        # caller knows the size (parquet footer metadata) -> single pass
+        n_dim = dim_count_hint
+    if n_dim <= broadcast_threshold:
         pdf = dim.to_pandas()
         keys = pdf[dim_key].to_numpy()
         order = np.argsort(keys, kind="stable")
@@ -352,7 +366,7 @@ def top_customers(sf_dir: str, k: int = 10):
     cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
     joined = _attach_or_join(
         agg, "o_custkey", cust, "c_custkey", ["c_name"], npart,
-        launder_fact=True,
+        launder_fact=True, dim_count_hint=_table_rows(sf_dir, "customer"),
     )
 
     def finalize(b: pa.Table) -> pa.Table:
@@ -555,36 +569,46 @@ def high_value_orders(sf_dir: str, min_price: float = 400000.0, k: int = 20):
 
 
 def supplier_part_join(sf_dir: str):
-    """Broadcast join: per supplier nation, count of distinct part brands
-    supplied (via lineitem l_partkey/l_suppkey)."""
-    sup = {
-        r["s_suppkey"]: r["s_nationkey"]
-        for r in _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).take_all()
-    }
-    brand = {
-        r["p_partkey"]: r["p_brand"]
-        for r in _read(sf_dir, "part", ["p_partkey", "p_brand"]).take_all()
-    }
+    """Per supplier nation, count of distinct part brands supplied (via
+    lineitem l_partkey/l_suppkey). nation is a TRUE dimension (25 rows,
+    broadcast dict); supplier and part are fact-scale at high SF, so both
+    lookups go through _attach_or_join (bounded broadcast here, hash
+    shuffle past the threshold)."""
     nat = {
         r["n_nationkey"]: r["n_name"] for r in _read(sf_dir, "nation").take_all()
     }
-    refs = ray.put((sup, brand, nat))
+    nat_ref = ray.put(nat)
+    npart = _join_partitions(n_joins=2)
 
     li = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+    li = _attach_or_join(
+        li, "l_suppkey",
+        _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]),
+        "s_suppkey", ["s_nationkey"], npart,
+        dim_count_hint=_table_rows(sf_dir, "supplier"),
+    )
+    li = _attach_or_join(
+        li, "l_partkey",
+        _read(sf_dir, "part", ["p_partkey", "p_brand"]),
+        "p_partkey", ["p_brand"], npart,
+        dim_count_hint=_table_rows(sf_dir, "part"),
+    )
 
     def attach(b: pa.Table) -> pa.Table:
-        s, p, n = ray.get(refs)
-        nations = [n[s[x]] for x in b["l_suppkey"].to_pylist()]
-        brands = [p[x] for x in b["l_partkey"].to_pylist()]
+        n = ray.get(nat_ref)
+        nations = [n[x] for x in b["s_nationkey"].to_pylist()]
         t = pa.table(
-            {"n_name": pa.array(nations, pa.string()), "p_brand": pa.array(brands, pa.string())}
+            {"n_name": pa.array(nations, pa.string()), "p_brand": b["p_brand"]}
         )
         # in-batch distinct before the shuffle
         return t.group_by(["n_name", "p_brand"]).aggregate([])
 
     from ray.data.aggregate import Count
 
-    pairs = li.map_batches(attach, batch_format="pyarrow")
+    pairs = li.map_batches(
+        lambda b: attach(b.select(["s_nationkey", "p_brand"])),
+        batch_format="pyarrow",
+    )
     # in-batch distinct above -> tiny groupby dedupes globally -> count per
     # nation. Two cheap shuffles over distinct pairs, no pandas per group.
     distinct_pairs = pairs.groupby(["n_name", "p_brand"]).aggregate(
