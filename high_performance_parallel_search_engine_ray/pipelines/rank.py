@@ -163,13 +163,26 @@ def expand_query_terms(qterms: list[str], known_terms: set[str]) -> list[str]:
 def bm25_topk_expanded(
     docs, query: str, k: int = 10, id_col: str = "doc_id", text_col: str = "text"
 ):
-    """BM25 with the OpenMP plural/singular term-expansion semi-join: the
-    known-term set is the (small) distinct-term aggregate, broadcast to
-    expand the query before scoring. The tokenize pass is shared: tf is
-    materialized once and reused for both the known-term set and scoring."""
+    """BM25 with the OpenMP plural/singular term-expansion semi-join. The
+    index-side probe only touches the CANDIDATE expansions (each query term
+    t, t+'s', t[:-1] — a 3|q|-element set), not the whole vocabulary: at
+    100 TB the distinct-term domain is GBs, the candidate probe is bytes.
+    The tokenize pass is shared: tf is materialized once and reused for
+    the existence probe and scoring."""
     tf = term_doc_tf(docs, id_col, text_col).materialize()
     qterms = tokenize_query(query)
-    known = set(tf.unique("term"))
+    cands: set[str] = set()
+    for t in qterms:
+        cands.update((t, t + "s", t[:-1] if len(t) > 1 else t))
+    cand_arr = pa.array(sorted(cands))
+    known = set(
+        tf.map_batches(
+            lambda b: b.filter(pc.is_in(b["term"], value_set=cand_arr)).select(
+                ["term"]
+            ),
+            batch_format="pyarrow",
+        ).unique("term")
+    )
     expanded = expand_query_terms(qterms, known)
     return bm25_topk(docs, " ".join(expanded), k, id_col, text_col, tf=tf)
 
