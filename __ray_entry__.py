@@ -292,6 +292,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprints": fingerprints,
         # dedup family
         "dedup_exact": lambda sf: dedup.exact_dedup(_docs(sf)),
+        "dedup_keep_first": lambda sf: dedup.dedup_keep_first(_docs(sf)),
         "ngram_jaccard_pairs": jaccard_pairs,
         "minhash_lsh_pairs": minhash_pairs,
         "simhash_signatures": simhash_sigs,
@@ -436,6 +437,10 @@ FROM events GROUP BY event_type
 SELECT n_nationkey, n_name FROM nation
 WHERE n_nationkey IN (SELECT c_nationkey FROM customer)
   AND n_nationkey IN (SELECT s_nationkey FROM supplier)
+""",
+        "dedup_keep_first": """
+SELECT doc_id, text FROM documents
+WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)
 """,
         "shipping_monthly": """
 SELECT date_trunc('month', l_shipdate) AS ship_month,

@@ -55,6 +55,29 @@ def exact_dedup(docs, id_col: str = "doc_id", text_col: str = "text"):
     )
 
 
+def dedup_keep_first(docs, id_col: str = "doc_id", text_col: str = "text"):
+    """The filtering counterpart of exact_dedup: returns the docs Dataset
+    with exact duplicates removed, keeping the min-id copy of each distinct
+    text. Dataflow: hash-only keeper table (md5, min id) -> hash-shuffle
+    semi-join back onto the docs by id — the text column never enters a
+    shuffle, and nothing reaches the driver. This is the operator a
+    training-data pipeline actually applies before tokenization."""
+    import ray
+
+    keepers = exact_dedup(docs, id_col, text_col).map_batches(
+        lambda b: b.select(["keeper_doc_id"]).rename_columns(["__keep_id"]),
+        batch_format="pyarrow",
+    )
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    npart = max(2, cpus // 2)
+    # keeper table is an aggregate output -> launder through repartition
+    # (Acero rejects empty no-schema hash partitions; see relational.py)
+    return docs.join(
+        keepers.repartition(npart), join_type="inner", num_partitions=npart,
+        on=(id_col,), right_on=("__keep_id",),
+    )
+
+
 def minhash_lsh_pairs(
     docs,
     id_col: str = "doc_id",

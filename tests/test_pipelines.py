@@ -514,3 +514,20 @@ def test_asof_partitioned_ffill_resets_across_users(ray_session, tmp_path):
     # each user's first event (before any signup) got the epoch sentinel
     firsts = got[got["event_id"] % 5 == 0]
     assert (firsts["last_signup_ts"] == pd.Timestamp("1970-01-01")).all()
+
+
+def test_dedup_keep_first_filters_docs(ray_session):
+    from high_performance_parallel_search_engine_ray.pipelines.dedup import (
+        dedup_keep_first,
+    )
+
+    rows = [
+        {"doc_id": 5, "text": "aaa"},
+        {"doc_id": 2, "text": "aaa"},   # dup of 5 -> keeper is 2 (min id)
+        {"doc_id": 3, "text": "bbb"},
+        {"doc_id": 9, "text": "aaa"},   # another dup
+        {"doc_id": 7, "text": "ccc"},
+    ]
+    out = dedup_keep_first(rd.from_items(rows)).to_pandas()
+    assert sorted(out["doc_id"]) == [2, 3, 7]
+    assert sorted(out["text"]) == ["aaa", "bbb", "ccc"]
