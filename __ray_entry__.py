@@ -83,6 +83,7 @@ def entry() -> Any:
 def queries() -> dict[str, Callable[[str], Any]]:
     from high_performance_parallel_search_engine_ray.pipelines import (
         ann,
+        curate,
         dedup,
         index,
         multimodal,
@@ -192,6 +193,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def media_frames(sf_dir):
         return multimodal.media_frame_samples(_docs(sf_dir))
 
+    def curation(sf_dir):
+        # flagship composition: exact dedup -> near-dup removal -> quality+
+        # lang gates -> token accounting; returns compact per-doc output
+        curated, _stats = curate.curate_corpus(_docs(sf_dir))
+        return curated.map_batches(
+            lambda b: b.select(["doc_id", "n_ws_tokens", "n_bpeish_tokens"]),
+            batch_format="pyarrow",
+        )
+
     def crawl_smoke(sf_dir):
         # Sharded frontier crawl over the deterministic synthetic web
         # (sf_dir-independent; the crawl's own corpus is the input contract).
@@ -293,6 +303,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # dedup family
         "dedup_exact": lambda sf: dedup.exact_dedup(_docs(sf)),
         "dedup_keep_first": lambda sf: dedup.dedup_keep_first(_docs(sf)),
+        "curation_pipeline": curation,
         "ngram_jaccard_pairs": jaccard_pairs,
         "minhash_lsh_pairs": minhash_pairs,
         "simhash_signatures": simhash_sigs,

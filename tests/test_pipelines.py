@@ -531,3 +531,47 @@ def test_dedup_keep_first_filters_docs(ray_session):
     out = dedup_keep_first(rd.from_items(rows)).to_pandas()
     assert sorted(out["doc_id"]) == [2, 3, 7]
     assert sorted(out["text"]) == ["aaa", "bbb", "ccc"]
+
+
+def test_curation_pipeline_stage_gates(ray_session):
+    """Flagship curation composition: each gate drops exactly the planted
+    offender — exact dup, near dup, too short, digit-heavy, non-English —
+    and stats report per-stage yields."""
+    from high_performance_parallel_search_engine_ray.pipelines.curate import (
+        curate_corpus,
+    )
+
+    base = ("the cat sat on the mat and it was there for a while watching "
+            "the garden in the afternoon light with all of the patience of cats")
+    near = base.replace("afternoon", "evening")
+    rows = [
+        {"doc_id": 1, "text": base},                      # survivor
+        {"doc_id": 2, "text": base},                      # exact dup -> dropped
+        {"doc_id": 3, "text": near},                      # near dup -> dropped
+        {"doc_id": 4, "text": "too short"},               # min_chars gate
+        {"doc_id": 5, "text": "12345 67890 " * 20},       # digit-ratio gate
+        {"doc_id": 6, "text": "der hund ist nicht auf der matte und das ist "
+                              "auch gut so weil er lieber drau im garten ist "
+                              "wo die sonne scheint"},    # language gate
+        {"doc_id": 7, "text": "it is a truth universally acknowledged that a "
+                              "reader in possession of the right corpus must "
+                              "be in want of a tokenizer for all of it"},  # survivor
+    ]
+    curated, stats = curate_corpus(
+        rd.from_items(rows), jaccard_threshold=0.5, min_chars=32
+    )
+    out = curated.to_pandas().sort_values("doc_id")
+    assert list(out["doc_id"]) == [1, 7]
+    assert (out["n_ws_tokens"] > 10).all()
+    st = {r["stage"]: r["rows_out"] for r in stats.to_pylist()}
+    assert st["input"] == 7
+    assert st["exact_dedup"] == 6      # doc 2 gone
+    assert st["near_dedup"] == 5       # doc 3 gone
+    assert st["quality_lang_gate"] == 2
+
+    # anti-join drop path (scale mode) produces the identical corpus
+    curated2, _ = curate_corpus(
+        rd.from_items(rows), jaccard_threshold=0.5, min_chars=32,
+        drop_via_join=True,
+    )
+    assert sorted(curated2.to_pandas()["doc_id"]) == [1, 7]
