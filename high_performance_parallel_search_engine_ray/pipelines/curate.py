@@ -110,10 +110,12 @@ def curate_corpus(
     pairs = minhash_lsh_pairs(
         docs, id_col, text_col, jaccard_threshold=jaccard_threshold
     )
+    # pair-scale; materialized so both drop paths (unique pull / shuffle
+    # anti-join) read pinned blocks instead of re-running the LSH pipeline
     drop_ids = pairs.map_batches(
         lambda b: b.select(["doc_b"]).rename_columns(["__drop"]),
         batch_format="pyarrow",
-    )
+    ).materialize()
     if drop_via_join:
         # hash-shuffle ANTI-join (Ray 2.49's Dataset.join has no anti type
         # and its left_outer emits schema-inconsistent blocks): docs rows
