@@ -204,6 +204,38 @@ def cmd_compare(args) -> int:
     return 0
 
 
+def cmd_fetch_url(args) -> int:
+    """Single-URL fetch (reference `-u`, `Serial Version/src/main.c:54-68`:
+    download one page into the dataset/ directory). Here the page comes
+    from the simulated web (PageStore) and lands as the reference's
+    text-doc format: 'Source URL:' header + flat rendered text."""
+    import os as _os
+
+    from .functions.htmltext import get_medium_filename, html_to_events, render_flat
+    from .functions.urlnorm import normalize_url
+    from .sources.corpus import generate_corpus
+    from .stages.fetch import PageStore
+
+    corpus = args.corpus
+    if corpus in ("t1-smoke", "t2-correctness", "bench"):
+        corpus = generate_corpus(corpus, seed=42)
+    url = normalize_url(args.url)
+    page = PageStore(corpus).get(url)
+    if page is None or page[0] == -1:
+        print(json.dumps({"url": url, "error": "fetch failed"}))
+        return 1
+    _status, _ctype, html_b, _lat = page
+    html = html_b.decode("utf-8")
+    text = render_flat(html_to_events(html))
+    _os.makedirs(args.out, exist_ok=True)
+    fname = get_medium_filename(url, html)
+    path = _os.path.join(args.out, fname)
+    with open(path, "w") as f:
+        f.write(f"Source URL: {url}\n\n{text}")
+    print(json.dumps({"url": url, "file": path, "n_chars": len(text)}))
+    return 0
+
+
 def cmd_status(args) -> int:
     from .sources.io import read_manifest
 
@@ -261,6 +293,12 @@ def main(argv=None) -> int:
     pcm.add_argument("--cpus-a", type=int, default=2)
     pcm.add_argument("--cpus-b", type=int, default=4)
     pcm.set_defaults(fn=cmd_compare)
+
+    pf = sub.add_parser("fetch-url", help="fetch ONE url into the reference dataset/ format (-u analog)")
+    pf.add_argument("--url", required=True)
+    pf.add_argument("--corpus", default="t1-smoke")
+    pf.add_argument("--out", default="/tmp/hppse_dataset")
+    pf.set_defaults(fn=cmd_fetch_url)
 
     pst = sub.add_parser("status", help="show a crawl checkpoint manifest")
     pst.add_argument("--out", required=True)

@@ -130,3 +130,32 @@ def test_cli_compare_two_configs():
     assert d["config_a"]["pages_crawled"] == d["config_b"]["pages_crawled"]
     assert d["results_identical"] is True
     assert d["latency_speedup_b_over_a"] > 0
+
+
+def test_cli_fetch_url(tmp_path):
+    """-u analog: one page lands as the reference dataset format and is
+    readable back through the dataset reader."""
+    from high_performance_parallel_search_engine_ray.sources.textdocs import (
+        read_text_docs,
+    )
+
+    out = str(tmp_path / "ds")
+    r = subprocess.run(
+        [sys.executable, "-m", "high_performance_parallel_search_engine_ray",
+         "fetch-url", "--url", "https://hot.medium.com/article/a26",
+         "--corpus", "t1-smoke", "--out", out],
+        capture_output=True, text=True, check=True,
+    )
+    d = json.loads(r.stdout.strip().splitlines()[-1])
+    assert d["n_chars"] > 100
+    rows = read_text_docs(out).take_all()
+    assert len(rows) == 1
+    assert rows[0]["url"] == "https://hot.medium.com/article/a26"
+    # unknown URL -> nonzero exit
+    r2 = subprocess.run(
+        [sys.executable, "-m", "high_performance_parallel_search_engine_ray",
+         "fetch-url", "--url", "https://nope.example.org/x",
+         "--corpus", "t1-smoke", "--out", out],
+        capture_output=True, text=True,
+    )
+    assert r2.returncode == 1
