@@ -68,7 +68,6 @@ import time
 from dataclasses import dataclass, field
 
 import pyarrow as pa
-import pyarrow.parquet as pq
 import ray
 import ray.data as rd
 

@@ -23,7 +23,7 @@ from __future__ import annotations
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..functions.tokenize import MAX_TERM_LEN, SERIAL_DELIMS, STOPWORDS
+from ..functions.tokenize import MAX_TERM_LEN, STOPWORDS
 
 # Arrow re2 character class for the serial delimiter set.
 SERIAL_TOKEN_SPLIT_RE = "[ \t\n\r.,;:!?\"()\\[\\]{}<>]+"
