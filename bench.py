@@ -42,6 +42,7 @@ BENCH_QUERIES = [
     "quality_scores",
     "ann_brute_topk",
     # round-2 additions
+    "curation_pipeline",
     "simhash_dup_pairs",
     "shipping_monthly",
     "distinct_users_daily",
