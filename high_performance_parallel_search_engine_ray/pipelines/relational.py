@@ -134,6 +134,22 @@ def _agg_rename(t: pa.Table, mapping: dict[str, str]) -> pa.Table:
     return t.rename_columns([mapping.get(c, c) for c in t.column_names])
 
 
+def _cast_ts_us(ds, cols: list[str]):
+    """Normalize timestamp key columns to timestamp[us]: Ray's sort/groupby
+    path can downcast to [s], and while pandas compares Timestamps equal
+    across units, keeping the oracle's exact dtype removes a hash-compare
+    risk class."""
+
+    def cb(b: pa.Table) -> pa.Table:
+        for c in cols:
+            b = b.set_column(
+                b.schema.get_field_index(c), c, b[c].cast(pa.timestamp("us"))
+            )
+        return b
+
+    return ds.map_batches(cb, batch_format="pyarrow")
+
+
 def _round_cols(ds, spec: dict[str, int]):
     def rb(b: pa.Table) -> pa.Table:
         for col, nd in spec.items():
@@ -408,7 +424,7 @@ def events_hourly(sf_dir: str):
             Sum("n_events", alias_name="n_events"),
         )
     )
-    return _round_cols(agg, {"sum_value": 6})
+    return _cast_ts_us(_round_cols(agg, {"sum_value": 6}), ["hour"])
 
 
 # -- partition-grouped per-entity processing ---------------------------------
@@ -751,7 +767,7 @@ def events_sliding(sf_dir: str, window_min: int = 60, slide_min: int = 15):
             Sum("n_events", alias_name="n_events"),
         )
     )
-    return _round_cols(agg, {"sum_value": 6})
+    return _cast_ts_us(_round_cols(agg, {"sum_value": 6}), ["window_start"])
 
 
 # -- as-of join: last signup before each event ------------------------------
@@ -937,7 +953,9 @@ def distinct_users_daily(sf_dir: str):
 
     pairs = ev.map_batches(partial, batch_format="pyarrow")
     distinct = pairs.groupby(["day", "user_id"]).aggregate(Count(alias_name="_n"))
-    return distinct.groupby("day").aggregate(Count(alias_name="n_users"))
+    return _cast_ts_us(
+        distinct.groupby("day").aggregate(Count(alias_name="n_users")), ["day"]
+    )
 
 
 # -- KMV distinct-count sketch (approximate; mergeable) ----------------------
