@@ -188,10 +188,13 @@ def run_bench() -> dict:
     _rd.range(1000).map_batches(lambda b: b, batch_format="pyarrow").count()
 
     timings: dict[str, float] = {}
-    for name in BENCH_QUERIES:
-        t0 = time.perf_counter()
-        _consume(qs[name](SF_DIR))
-        timings[name] = round(time.perf_counter() - t0, 3)
+    if not os.environ.get("GRAFT_SCALING_CHILD"):
+        # scaling children only need the crawl figure; the 18-query suite
+        # would add ~2 min per child at low CPU counts for nothing
+        for name in BENCH_QUERIES:
+            t0 = time.perf_counter()
+            _consume(qs[name](SF_DIR))
+            timings[name] = round(time.perf_counter() - t0, 3)
 
     crawl = run_crawl_bench(NUM_CPUS)
     timings["crawl"] = crawl["sec"]
@@ -218,7 +221,7 @@ def run_scaling() -> dict:
     generate_corpus("bench", seed=42)
 
     def one(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SCALING_CHILD="1")
         # taskset pins the whole process tree to ncpu PHYSICAL cores:
         # num_cpus only caps Ray's scheduler bookkeeping, and zero-cpu
         # actors would otherwise spill onto all 32 cores, silently
