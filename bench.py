@@ -244,16 +244,20 @@ def run_scaling() -> dict:
     hi = int(os.environ.get("GRAFT_SCALE_HI", "16"))
     reps = int(os.environ.get("GRAFT_SCALE_REPS", "2"))
 
-    def best(ncpu: int) -> dict:
-        # best-of-reps: OS page-cache / writeback state varies run to run;
-        # the best run at each level is the comparable steady-state figure
-        runs = []
-        for _ in range(reps):
-            subprocess.run(["sync"], check=False)
-            runs.append(one(ncpu))
-        return max(runs, key=lambda r: r["crawl"]["pages_per_sec"])
-
-    r_lo, r_hi = best(lo), best(hi)
+    # best-of-reps with INTERLEAVED configs: OS page-cache / writeback
+    # state drifts over the session (each measured crawl writes GBs of
+    # docs), and running all-lo-then-all-hi lets that drift land entirely
+    # on one side of the ratio (observed: a hi side 15% under its
+    # clean-state figure). Alternating lo/hi pairs exposes both configs to
+    # the same states; best-of per config is the steady-state figure.
+    runs_lo, runs_hi = [], []
+    for _ in range(reps):
+        subprocess.run(["sync"], check=False)
+        runs_lo.append(one(lo))
+        subprocess.run(["sync"], check=False)
+        runs_hi.append(one(hi))
+    key = lambda r: r["crawl"]["pages_per_sec"]
+    r_lo, r_hi = max(runs_lo, key=key), max(runs_hi, key=key)
     thr_lo = r_lo["crawl"]["pages_per_sec"]
     thr_hi = r_hi["crawl"]["pages_per_sec"]
     eff = (thr_hi / thr_lo) / (hi / lo)
