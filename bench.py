@@ -242,7 +242,7 @@ def run_scaling() -> dict:
     # BASELINE.md. Override with GRAFT_SCALE_LO / GRAFT_SCALE_HI.
     lo = int(os.environ.get("GRAFT_SCALE_LO", "4"))
     hi = int(os.environ.get("GRAFT_SCALE_HI", "16"))
-    reps = int(os.environ.get("GRAFT_SCALE_REPS", "2"))
+    reps = int(os.environ.get("GRAFT_SCALE_REPS", "3"))
 
     # best-of-reps with INTERLEAVED configs: OS page-cache / writeback
     # state drifts over the session (each measured crawl writes GBs of
