@@ -159,3 +159,31 @@ def test_fetch_slice_groups_invariant(ray_session, smoke_corpus):
     _, seen_4, docs_4 = _run(smoke_corpus, "/tmp/t_slice4", fetch_slice_groups=4)
     assert seen_2 == seen_1 and docs_2 == docs_1
     assert seen_4 == seen_1 and docs_4 == docs_1
+
+
+def test_fetcher_death_recovers_via_resume(ray_session, smoke_corpus):
+    """Kill a fetch actor mid-crawl: the run fails fast (RayActorError
+    surfaces), and resume from the last checkpoint reaches the exact state
+    of an uninterrupted crawl — the designed recovery path for worker loss
+    on a fixed-size cluster."""
+    import ray
+
+    full, seen_full, docs_full = _run(smoke_corpus, "/tmp/t_kill_full")
+
+    eng = ShardedCrawl(_cfg(smoke_corpus, "/tmp/t_kill_mid", max_rounds=2))
+    eng.run()  # 2 rounds checkpointed
+    # keep going but kill a fetcher under the engine
+    eng2 = ShardedCrawl(_cfg(smoke_corpus, "/tmp/t_kill_mid"))
+    fetchers = eng._fetchers
+    eng.shutdown(keep_fetchers=True)
+    eng2.adopt_fetchers(fetchers)
+    ray.kill(fetchers[0])
+    with pytest.raises(Exception):
+        eng2.run(resume=True)
+    eng2.shutdown()
+
+    # fresh engine resumes from the last durable checkpoint
+    res, seen, docs = _run(smoke_corpus, "/tmp/t_kill_mid", resume=True)
+    assert seen == seen_full
+    assert docs == docs_full
+    assert res["pages_crawled"] == full["pages_crawled"]
