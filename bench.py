@@ -196,6 +196,20 @@ def run_bench() -> dict:
             _consume(qs[name](SF_DIR))
             timings[name] = round(time.perf_counter() - t0, 3)
 
+    if os.environ.get("GRAFT_BENCH_SKIP_CRAWL"):
+        # contract-test mode: query timings only (the bench-corpus crawl
+        # takes minutes and is covered by the default mode)
+        out = {
+            "metric": "query suite wall sec (crawl skipped via GRAFT_BENCH_SKIP_CRAWL)",
+            "value": round(sum(timings.values()), 3),
+            "unit": "sec",
+            "queries": timings,
+            "sf": SF_DIR,
+            "num_cpus": NUM_CPUS,
+        }
+        ray.shutdown()
+        return out
+
     crawl = run_crawl_bench(NUM_CPUS)
     timings["crawl"] = crawl["sec"]
 

@@ -1,6 +1,7 @@
 """CLI surface + reference text-doc format round-trip."""
 
 import json
+import os
 import subprocess
 import sys
 
@@ -159,3 +160,27 @@ def test_cli_fetch_url(tmp_path):
         capture_output=True, text=True,
     )
     assert r2.returncode == 1
+
+
+def test_bench_one_json_line_contract():
+    """The driver consumes bench.py's stdout as ONE JSON line with metric/
+    value/unit/queries/num_cpus keys; exercised at sf0.001 with the crawl
+    skipped (the crawl path is covered by the default bench mode)."""
+    env = dict(
+        os.environ,
+        GRAFT_SF_DIR="/root/testdata/sf0.001",
+        RAY_GRAFT_CPUS="4",
+        GRAFT_BENCH_SKIP_CRAWL="1",
+    )
+    r = subprocess.run(
+        [sys.executable, "bench.py"], capture_output=True, text=True,
+        check=True, cwd="/root/repo", env=env, timeout=400,
+    )
+    lines = [l for l in r.stdout.strip().splitlines() if l.strip()]
+    assert len(lines) == 1, f"stdout must be ONE JSON line, got {len(lines)}"
+    d = json.loads(lines[0])
+    for key in ("metric", "value", "unit", "queries", "num_cpus"):
+        assert key in d
+    assert d["unit"] == "sec" and d["value"] > 0
+    assert set(d["queries"]) >= {"pricing_summary", "bm25_hash_join",
+                                 "minhash_lsh_pairs", "curation_pipeline"}
