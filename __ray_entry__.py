@@ -298,6 +298,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # text analysis
         "quality_scores": lambda sf: text.quality_scores(_docs(sf)),
         "token_counts": lambda sf: text.token_count_table(_docs(sf)),
+        "normalize_text": lambda sf: text.normalize_text_table(_docs(sf)),
         "lang_id": langs,
         "fingerprints": fingerprints,
         # dedup family
@@ -448,6 +449,11 @@ FROM events GROUP BY event_type
 SELECT n_nationkey, n_name FROM nation
 WHERE n_nationkey IN (SELECT c_nationkey FROM customer)
   AND n_nationkey IN (SELECT s_nationkey FROM supplier)
+""",
+        "normalize_text": """
+SELECT doc_id,
+       trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm_text
+FROM documents
 """,
         "dedup_keep_first": """
 SELECT doc_id, text FROM documents

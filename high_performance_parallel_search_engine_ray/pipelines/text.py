@@ -155,3 +155,17 @@ def fingerprint_table(docs, id_col: str = "doc_id", text_col: str = "text"):
         )
 
     return docs.map_batches(fbatch, batch_format="pyarrow")
+
+
+def normalize_text_table(docs, id_col: str = "doc_id", text_col: str = "text"):
+    """(doc_id, norm_text): lowercase, collapse whitespace runs to single
+    spaces, strip ends — the standard curation normalization pass, pure pc
+    kernels (SQL-mirrorable: trim(regexp_replace(lower(text),'\\s+',' ','g')))."""
+
+    def nbatch(b: pa.Table) -> pa.Table:
+        t = pc.utf8_lower(b[text_col])
+        t = pc.replace_substring_regex(t, r"\s+", " ")
+        t = pc.utf8_trim_whitespace(t)
+        return pa.table({id_col: b[id_col], "norm_text": t})
+
+    return docs.map_batches(nbatch, batch_format="pyarrow")
