@@ -299,6 +299,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_scores": lambda sf: text.quality_scores(_docs(sf)),
         "token_counts": lambda sf: text.token_count_table(_docs(sf)),
         "normalize_text": lambda sf: text.normalize_text_table(_docs(sf)),
+        "stopword_ratios": lambda sf: text.stopword_ratios(_docs(sf)),
         "lang_id": langs,
         "fingerprints": fingerprints,
         # dedup family
@@ -449,6 +450,20 @@ FROM events GROUP BY event_type
 SELECT n_nationkey, n_name FROM nation
 WHERE n_nationkey IN (SELECT c_nationkey FROM customer)
   AND n_nationkey IN (SELECT s_nationkey FROM supplier)
+""",
+        "stopword_ratios": """
+WITH toks AS (
+  SELECT doc_id, t FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS t
+    FROM documents
+  ) WHERE t <> ''
+)
+SELECT doc_id,
+       count(*) AS n_ws_tokens,
+       round(sum(CASE WHEN trim(lower(t), '.,;:!?"''()')
+                      IN ('the','a','an','in','of') THEN 1 ELSE 0 END)
+             * 1.0 / count(*), 6) AS stopword_ratio
+FROM toks GROUP BY doc_id
 """,
         "normalize_text": """
 SELECT doc_id,

@@ -169,3 +169,42 @@ def normalize_text_table(docs, id_col: str = "doc_id", text_col: str = "text"):
         return pa.table({id_col: b[id_col], "norm_text": t})
 
     return docs.map_batches(nbatch, batch_format="pyarrow")
+
+
+def stopword_ratios(docs, id_col: str = "doc_id", text_col: str = "text"):
+    """(doc_id, n_ws_tokens, stopword_ratio): fraction of whitespace tokens
+    that, lowercased and stripped of edge punctuation, are one of the five
+    reference stopwords (functions/textstats._REF_STOPWORDS) — vectorized:
+    split -> flatten -> lower+trim -> is_in -> bincount segment sums."""
+    import numpy as np
+
+    from ..functions.textstats import _REF_STOPWORDS
+
+    stop_arr = pa.array(sorted(_REF_STOPWORDS))
+    punct = ".,;:!?\"'()"
+
+    def sbatch(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        toks = pc.split_pattern_regex(b[text_col], r"\s+")
+        flat = pc.list_flatten(toks)
+        parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        nonempty = pc.greater(pc.utf8_length(flat), 0)
+        flat = pc.filter(flat, nonempty)
+        parents = parents[nonempty.to_numpy(zero_copy_only=False)]
+        n_tok = np.bincount(parents, minlength=n).astype(np.float64)
+        stripped = pc.utf8_trim(pc.utf8_lower(flat), punct)
+        hit = pc.is_in(stripped, value_set=stop_arr).to_numpy(zero_copy_only=False)
+        stops = np.bincount(
+            parents, weights=hit.astype(np.float64), minlength=n
+        )
+        t = pa.table(
+            {
+                id_col: b[id_col],
+                "n_ws_tokens": pa.array(n_tok.astype(np.int64), pa.int64()),
+                "stopword_ratio": _ratio(stops, n_tok),
+            }
+        )
+        # zero-token docs have no rows in the oracle's token GROUP BY
+        return t.filter(pc.greater(t["n_ws_tokens"], 0))
+
+    return docs.map_batches(sbatch, batch_format="pyarrow")

@@ -575,3 +575,37 @@ def test_curation_pipeline_stage_gates(ray_session):
         drop_via_join=True,
     )
     assert sorted(curated2.to_pandas()["doc_id"]) == [1, 7]
+
+
+def test_stopword_ratios_edge_cases(ray_session):
+    """Vectorized stopword ratio vs the scalar quality_score kernel,
+    including punctuation-wrapped stopwords and the zero-token drop."""
+    from high_performance_parallel_search_engine_ray.functions.rounding import (
+        round_half_away,
+    )
+    from high_performance_parallel_search_engine_ray.functions.textstats import (
+        quality_score,
+    )
+    from high_performance_parallel_search_engine_ray.pipelines.text import (
+        stopword_ratios,
+    )
+
+    texts = [
+        "the cat in a hat",
+        "(the) 'a' \"an\" of, in!",
+        "no stop words here whatsoever",
+        "",
+        "   ",
+        "The THE tHe",
+    ]
+    rows = [{"doc_id": i, "text": t} for i, t in enumerate(texts)]
+    out = stopword_ratios(rd.from_items(rows)).to_pandas().set_index("doc_id")
+    for i, t in enumerate(texts):
+        q = quality_score(t)
+        if q["n_ws_tokens"] == 0:
+            assert i not in out.index  # dropped like the SQL GROUP BY
+            continue
+        assert out.loc[i, "n_ws_tokens"] == int(q["n_ws_tokens"])
+        assert out.loc[i, "stopword_ratio"] == round_half_away(
+            q["stopword_ratio"], 6
+        ), t
