@@ -81,6 +81,14 @@ class SeenSet:
         return False
 
     def add(self, url: str) -> None:
+        # idempotent like set.add: a URL already in a spilled run must not
+        # re-enter the delta (it would double-count len and duplicate
+        # iteration). The probe is O(1) for delta residents; for genuinely
+        # new URLs the run check is a few searchsorted's over in-memory
+        # hash arrays (the crawl's admission path has already established
+        # novelty via the filter gate, so this is belt-and-braces).
+        if self._run_paths and url not in self._delta and url in self:
+            return
         self._delta.add(url)
         if (
             self.memory_cap is not None

@@ -325,3 +325,19 @@ def test_frontier_compaction_gc(tmp_path):
          "priority": [1] * 50, "url_hash": [stable_hash64(u) for u in urls[:50]]}
     )
     assert r["dup"] == 50 and r["admitted"] == 0
+
+
+def test_seenset_add_idempotent_across_spills(tmp_path):
+    """set.add semantics: re-adding a URL that already lives in a spilled
+    run must not double-count or duplicate iteration."""
+    from high_performance_parallel_search_engine_ray.state.seenset import SeenSet
+
+    s = SeenSet(spill_dir=str(tmp_path / "sp"), memory_cap=10)
+    urls = [f"https://x.example.org/{i}" for i in range(50)]
+    for u in urls:
+        s.add(u)
+    assert s.run_count > 0
+    for u in urls:  # every one of these is in a run or the delta already
+        s.add(u)
+    assert len(s) == 50
+    assert sorted(s) == sorted(urls)
