@@ -27,8 +27,15 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from ..functions.distinct import distinct_values
 from .dedup import dedup_keep_first, minhash_lsh_pairs
 from .text import _BPEISH_PATTERN, LangIdStage
+
+# Drop-id sets at or below this count broadcast (bounded driver pull +
+# ray.put once); above it the drop flips to the hash-shuffle anti-join —
+# the same cost-based trade as relational.BROADCAST_THRESHOLD. Tests set
+# this to 0 to force the join path.
+DROP_BROADCAST_THRESHOLD = 2_000_000
 
 
 class QualityLangGate(LangIdStage):
@@ -89,7 +96,7 @@ def curate_corpus(
     keep_langs: tuple[str, ...] = ("en",),
     min_lang_score: float = 0.05,
     out_dir: str | None = None,
-    drop_via_join: bool = False,
+    drop_via_join: bool | None = None,
     gate_concurrency: int = 2,
 ):
     """Returns (curated_docs_with_token_counts, stats_table).
@@ -116,6 +123,11 @@ def curate_corpus(
         lambda b: b.select(["doc_b"]).rename_columns(["__drop"]),
         batch_format="pyarrow",
     ).materialize()
+    if drop_via_join is None:
+        # cost-based flip: pair-scale drop sets broadcast; past the
+        # threshold the drop becomes a shuffle anti-join (never an
+        # unbounded driver pull)
+        drop_via_join = drop_ids.count() > DROP_BROADCAST_THRESHOLD
     if drop_via_join:
         # hash-shuffle ANTI-join (Ray 2.49's Dataset.join has no anti type
         # and its left_outer emits schema-inconsistent blocks): docs rows
@@ -135,6 +147,11 @@ def curate_corpus(
                 .append_column("__part", pa.array(part))
             )
 
+        # marker rows must carry the docs dataset's ACTUAL column types
+        # (parquet-read corpora use large_string; a hard-coded pa.string()
+        # would union schema-inconsistent blocks)
+        text_type = docs.schema().base_schema.field(text_col).type
+
         def drop_mark(b: pa.Table) -> pa.Table:
             ids_ = b["__drop"]
             part = (
@@ -146,7 +163,7 @@ def curate_corpus(
             return pa.table(
                 {
                     id_col: ids_,
-                    text_col: pa.array([""] * b.num_rows, pa.string()),
+                    text_col: pa.array([""] * b.num_rows, text_type),
                     "__is_drop": pa.array([1] * b.num_rows, pa.int8()),
                     "__part": pa.array(part),
                 }
@@ -164,7 +181,10 @@ def curate_corpus(
             .map_groups(anti, batch_format="pandas")
         )
     else:
-        ids = sorted(set(drop_ids.unique("__drop")))
+        # distinct_values, NOT Dataset.unique(): the pair output of
+        # minhash_lsh_pairs is a 64-partition map_groups result whose empty
+        # partitions crash Ray 2.49's Unique aggregate (round-2 driver bug)
+        ids = distinct_values(drop_ids, "__drop")
         ref = ray.put(pa.array(ids) if ids else None)
 
         def drop(b: pa.Table) -> pa.Table:

@@ -28,6 +28,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from ..functions.distinct import distinct_values
 from ..functions.hashing import (
     minhash_params,
     minhash_signature,
@@ -246,17 +247,18 @@ def minhash_lsh_pairs(
     if distinct.count() == 0:
         return _empty()
 
-    cand_ids = sorted(
-        set(
-            distinct.map_batches(
-                lambda b: pa.table(
-                    {"id": pa.concat_arrays(
-                        [b["doc_a"].combine_chunks(), b["doc_b"].combine_chunks()]
-                    )}
-                ),
-                batch_format="pyarrow",
-            ).unique("id")
-        )
+    # distinct_values, NOT Dataset.unique(): `distinct` is map_groups output
+    # whose empty hash partitions crash Ray 2.49's Unique aggregate
+    cand_ids = distinct_values(
+        distinct.map_batches(
+            lambda b: pa.table(
+                {"id": pa.concat_arrays(
+                    [b["doc_a"].combine_chunks(), b["doc_b"].combine_chunks()]
+                )}
+            ),
+            batch_format="pyarrow",
+        ),
+        "id",
     )
     id_set = pa.array(cand_ids, id_type)
     id_ref = ray.put(id_set)

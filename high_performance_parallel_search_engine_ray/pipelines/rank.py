@@ -28,6 +28,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from ..functions.distinct import distinct_values
 from ..functions.rounding import round_half_away
 from ..functions.tokenize import tokenize_query
 from .index import term_doc_tf
@@ -175,13 +176,18 @@ def bm25_topk_expanded(
     for t in qterms:
         cands.update((t, t + "s", t[:-1] if len(t) > 1 else t))
     cand_arr = pa.array(sorted(cands))
+    # distinct_values, NOT Dataset.unique() (empty-block crash; see
+    # functions/distinct.py)
     known = set(
-        tf.map_batches(
-            lambda b: b.filter(pc.is_in(b["term"], value_set=cand_arr)).select(
-                ["term"]
+        distinct_values(
+            tf.map_batches(
+                lambda b: b.filter(
+                    pc.is_in(b["term"], value_set=cand_arr)
+                ).select(["term"]),
+                batch_format="pyarrow",
             ),
-            batch_format="pyarrow",
-        ).unique("term")
+            "term",
+        )
     )
     expanded = expand_query_terms(qterms, known)
     return bm25_topk(docs, " ".join(expanded), k, id_col, text_col, tf=tf)

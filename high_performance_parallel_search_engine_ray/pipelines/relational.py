@@ -25,6 +25,7 @@ import pyarrow.compute as pc
 import ray
 import ray.data as rd
 
+from ..functions.distinct import distinct_values
 from ..functions.rounding import round_half_away
 
 
@@ -569,7 +570,9 @@ def segment_counts(sf_dir: str):
 
 
 def distinct_brands(sf_dir: str):
-    vals = sorted(_read(sf_dir, "part", ["p_brand"]).unique("p_brand"))
+    # distinct_values, NOT Dataset.unique() (empty-block crash; see
+    # functions/distinct.py)
+    vals = distinct_values(_read(sf_dir, "part", ["p_brand"]), "p_brand")
     return rd.from_arrow(pa.table({"p_brand": pa.array(vals, pa.string())}))
 
 
@@ -680,10 +683,10 @@ def customer_supplier_nations(sf_dir: str):
     """INTERSECT: nations that have at least one customer AND one supplier
     (broadcast both distinct key sets; no shuffle)."""
     cust_nk = set(
-        _read(sf_dir, "customer", ["c_nationkey"]).unique("c_nationkey")
+        distinct_values(_read(sf_dir, "customer", ["c_nationkey"]), "c_nationkey")
     )
     supp_nk = set(
-        _read(sf_dir, "supplier", ["s_nationkey"]).unique("s_nationkey")
+        distinct_values(_read(sf_dir, "supplier", ["s_nationkey"]), "s_nationkey")
     )
     both = cust_nk & supp_nk
     nat = _read(sf_dir, "nation")

@@ -609,3 +609,75 @@ def test_stopword_ratios_edge_cases(ray_session):
         assert out.loc[i, "stopword_ratio"] == round_half_away(
             q["stopword_ratio"], 6
         ), t
+
+
+def test_distinct_values_on_empty_block_mix(ray_session):
+    """Regression for the round-2 driver crash: Ray 2.49's Dataset.unique()
+    raises 'unhashable type: numpy.ndarray' whenever a dataset mixes EMPTY
+    and non-empty blocks — the exact shape groupby().map_groups emits when
+    hash partitions outnumber occupied keys. distinct_values (the engine's
+    replacement) must handle it."""
+    from high_performance_parallel_search_engine_ray.functions.distinct import (
+        distinct_values,
+    )
+
+    rows = [{"part": i % 3, "v": f"x{i % 5}"} for i in range(50)]
+    # 16 input blocks, 3 occupied group keys -> the map_groups output is
+    # guaranteed to mix empty and non-empty partitions
+    ds = (
+        rd.from_items(rows)
+        .repartition(16)
+        .groupby("part")
+        .map_groups(lambda g: g, batch_format="pandas")
+        .materialize()
+    )
+    assert ds.num_blocks() > 3  # i.e. some output blocks are empty
+    assert distinct_values(ds, "v") == ["x0", "x1", "x2", "x3", "x4"]
+    # int column + a fully-empty dataset
+    assert distinct_values(ds, "part") == [0, 1, 2]
+    empty = ds.filter(lambda r: False)
+    assert distinct_values(empty, "v") == []
+
+
+def test_curation_pipeline_survives_empty_pair_partitions(ray_session):
+    """Regression: the flagship curation crashed in the driver when the
+    minhash pair stage produced empty hash partitions (sf0.01, 64 parts).
+    Re-create that shape locally: many-block real docs input where the pair
+    output occupies only a few of the 64 LSH partitions."""
+    from high_performance_parallel_search_engine_ray.pipelines.curate import (
+        curate_corpus,
+    )
+
+    docs = rd.read_parquet(
+        f"{SF}/documents.parquet", columns=["doc_id", "text"]
+    ).repartition(16)
+    curated, stats = curate_corpus(docs, jaccard_threshold=0.4)
+    n = curated.count()
+    st = {r["stage"]: r["rows_out"] for r in stats.to_pylist()}
+    assert st["input"] == 500
+    assert n == st["quality_lang_gate"] > 0
+    assert st["input"] >= st["exact_dedup"] >= st["near_dedup"] >= n
+
+
+def test_curation_auto_flips_to_join_drop(ray_session, monkeypatch):
+    """drop_via_join=None (default) is cost-based: below the threshold the
+    drop-id set broadcasts; forcing the threshold to 0 must flip every
+    near-dup drop onto the shuffle anti-join path and produce the same
+    corpus."""
+    from high_performance_parallel_search_engine_ray.pipelines import curate
+
+    base = ("the cat sat on the mat and it was there for a while watching "
+            "the garden in the afternoon light with all of the patience of cats")
+    near = base.replace("afternoon", "evening")
+    rows = [
+        {"doc_id": 1, "text": base},
+        {"doc_id": 3, "text": near},  # near dup -> dropped
+        {"doc_id": 7, "text": "it is a truth universally acknowledged that a "
+                              "reader in possession of the right corpus must "
+                              "be in want of a tokenizer for all of it"},
+    ]
+    monkeypatch.setattr(curate, "DROP_BROADCAST_THRESHOLD", 0)
+    curated, _ = curate.curate_corpus(
+        rd.from_items(rows), jaccard_threshold=0.5, min_chars=32
+    )
+    assert sorted(curated.to_pandas()["doc_id"]) == [1, 7]
