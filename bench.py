@@ -187,41 +187,70 @@ def run_bench() -> dict:
 
     _rd.range(1000).map_batches(lambda b: b, batch_format="pyarrow").count()
 
-    timings: dict[str, float] = {}
+    timings: dict = {}
+    errors: dict[str, str] = {}
     if not os.environ.get("GRAFT_SCALING_CHILD"):
         # scaling children only need the crawl figure; the 18-query suite
         # would add ~2 min per child at low CPU counts for nothing
         for name in BENCH_QUERIES:
+            # per-query fault isolation: one bad query must never abort the
+            # bench (round-2 lesson — a single crash lost the whole artifact)
             t0 = time.perf_counter()
-            _consume(qs[name](SF_DIR))
-            timings[name] = round(time.perf_counter() - t0, 3)
+            try:
+                _consume(qs[name](SF_DIR))
+                timings[name] = round(time.perf_counter() - t0, 3)
+            except Exception as exc:  # noqa: BLE001 — record and continue
+                import traceback
+
+                traceback.print_exc(file=sys.stderr)
+                timings[name] = f"ERROR: {type(exc).__name__}: {exc}"[:300]
+                errors[name] = timings[name]
+
+    query_sec = round(
+        sum(v for v in timings.values() if isinstance(v, float)), 3
+    )
 
     if os.environ.get("GRAFT_BENCH_SKIP_CRAWL"):
         # contract-test mode: query timings only (the bench-corpus crawl
         # takes minutes and is covered by the default mode)
         out = {
             "metric": "query suite wall sec (crawl skipped via GRAFT_BENCH_SKIP_CRAWL)",
-            "value": round(sum(timings.values()), 3),
+            "value": query_sec,
             "unit": "sec",
             "queries": timings,
             "sf": SF_DIR,
             "num_cpus": NUM_CPUS,
         }
+        if errors:
+            out["errors"] = errors
         ray.shutdown()
         return out
 
-    crawl = run_crawl_bench(NUM_CPUS)
-    timings["crawl"] = crawl["sec"]
+    try:
+        crawl = run_crawl_bench(NUM_CPUS)
+        timings["crawl"] = crawl["sec"]
+        value = crawl["sec"]
+        metric = "headline crawl wall sec (URLs fetched+deduped over bench web corpus)"
+    except Exception as exc:  # noqa: BLE001 — the JSON line must still emit
+        import traceback
+
+        traceback.print_exc(file=sys.stderr)
+        crawl = {"error": f"{type(exc).__name__}: {exc}"[:300]}
+        errors["crawl"] = crawl["error"]
+        value = query_sec  # fall back to the query-suite figure
+        metric = "query suite wall sec (CRAWL FAILED — see errors)"
 
     out = {
-        "metric": "headline crawl wall sec (URLs fetched+deduped over bench web corpus)",
-        "value": crawl["sec"],
+        "metric": metric,
+        "value": value,
         "unit": "sec",
         "queries": timings,
         "sf": SF_DIR,
         "num_cpus": NUM_CPUS,
         "crawl": crawl,
     }
+    if errors:
+        out["errors"] = errors
     ray.shutdown()
     return out
 

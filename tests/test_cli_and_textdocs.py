@@ -184,3 +184,36 @@ def test_bench_one_json_line_contract():
     assert d["unit"] == "sec" and d["value"] > 0
     assert set(d["queries"]) >= {"pricing_summary", "bm25_hash_join",
                                  "minhash_lsh_pairs", "curation_pipeline"}
+
+
+def test_bench_fault_isolation_still_emits_json():
+    """Round-2 regression: one crashing query aborted the whole driver
+    bench. A deliberately-injected failing query must be recorded as an
+    ERROR string while the remaining queries still time and the ONE JSON
+    line still emits (rc=0)."""
+    env = dict(
+        os.environ,
+        GRAFT_SF_DIR="/root/testdata/sf0.001",
+        RAY_GRAFT_CPUS="4",
+        GRAFT_BENCH_SKIP_CRAWL="1",
+    )
+    code = (
+        "import runpy, sys, bench\n"
+        "bench.BENCH_QUERIES = ['pricing_summary', '__injected_failure__']\n"
+        "import json, os\n"
+        "real = os.dup(1); os.dup2(2, 1)\n"
+        "try:\n"
+        "    out = bench.run_bench()\n"
+        "finally:\n"
+        "    sys.stdout.flush(); os.dup2(real, 1)\n"
+        "os.write(real, (json.dumps(out) + '\\n').encode())\n"
+    )
+    r = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        check=True, cwd="/root/repo", env=env, timeout=400,
+    )
+    d = json.loads(r.stdout.strip().splitlines()[-1])
+    assert isinstance(d["queries"]["pricing_summary"], float)
+    assert str(d["queries"]["__injected_failure__"]).startswith("ERROR:")
+    assert "__injected_failure__" in d.get("errors", {})
+    assert d["value"] > 0
