@@ -117,3 +117,19 @@ def test_shuffle_join_path_matches_oracle(ray_session, name, monkeypatch):
     for col in got.columns:
         for x, y in zip(got[col].tolist(), want[col].tolist()):
             assert _values_equal(x, y), (name, col, x, y)
+
+
+def test_registry_ordering_contract():
+    """The correctness driver checks only the FIRST 50 queries() entries:
+    every oracle-checked query and every flagship entry (crawl engine,
+    curation, media, ann_lsh) must sit inside that horizon."""
+    keys = list(entry_mod.queries())
+    first50 = set(keys[:50])
+    assert set(entry_mod.oracle_sql()) <= first50
+    for critical in (
+        "crawl_sharded_smoke", "crawl_exact_trace", "curation_pipeline",
+        "media_features", "media_resize", "media_frame_samples",
+        "ann_lsh_topk", "minhash_lsh_pairs", "simhash_dup_pairs",
+        "embedding_dup_pairs_lsh",
+    ):
+        assert critical in first50, critical
