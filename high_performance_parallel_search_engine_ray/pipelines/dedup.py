@@ -589,76 +589,217 @@ def embedding_dup_pairs_lsh(
     bucket; at cosine >= 0.95 the expected bit disagreement is
     n_planes * acos(0.95)/pi ~= 1.6 bits, so recall is high but — unlike
     the label-blocked exact variant — not 1.0; that is the documented LSH
-    trade). Exact cosine verification runs inside each bucket group.
-    Shuffle volume: (band, bits, id, vector) rows — bands x the input, no
-    all-pairs until inside a bounded bucket (``max_bucket`` truncation
-    mirrors minhash_lsh_pairs).
+    trade).
+
+    Dataflow (partition-grouped end to end, same shape as
+    minhash_lsh_pairs/simhash_dup_pairs — Ray's map_groups pays ~1-2ms of
+    pandas setup PER group, so every stage groups by a BOUNDED hash
+    partition and vectorizes many buckets/pairs inside):
+      1. membership rows (bucket key, id) only — the float vector never
+         enters the bands-x shuffle;
+      2. candidate pairs per partition (np.unique bucket boundaries,
+         ``max_bucket`` truncation to the smallest ids);
+      3. pair distinct per pair-hash partition (a pair surfaces from up to
+         ``bands`` buckets);
+      4. exact-cosine verify as a union + partition-groupby co-location
+         join: candidate vectors (flat binary cells) attach to pair
+         memberships by id hash, the two pair sides co-locate by pair
+         hash, cosine computed vectorized (einsum) per partition.
     Returns (id_a, id_b, cosine) with id_a < id_b, cosine rounded 6dp.
     """
+    import ray
+
     assert n_planes % bands == 0
     bits_per_band = n_planes // bands
+    id_type = embeddings.schema().base_schema.field(id_col).type
+    # bounded partition key everywhere — see minhash_lsh_pairs N_PARTS note
+    # (Ray pays ~1-2ms pandas setup PER map_groups group; partition-grouping
+    # processes many buckets/pairs vectorized inside each of 64 partitions)
+    N_PARTS = 64
     # per-task plane cache; regeneration is deterministic (seeded by dim)
     planes_by_dim: dict[int, np.ndarray] = {}
 
+    def _planes(d: int) -> np.ndarray:
+        p = planes_by_dim.get(d)
+        if p is None:
+            p = np.random.default_rng(seed).standard_normal((d, n_planes))
+            planes_by_dim[d] = p
+        return p
+
+    # 1. membership rows only — (bucket key, id); the float vector does NOT
+    #    enter the bands-x shuffle (it is re-read once in the verify stage)
     def sig_batch(b: pa.Table) -> pa.Table:
         vecs = np.stack(
             [np.asarray(v, dtype=np.float64) for v in b[vec_col].to_pylist()]
         )
-        d = vecs.shape[1]
-        planes = planes_by_dim.get(d)
-        if planes is None:
-            planes = np.random.default_rng(seed).standard_normal((d, n_planes))
-            planes_by_dim[d] = planes
-        bits = (vecs @ planes) >= 0  # (n, n_planes)
-        out = {"band": [], "bits": [], id_col: [], "vec": []}
-        ids = b[id_col].to_pylist()
-        vec_list = b[vec_col].to_pylist()
+        bits = (vecs @ _planes(vecs.shape[1])) >= 0  # (n, n_planes)
+        n = len(vecs)
+        keys = np.empty(n * bands, dtype=np.int64)
         for band in range(bands):
             chunk = bits[:, band * bits_per_band : (band + 1) * bits_per_band]
             packed = chunk @ (1 << np.arange(bits_per_band))
-            out["band"].extend([band] * len(ids))
-            out["bits"].extend(int(x) for x in packed)
-            out[id_col].extend(ids)
-            out["vec"].extend(vec_list)
+            keys[band * n : (band + 1) * n] = (band << bits_per_band) | packed
+        ids = pa.concat_arrays(
+            [b[id_col].combine_chunks().cast(id_type)] * bands
+        )
+        part = (pd.util.hash_array(keys) % N_PARTS).astype(np.int32)
         return pa.table(
-            {
-                "band": pa.array(out["band"], pa.int32()),
-                "bits": pa.array(out["bits"], pa.int64()),
-                id_col: pa.array(out[id_col]),
-                "vec": pa.array(out["vec"], pa.list_(pa.float64())),
-            }
+            {"key": pa.array(keys), id_col: ids, "part": pa.array(part)}
         )
 
     buckets = embeddings.map_batches(sig_batch, batch_format="pyarrow")
 
-    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    # 2. candidate pairs, all buckets of a partition vectorized (np.unique
+    #    boundaries over the sorted key column, triu pair indices per bucket,
+    #    max_bucket truncation to the smallest ids — mirrors simhash)
+    def pairs_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["key", id_col], kind="stable")
+        keys = g["key"].to_numpy()
+        ids_all = g[id_col].to_numpy()
+        _, starts, counts = np.unique(keys, return_index=True, return_counts=True)
+        oa, ob = [], []
+        for s0, c in zip(starts, counts):
+            if c < 2:
+                continue
+            ids = ids_all[s0 : s0 + c][:max_bucket]
+            iu, ju = np.triu_indices(len(ids), k=1)
+            oa.extend(ids[iu])
+            ob.extend(ids[ju])
+        df = pd.DataFrame(
+            {"id_a": np.array(oa, dtype=ids_all.dtype),
+             "id_b": np.array(ob, dtype=ids_all.dtype)}
+        )
+        df["part2"] = (
+            (pd.util.hash_array(df["id_a"].to_numpy(), categorize=False)
+             ^ (pd.util.hash_array(df["id_b"].to_numpy(), categorize=False)
+                * np.uint64(0x9E3779B1)))
+            % N_PARTS
+        ).astype(np.int32)
+        return df
+
+    # 3. pair distinct, partition-grouped (a pair surfaces from <= bands
+    #    buckets; drop_duplicates inside each pair-hash partition)
+    cand = (
+        buckets.groupby("part")
+        .map_groups(pairs_part, batch_format="pandas")
+        .groupby("part2")
+        .map_groups(
+            lambda g: g.drop_duplicates(["id_a", "id_b"]).drop(columns=["part2"]),
+            batch_format="pandas",
+        )
+        .materialize()
+    )
+    if cand.count() == 0:
+        return ray.data.from_arrow(
+            pa.table({"id_a": pa.array([], id_type),
+                      "id_b": pa.array([], id_type),
+                      "cosine": pa.array([], pa.float64())})
+        )
+
+    # 4. exact-cosine verification as a distributed co-location join
+    #    (union + partition-groupby, same shape as minhash_lsh_pairs):
+    #    vector rows for CANDIDATE ids only (vec flattened to one binary
+    #    cell so the shuffle carries a flat column) union pair-membership
+    #    rows; attach each id's vector, then co-locate the two pair sides.
+    cand_ids = distinct_values(
+        cand.map_batches(
+            lambda b: pa.table(
+                {"id": pa.concat_arrays(
+                    [b["id_a"].combine_chunks(), b["id_b"].combine_chunks()]
+                )}
+            ),
+            batch_format="pyarrow",
+        ),
+        "id",
+    )
+    id_ref = ray.put(pa.array(cand_ids, id_type))
+
+    def _part_of(arr: np.ndarray) -> np.ndarray:
+        return (pd.util.hash_array(arr, categorize=False) % N_PARTS).astype(
+            np.int32
+        )
+
+    def vec_rows(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.is_in(b[id_col], value_set=ray.get(id_ref)))
+        ids = t[id_col].combine_chunks().cast(id_type)
+        vb = [
+            np.asarray(v, dtype=np.float64).tobytes()
+            for v in t[vec_col].to_pylist()
+        ]
+        n = t.num_rows
+        return pa.table(
+            {"jk": ids, "p_a": ids, "p_b": ids,
+             "vb": pa.array(vb, pa.binary()),
+             "is_v": pa.array([1] * n, pa.int8()),
+             "part": pa.array(_part_of(ids.to_numpy(zero_copy_only=False)),
+                              pa.int32())}
+        )
+
+    def member_rows(b: pa.Table) -> pa.Table:
+        da, db = b["id_a"].combine_chunks(), b["id_b"].combine_chunks()
+        n = b.num_rows
+        jk = pa.concat_arrays([da, db])
+        return pa.table(
+            {"jk": jk,
+             "p_a": pa.concat_arrays([da, da]),
+             "p_b": pa.concat_arrays([db, db]),
+             "vb": pa.array([b""] * (2 * n), pa.binary()),
+             "is_v": pa.array([0] * (2 * n), pa.int8()),
+             "part": pa.array(_part_of(jk.to_numpy(zero_copy_only=False)),
+                              pa.int32())}
+        )
+
+    def attach_part(g: pd.DataFrame) -> pd.DataFrame:
+        vr = g[g["is_v"] == 1][["jk", "vb"]].drop_duplicates("jk")
+        mem = g[g["is_v"] == 0]
+        out = mem.merge(vr, on="jk", how="inner", suffixes=("", "_v"))
+        out = pd.DataFrame(
+            {"id_a": out["p_a"].values, "id_b": out["p_b"].values,
+             "jk": out["jk"].values,
+             "vb": out["vb_v"].values if "vb_v" in out else out["vb"].values}
+        )
+        out["part2"] = (
+            (pd.util.hash_array(out["id_a"].to_numpy(), categorize=False)
+             ^ (pd.util.hash_array(out["id_b"].to_numpy(), categorize=False)
+                * np.uint64(0x9E3779B1)))
+            % N_PARTS
+        ).astype(np.int32)
+        return out
+
+    attached = (
+        cand.map_batches(member_rows, batch_format="pyarrow")
+        .union(embeddings.map_batches(vec_rows, batch_format="pyarrow"))
+        .groupby("part")
+        .map_groups(attach_part, batch_format="pandas")
+    )
+
+    def verify_part(g: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame(
-            {"id_a": pd.Series([], dtype=g[id_col].dtype),
-             "id_b": pd.Series([], dtype=g[id_col].dtype),
+            {"id_a": pd.Series([], dtype=g["id_a"].dtype),
+             "id_b": pd.Series([], dtype=g["id_b"].dtype),
              "cosine": pd.Series([], dtype="float64")}
         )
-        if len(g) < 2:
+        a_side = g[g["jk"] == g["id_a"]][["id_a", "id_b", "vb"]]
+        b_side = g[g["jk"] == g["id_b"]][["id_a", "id_b", "vb"]]
+        m = a_side.merge(b_side, on=["id_a", "id_b"], suffixes=("_a", "_b"))
+        if not len(m):
             return empty
-        g = g.sort_values(id_col).head(max_bucket)
-        ids = g[id_col].tolist()
-        m = np.stack([np.asarray(v, dtype=np.float64) for v in g["vec"]])
-        nrm = np.linalg.norm(m, axis=1, keepdims=True)
-        nrm[nrm == 0] = 1.0
-        sims = (m / nrm) @ (m / nrm).T
-        out = {"id_a": [], "id_b": [], "cosine": []}
-        iu, ju = np.triu_indices(len(ids), k=1)
-        for i, j in zip(iu, ju):
-            c = sims[i, j]
-            if c >= threshold:
-                out["id_a"].append(ids[i])
-                out["id_b"].append(ids[j])
-                out["cosine"].append(round_half_away(float(c), 6))
-        return pd.DataFrame(out) if out["id_a"] else empty
+        va = np.stack([np.frombuffer(x, dtype=np.float64) for x in m["vb_a"]])
+        vc = np.stack([np.frombuffer(x, dtype=np.float64) for x in m["vb_b"]])
+        na = np.linalg.norm(va, axis=1)
+        nb = np.linalg.norm(vc, axis=1)
+        na[na == 0] = 1.0
+        nb[nb == 0] = 1.0
+        cos = np.einsum("ij,ij->i", va, vc) / (na * nb)
+        keep = cos >= threshold
+        if not keep.any():
+            return empty
+        return pd.DataFrame(
+            {"id_a": m["id_a"].to_numpy()[keep],
+             "id_b": m["id_b"].to_numpy()[keep],
+             "cosine": round_half_away(cos[keep], 6)}
+        )
 
-    pairs = buckets.groupby(["band", "bits"]).map_groups(
-        pairs_in_bucket, batch_format="pandas"
-    )
-    # a pair can surface from several bands -> distinct (keep first)
-    return pairs.groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
+    return attached.groupby("part2").map_groups(
+        verify_part, batch_format="pandas"
     )
