@@ -97,24 +97,49 @@ def build_inverted_index(docs, id_col: str = "doc_id", text_col: str = "text"):
     index table (`InvertedIndex`, `Serial Version/include/index.h:19-32`),
     built by the hash-partitioned term shuffle. Postings are doc_id-sorted
     (the reference's are in first-encounter order — an array-layout artifact,
-    not a semantic; sorted is deterministic under parallelism)."""
+    not a semantic; sorted is deterministic under parallelism).
+
+    Partition-grouped: the shuffle key is hash(term) % 64, NOT the raw term
+    — Ray's map_groups pays ~1-2ms of pandas setup per group, and a
+    vocabulary-scale group count would swamp the actual assembly work. All
+    terms of a partition are assembled in one pass via np.unique run
+    boundaries over the (term, doc_id)-sorted rows."""
+    import numpy as np
     import pandas as pd
 
     tf = term_doc_tf(docs, id_col, text_col)
+    N_PARTS = 64
 
-    def collect(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values("doc_id")
+    def add_part(b: pa.Table) -> pa.Table:
+        part = (
+            pd.util.hash_array(
+                b["term"].to_numpy(zero_copy_only=False), categorize=False
+            )
+            % N_PARTS
+        ).astype(np.int32)
+        return b.append_column("part", pa.array(part))
+
+    def collect_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["term", "doc_id"], kind="stable")
+        terms = g["term"].to_numpy()
+        dids = g["doc_id"].to_numpy()
+        tfs = g["tf"].to_numpy()
+        uniq, starts, counts = np.unique(
+            terms, return_index=True, return_counts=True
+        )
+        postings = [
+            [
+                {"doc_id": int(d), "tf": int(t)}
+                for d, t in zip(dids[s : s + c], tfs[s : s + c])
+            ]
+            for s, c in zip(starts, counts)
+        ]
         return pd.DataFrame(
-            {
-                "term": [g["term"].iloc[0]],
-                "df": [len(g)],
-                "postings": [
-                    [
-                        {"doc_id": int(d), "tf": int(t)}
-                        for d, t in zip(g["doc_id"], g["tf"])
-                    ]
-                ],
-            }
+            {"term": uniq, "df": counts.astype(np.int64), "postings": postings}
         )
 
-    return tf.groupby("term").map_groups(collect, batch_format="pandas")
+    return (
+        tf.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(collect_part, batch_format="pandas")
+    )

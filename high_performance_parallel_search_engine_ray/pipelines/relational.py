@@ -593,10 +593,11 @@ def supplier_part_join(sf_dir: str):
     broadcast dict); supplier and part are fact-scale at high SF, so both
     lookups go through _attach_or_join (bounded broadcast here, hash
     shuffle past the threshold)."""
-    nat = {
-        r["n_nationkey"]: r["n_name"] for r in _read(sf_dir, "nation").take_all()
-    }
-    nat_ref = ray.put(nat)
+    nat_rows = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).take_all()
+    nat_ref = ray.put(
+        (pa.array([r["n_nationkey"] for r in nat_rows]),
+         pa.array([r["n_name"] for r in nat_rows]))
+    )
     npart = _join_partitions(n_joins=2)
 
     li = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
@@ -614,11 +615,11 @@ def supplier_part_join(sf_dir: str):
     )
 
     def attach(b: pa.Table) -> pa.Table:
-        n = ray.get(nat_ref)
-        nations = [n[x] for x in b["s_nationkey"].to_pylist()]
-        t = pa.table(
-            {"n_name": pa.array(nations, pa.string()), "p_brand": b["p_brand"]}
-        )
+        # vectorized dim lookup: index_in + take (no per-row Python on the
+        # fact-scale lineitem batches)
+        nkeys, nnames = ray.get(nat_ref)
+        idx = pc.index_in(b["s_nationkey"], value_set=nkeys)
+        t = pa.table({"n_name": pc.take(nnames, idx), "p_brand": b["p_brand"]})
         # in-batch distinct before the shuffle
         return t.group_by(["n_name", "p_brand"]).aggregate([])
 
@@ -657,7 +658,11 @@ def order_priority_share(sf_dir: str):
 def events_props_sum(sf_dir: str):
     """Parse the events.props JSON strings and aggregate the embedded 'k'
     metric per event_type (semi-structured extraction inside map_batches;
-    oracle uses DuckDB json_extract)."""
+    oracle uses DuckDB json_extract). The fixed '$.k' integer shape is
+    extracted with a vectorized RE2 kernel — no per-row json.loads on the
+    fact table; rows whose props lack an integer k fall back to the exact
+    per-row parse (none in the test corpus, but JSON floats/strings must
+    not silently mis-extract at scale)."""
     import json as _json
 
     from ray.data.aggregate import Count, Sum
@@ -665,10 +670,18 @@ def events_props_sum(sf_dir: str):
     ev = _read(sf_dir, "events", ["event_type", "props"])
 
     def extract(b: pa.Table) -> pa.Table:
-        ks = [int(_json.loads(p)["k"]) for p in b["props"].to_pylist()]
-        return pa.table(
-            {"event_type": b["event_type"], "k": pa.array(ks, pa.int64())}
-        )
+        hit = pc.extract_regex(b["props"], pattern=r'"k"\s*:\s*(?P<k>-?\d+)\s*[,}]')
+        ks = pc.struct_field(hit, "k")
+        if ks.null_count:
+            miss = pc.is_null(ks).to_numpy(zero_copy_only=False)
+            vals = ks.to_pylist()
+            props = b["props"].to_pylist()
+            for i in np.flatnonzero(miss):
+                vals[i] = int(_json.loads(props[i])["k"])
+            k_arr = pa.array([int(v) for v in vals], pa.int64())
+        else:
+            k_arr = pc.cast(ks, pa.int64())
+        return pa.table({"event_type": b["event_type"], "k": k_arr})
 
     return (
         ev.map_batches(extract, batch_format="pyarrow")
