@@ -51,9 +51,15 @@ def _emb(sf_dir: str):
 
 
 def _query_vectors(sf_dir: str, n: int = 5) -> np.ndarray:
+    # row-group-pruned, column-pruned read: only the n query vectors leave
+    # storage, however big the embeddings table gets
     import pyarrow.parquet as pq
 
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", n)],
+    )
     d = {v: e for v, e in zip(t["vec_id"].to_pylist(), t["embedding"].to_pylist())}
     return np.array([d[i] for i in range(n)], dtype=np.float64)
 
