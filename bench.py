@@ -304,7 +304,14 @@ def run_scaling() -> dict:
     thr_lo = r_lo["crawl"]["pages_per_sec"]
     thr_hi = r_hi["crawl"]["pages_per_sec"]
     eff = (thr_hi / thr_lo) / (hi / lo)
+    all_runs = [
+        {"cpus": c, "pages_per_sec": r["crawl"]["pages_per_sec"],
+         "sec": r["crawl"]["sec"]}
+        for c, rs in ((lo, runs_lo), (hi, runs_hi))
+        for r in rs
+    ]
     return {
+        "runs": all_runs,  # full spread, not just the best-of pair
         "metric": f"crawl pages/sec scaling efficiency ({lo} vs {hi} pinned CPUs, fresh processes)",
         "cpus_lo": lo,
         "cpus_hi": hi,

@@ -236,6 +236,19 @@ def cmd_fetch_url(args) -> int:
     return 0
 
 
+def cmd_serve(args) -> int:
+    """REST control plane (reference dashboard API, `WebSite/api.py:
+    350-520`): /api/status, /api/search, /api/metrics, /api/compare over a
+    loaded docs table. The CLI owns the Ray session; the server only
+    serves."""
+    _ray_init(args.num_cpus)
+    from .server import EngineHandle, serve
+
+    docs = _docs_dataset(args.docs)
+    serve(EngineHandle(docs), args.port)
+    return 0
+
+
 def cmd_status(args) -> int:
     from .sources.io import read_manifest
 
@@ -299,6 +312,16 @@ def main(argv=None) -> int:
     pf.add_argument("--corpus", default="t1-smoke")
     pf.add_argument("--out", default="/tmp/hppse_dataset")
     pf.set_defaults(fn=cmd_fetch_url)
+
+    psv = sub.add_parser(
+        "serve",
+        help="REST control plane: /api/status /api/search /api/metrics /api/compare",
+    )
+    psv.add_argument("--docs", required=True,
+                     help="documents parquet or crawl out_dir to serve")
+    psv.add_argument("--port", type=int, default=5001)
+    psv.add_argument("--num-cpus", type=int, default=None)
+    psv.set_defaults(fn=cmd_serve)
 
     pst = sub.add_parser("status", help="show a crawl checkpoint manifest")
     pst.add_argument("--out", required=True)

@@ -448,12 +448,15 @@ class ShardedCrawl:
         # checkpoint references the merged run; obsolete files are GC'd
         # only after the manifest lands (below)
         ray.get([a.maybe_compact_seen.remote() for a in self._actors])
-        snaps = ray.get([a.snapshot.remote() for a in self._actors])
-        for s, payload in enumerate(snaps):
-            tmp = os.path.join(ck, f"shard-{s:04d}.bin.tmp")
-            with open(tmp, "wb") as f:
-                f.write(payload)
-            os.replace(tmp, os.path.join(ck, f"shard-{s:04d}.bin"))
+        # shards serialize AND write their own files in parallel (atomic
+        # tmp+rename inside the actor); the driver only awaits — see
+        # FrontierShard.snapshot_to
+        ray.get(
+            [
+                a.snapshot_to.remote(os.path.join(ck, f"shard-{s:04d}.bin"))
+                for s, a in enumerate(self._actors)
+            ]
+        )
         metrics = pa.Table.from_pylist(self.metrics_rows) if self.metrics_rows else pa.table({})
         if metrics.num_rows:
             tio.write_table(metrics, os.path.join(cfg.out_dir, "metrics", f"round={self.round:05d}"))

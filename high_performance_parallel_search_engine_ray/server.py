@@ -1,0 +1,190 @@
+"""REST control plane over the engine (SURVEY.md §2.10).
+
+Reference analog: the Flask dashboard API (`WebSite/api.py:350-520`) with
+routes /api/status, /api/search, /api/metrics, /api/compare, where "engine
+versions" are the reference's six parallel C builds. Here the engine is ONE
+Ray Data pipeline library, so the comparable axis is the pipeline VARIANT
+(bm25 / bm25_expanded / pattern); CPU-config comparison lives in the CLI
+``compare`` subcommand (fresh processes — a server can't re-init its own
+Ray session per request).
+
+Stdlib-only (http.server) — no Flask in the container. The server never
+calls ray.init: the CLI ``serve`` command (or a test) owns the session and
+passes a ready EngineHandle. Request handling is thread-per-request
+(ThreadingHTTPServer); Ray Data execution is driver-serialized per request
+via a lock, which is the right semantics for a control plane (queries are
+interactive top-k probes, not throughput traffic).
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+
+class EngineHandle:
+    """Holds the loaded docs Dataset and the shared tokenize pass.
+
+    tf is materialized ONCE (object store) at construction — every search
+    request reuses it, the server-side analog of the reference's
+    build-index-once evaluate loop (`Serial Version/src/evaluate.c:28-66`).
+    """
+
+    VARIANTS = ("bm25", "bm25_expanded", "pattern")
+
+    def __init__(self, docs, metrics=None):
+        from .pipelines.index import term_doc_tf
+        from .pipelines.metrics import MetricsRecorder
+
+        self.docs = docs
+        self.num_docs = docs.count()
+        self.tf = term_doc_tf(docs).materialize()
+        self.metrics = metrics or MetricsRecorder(None)
+        self._lock = threading.Lock()
+
+    def search(self, query: str, k: int = 10, variant: str = "bm25") -> dict:
+        from .pipelines.rank import bm25_topk, bm25_topk_expanded, pattern_match_counts
+
+        if variant not in self.VARIANTS:
+            raise ValueError(
+                f"Invalid version: {variant}. Must be one of: "
+                + ", ".join(self.VARIANTS)
+            )
+        t0 = time.perf_counter()
+        with self._lock:
+            if variant == "bm25":
+                rows = bm25_topk(self.docs, query, k=k, tf=self.tf).to_pylist()
+            elif variant == "bm25_expanded":
+                rows = bm25_topk_expanded(self.docs, query, k=k).to_pylist()
+            else:
+                t = pattern_match_counts(self.docs, [query])
+                rows = (
+                    t.sort(["n_matches", "doc_id"], descending=[True, False])
+                    .limit(k)
+                    .take_all()
+                )
+        ms = (time.perf_counter() - t0) * 1000.0
+        self.metrics.record_query_latency(ms)
+        return {
+            "query": query,
+            "version": variant,
+            "results": rows,
+            "execution_time_ms": round(ms, 3),
+        }
+
+    def status(self) -> dict:
+        import ray
+
+        return {
+            "engine": "ray-data",
+            "api_version": "1.0",
+            "num_docs": self.num_docs,
+            "versions": {v: {"available": True} for v in self.VARIANTS},
+            "ray_cpus": ray.cluster_resources().get("CPU")
+            if ray.is_initialized()
+            else None,
+        }
+
+
+class _Handler(BaseHTTPRequestHandler):
+    engine: EngineHandle  # set by make_server
+
+    def log_message(self, *args):  # control plane stays quiet on stdout
+        pass
+
+    def _reply(self, code: int, payload: dict) -> None:
+        body = json.dumps(payload).encode("utf-8")
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def _body(self) -> dict:
+        n = int(self.headers.get("Content-Length") or 0)
+        if not n:
+            return {}
+        return json.loads(self.rfile.read(n).decode("utf-8"))
+
+    def do_GET(self):  # noqa: N802 — http.server API
+        try:
+            if self.path == "/api/status":
+                self._reply(200, {"status": "ok", **self.engine.status()})
+            elif self.path == "/api/metrics":
+                self._reply(
+                    200,
+                    {"status": "ok", "metrics": self.engine.metrics.snapshot()},
+                )
+            else:
+                self._reply(404, {"status": "error", "error": "not found"})
+        except Exception as e:  # noqa: BLE001 — mirror the reference's 500s
+            self._reply(500, {"status": "error", "error": str(e)})
+
+    def do_POST(self):  # noqa: N802 — http.server API
+        try:
+            data = self._body()
+            if self.path == "/api/search":
+                if "query" not in data:
+                    self._reply(
+                        400,
+                        {"status": "error", "error": "Missing required field: query"},
+                    )
+                    return
+                try:
+                    res = self.engine.search(
+                        data["query"],
+                        k=int(data.get("k", 10)),
+                        variant=data.get("version", "bm25"),
+                    )
+                except ValueError as ve:
+                    self._reply(400, {"status": "error", "error": str(ve)})
+                    return
+                self._reply(200, {"status": "ok", **res})
+            elif self.path == "/api/compare":
+                if "query" not in data or "versions" not in data:
+                    self._reply(
+                        400,
+                        {
+                            "status": "error",
+                            "error": "Missing required fields: query and versions",
+                        },
+                    )
+                    return
+                try:
+                    results = {
+                        v: self.engine.search(
+                            data["query"], k=int(data.get("k", 10)), variant=v
+                        )
+                        for v in data["versions"]
+                    }
+                except ValueError as ve:
+                    self._reply(400, {"status": "error", "error": str(ve)})
+                    return
+                self._reply(
+                    200,
+                    {"status": "ok", "query": data["query"], "results": results},
+                )
+            else:
+                self._reply(404, {"status": "error", "error": "not found"})
+        except Exception as e:  # noqa: BLE001
+            self._reply(500, {"status": "error", "error": str(e)})
+
+
+def make_server(engine: EngineHandle, port: int = 0) -> ThreadingHTTPServer:
+    """Bind (port=0 -> ephemeral) and return the server; caller runs
+    serve_forever (or a background thread) and shutdown()."""
+    handler = type("BoundHandler", (_Handler,), {"engine": engine})
+    return ThreadingHTTPServer(("127.0.0.1", port), handler)
+
+
+def serve(engine: EngineHandle, port: int) -> None:
+    srv = make_server(engine, port)
+    print(json.dumps({"serving": True, "port": srv.server_address[1]}), flush=True)
+    try:
+        srv.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        srv.shutdown()

@@ -417,6 +417,24 @@ class FrontierShard:
             }
         )
 
+    def snapshot_to(self, path: str) -> int:
+        """Write this shard's checkpoint payload to ``path`` from INSIDE the
+        actor (tmp + atomic rename). All shards serialize and write in
+        parallel; the driver only awaits — with 32 shards the pre-allocated
+        filter state is ~80 MB total, which the round-2 driver wrote
+        serially (~2-4 s of Amdahl serial time per checkpoint at bench
+        scale). Assumes the checkpoint dir is reachable from every node
+        (shared storage on a real cluster — the standard checkpoint
+        contract)."""
+        import os
+
+        payload = self.snapshot()
+        tmp = f"{path}.tmp"
+        with open(tmp, "wb") as f:
+            f.write(payload)
+        os.replace(tmp, path)
+        return len(payload)
+
     @classmethod
     def restore(cls, payload: bytes) -> "FrontierShard":
         st = pickle.loads(payload)

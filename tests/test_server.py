@@ -1,0 +1,106 @@
+"""REST control plane (server.py) — the reference dashboard API surface
+(`WebSite/api.py:350-520`) re-expressed over the Ray engine: status, search,
+metrics, compare, plus the reference's 400/404 error envelope."""
+
+import json
+import threading
+import urllib.error
+import urllib.request
+
+import pytest
+import ray.data as rd
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def server(ray_session):
+    from high_performance_parallel_search_engine_ray.server import (
+        EngineHandle,
+        make_server,
+    )
+
+    docs = rd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    eng = EngineHandle(docs)
+    srv = make_server(eng, port=0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}", eng
+    srv.shutdown()
+
+
+def _get(url):
+    with urllib.request.urlopen(url, timeout=60) as r:
+        return json.load(r)
+
+
+def _post(url, payload):
+    req = urllib.request.Request(
+        url,
+        data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    with urllib.request.urlopen(req, timeout=120) as r:
+        return json.load(r)
+
+
+def test_status(server):
+    base, _ = server
+    d = _get(f"{base}/api/status")
+    assert d["status"] == "ok" and d["api_version"] == "1.0"
+    assert d["num_docs"] == 500
+    assert set(d["versions"]) == {"bm25", "bm25_expanded", "pattern"}
+
+
+def test_search_matches_direct_pipeline(server):
+    from high_performance_parallel_search_engine_ray.pipelines.rank import bm25_topk
+
+    base, eng = server
+    d = _post(f"{base}/api/search", {"query": "hash join", "k": 5})
+    assert d["status"] == "ok" and d["execution_time_ms"] > 0
+    direct = bm25_topk(eng.docs, "hash join", k=5, tf=eng.tf).to_pylist()
+    assert d["results"] == json.loads(json.dumps(direct))
+
+
+def test_search_pattern_variant(server):
+    base, _ = server
+    d = _post(
+        f"{base}/api/search", {"query": "scan", "k": 3, "version": "pattern"}
+    )
+    assert d["status"] == "ok" and len(d["results"]) == 3
+    assert all(r["pattern"] == "scan" for r in d["results"])
+    ns = [r["n_matches"] for r in d["results"]]
+    assert ns == sorted(ns, reverse=True)
+
+
+def test_compare_variants(server):
+    base, _ = server
+    d = _post(
+        f"{base}/api/compare",
+        {"query": "hash join", "versions": ["bm25", "bm25_expanded"], "k": 5},
+    )
+    assert d["status"] == "ok"
+    assert set(d["results"]) == {"bm25", "bm25_expanded"}
+    for v in d["results"].values():
+        assert v["execution_time_ms"] > 0 and v["results"]
+
+
+def test_metrics_accumulate(server):
+    base, _ = server
+    d = _get(f"{base}/api/metrics")
+    assert d["status"] == "ok"
+    assert "query_latency" in json.dumps(d["metrics"])  # searches above recorded
+
+
+def test_error_envelope(server):
+    base, _ = server
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(f"{base}/api/search", {"k": 5})
+    assert e.value.code == 400
+    assert json.load(e.value)["status"] == "error"
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(f"{base}/api/search", {"query": "x", "version": "mpi"})
+    assert e.value.code == 400
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _get(f"{base}/api/nope")
+    assert e.value.code == 404
