@@ -208,3 +208,117 @@ def stopword_ratios(docs, id_col: str = "doc_id", text_col: str = "text"):
         return t.filter(pc.greater(t["n_ws_tokens"], 0))
 
     return docs.map_batches(sbatch, batch_format="pyarrow")
+
+
+# -- PII scrubbing (training-data hygiene) -----------------------------------
+
+# RE2 patterns (pyarrow and DuckDB both run RE2, so the oracle applies the
+# SAME automaton). Email before phone: an email's digits must not be
+# re-matched as a phone fragment after substitution.
+_EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_PATTERN = r"\+?[0-9][0-9()\[\] .-]{6,}[0-9]"
+
+
+def pii_scrub_table(docs, id_col: str = "doc_id", text_col: str = "text"):
+    """(doc_id, scrubbed, n_emails, n_phones): emails -> <EMAIL>, phone-like
+    digit runs -> <PHONE>, with per-doc match counts — the redaction pass a
+    training-data pipeline runs before tokenization. Pure vectorized RE2
+    kernels (count + global replace) per batch; no shuffle, no per-row
+    Python."""
+
+    def sbatch(b: pa.Table) -> pa.Table:
+        txt = b[text_col]
+        n_em = pc.count_substring_regex(txt, _EMAIL_PATTERN).cast(pa.int64())
+        t1 = pc.replace_substring_regex(txt, _EMAIL_PATTERN, "<EMAIL>")
+        n_ph = pc.count_substring_regex(t1, _PHONE_PATTERN).cast(pa.int64())
+        t2 = pc.replace_substring_regex(t1, _PHONE_PATTERN, "<PHONE>")
+        return pa.table(
+            {id_col: b[id_col], "scrubbed": t2, "n_emails": n_em, "n_phones": n_ph}
+        )
+
+    return docs.map_batches(sbatch, batch_format="pyarrow")
+
+
+# -- sequence packing (concat-and-chunk) -------------------------------------
+
+def pack_sequences(
+    docs,
+    budget: int = 2048,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_parts: int = 64,
+):
+    """(doc_id, n_tokens, offset, pack_id): GPT-style concat-and-chunk
+    sequence packing. Documents are concatenated in ``id_col`` order; each
+    doc's ``offset`` is the global token prefix-sum before it and
+    ``pack_id = offset // budget`` assigns it to a fixed-token-budget
+    training sequence. (Deterministic chunking, the common scalable
+    packing rule — NOT greedy bin-packing, which needs a sequential scan.)
+
+    Distributed as a two-pass range-partitioned prefix sum — the textbook
+    scan at 100 TB:
+      1. per-doc whitespace token counts (vectorized), range partition by
+         id quantile (``n_parts`` buckets over the observed id domain);
+      2. per-partition token totals (tiny groupby) -> driver-side exclusive
+         prefix over the ordered partition totals (n_parts values) ->
+         broadcast;
+      3. per-partition sorted local cumsum + partition base offset.
+    Only (doc_id, n_tokens) pairs ever shuffle; text stays put.
+    """
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    # id domain for range partitioning (two tiny aggregate passes over a
+    # projected column — parquet footers make these near-free at the read)
+    counts = docs.map_batches(
+        lambda b: pa.table(
+            {
+                id_col: b[id_col],
+                "n_tokens": pc.count_substring_regex(
+                    b[text_col], r"\S+"
+                ).cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+    lo = counts.min(id_col)
+    hi = counts.max(id_col)
+    span = max(1, int(hi) - int(lo) + 1)
+
+    def with_part(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        part = ((ids - int(lo)) * n_parts // span).astype(np.int32)
+        return b.append_column("part", pa.array(part))
+
+    parted = counts.map_batches(with_part, batch_format="pyarrow").materialize()
+
+    from ray.data.aggregate import Sum
+
+    totals = {
+        r["part"]: r["part_total"]
+        for r in parted.groupby("part")
+        .aggregate(Sum("n_tokens", alias_name="part_total"))
+        .take_all()
+    }
+    base = 0
+    bases = {}
+    for p in range(n_parts):
+        bases[p] = base
+        base += int(totals.get(p, 0))
+    bases_ref = ray.put(bases)
+
+    def pack_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(id_col, kind="stable")
+        n = g["n_tokens"].to_numpy(dtype=np.int64)
+        off = np.cumsum(n) - n + ray.get(bases_ref)[int(g["part"].iloc[0])]
+        return pd.DataFrame(
+            {
+                id_col: g[id_col].to_numpy(),
+                "n_tokens": n,
+                "offset": off,
+                "pack_id": off // budget,
+            }
+        )
+
+    return parted.groupby("part").map_groups(pack_part, batch_format="pandas")

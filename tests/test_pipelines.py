@@ -681,3 +681,51 @@ def test_curation_auto_flips_to_join_drop(ray_session, monkeypatch):
         rd.from_items(rows), jaccard_threshold=0.5, min_chars=32
     )
     assert sorted(curated.to_pandas()["doc_id"]) == [1, 7]
+
+
+def test_pii_scrub_planted(ray_session):
+    """Planted emails/phones are redacted and counted; clean text passes
+    through byte-identical (the synthetic corpus itself carries no PII, so
+    the oracle row exercises mostly the identity path)."""
+    from high_performance_parallel_search_engine_ray.pipelines.text import (
+        pii_scrub_table,
+    )
+
+    rows = [
+        {"doc_id": 1,
+         "text": "contact john.doe+x@example.co.uk or call +1 (415) 555-0199 now"},
+        {"doc_id": 2, "text": "no pii here at all"},
+        {"doc_id": 3, "text": "two mails a@b.io c@d.org and 0123-456-7890"},
+    ]
+    out = pii_scrub_table(rd.from_items(rows)).to_pandas().set_index("doc_id")
+    assert out.loc[1, "n_emails"] == 1 and out.loc[1, "n_phones"] == 1
+    assert "<EMAIL>" in out.loc[1, "scrubbed"]
+    assert "<PHONE>" in out.loc[1, "scrubbed"]
+    assert "@" not in out.loc[1, "scrubbed"]
+    assert out.loc[2, "scrubbed"] == "no pii here at all"
+    assert out.loc[2, "n_emails"] == 0 and out.loc[2, "n_phones"] == 0
+    assert out.loc[3, "n_emails"] == 2 and out.loc[3, "n_phones"] == 1
+
+
+def test_pack_sequences_prefix_sum(ray_session):
+    """Range-partitioned distributed prefix sum == a serial scan: offsets
+    are the exclusive cumsum in doc_id order, pack_id = offset // budget."""
+    from high_performance_parallel_search_engine_ray.pipelines.text import (
+        pack_sequences,
+    )
+
+    rows = [
+        {"doc_id": i, "text": " ".join(["w"] * (i % 7 + 1))}
+        for i in range(1, 101)
+    ]
+    out = (
+        pack_sequences(rd.from_items(rows), budget=16, n_parts=8)
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    assert len(out) == 100
+    n = out["n_tokens"].to_numpy()
+    off = out["offset"].to_numpy()
+    assert off[0] == 0
+    assert (off[1:] == off[:-1] + n[:-1]).all()
+    assert (out["pack_id"].to_numpy() == off // 16).all()
