@@ -48,6 +48,10 @@ BENCH_QUERIES = [
     "distinct_users_daily",
     "lang_id",
     "token_counts",
+    # round-3 additions (rebuilt / new operators)
+    "embedding_dup_pairs_lsh",
+    "pii_scrub",
+    "sequence_packing",
 ]
 
 

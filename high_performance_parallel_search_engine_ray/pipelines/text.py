@@ -282,8 +282,10 @@ def pack_sequences(
         ),
         batch_format="pyarrow",
     ).materialize()
-    lo = counts.min(id_col)
-    hi = counts.max(id_col)
+    from ray.data.aggregate import Max, Min
+
+    bounds = counts.aggregate(Min(id_col), Max(id_col))
+    lo, hi = bounds[f"min({id_col})"], bounds[f"max({id_col})"]
     span = max(1, int(hi) - int(lo) + 1)
 
     def with_part(b: pa.Table) -> pa.Table:
