@@ -26,10 +26,12 @@ import pyarrow as pa
 
 from ..functions.rounding import round_half_away
 from ..functions.textstats import cosine_topk
+from ..functions.veclib import list_column_to_matrix
 
 
 def _to_matrix(col) -> np.ndarray:
-    return np.stack([np.asarray(v, dtype=np.float64) for v in col])
+    # vectorized list<float> -> matrix (flatten/reshape; no per-row Python)
+    return list_column_to_matrix(col)
 
 
 def brute_force_topk(
@@ -49,8 +51,8 @@ def brute_force_topk(
 
     def local_topk(b: pa.Table) -> pa.Table:
         q = ray.get(q_ref)
-        ids = np.asarray(b[id_col].to_pylist())
-        m = _to_matrix(b[vec_col].to_pylist())
+        ids = b[id_col].to_numpy(zero_copy_only=False)
+        m = _to_matrix(b[vec_col])
         idx, scores = cosine_topk(q, m, k)
         out = {"query_idx": [], id_col: [], "cosine": []}
         for qi in range(q.shape[0]):
@@ -113,8 +115,8 @@ def lsh_topk(
 
     def local_topk(b: pa.Table) -> pa.Table:
         qm, qb, pl, w, popc = ray.get(refs)
-        ids = np.asarray(b[id_col].to_pylist())
-        m = _to_matrix(b[vec_col].to_pylist())
+        ids = b[id_col].to_numpy(zero_copy_only=False)
+        m = _to_matrix(b[vec_col])
         cb = ((m @ pl) >= 0) @ w
         out = {"query_idx": [], id_col: [], "cosine": []}
         for qi in range(qm.shape[0]):
@@ -189,8 +191,8 @@ def ivf_topk(
         c = ray.get(cent_ref)
         psets = ray.get(probe_ref)
         qm = ray.get(q_ref)
-        ids = np.asarray(b[id_col].to_pylist())
-        m = _to_matrix(b[vec_col].to_pylist())
+        ids = b[id_col].to_numpy(zero_copy_only=False)
+        m = _to_matrix(b[vec_col])
         mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
         cell = np.argmax(mn @ c.T, axis=1)
         out = {"query_idx": [], id_col: [], "cosine": []}

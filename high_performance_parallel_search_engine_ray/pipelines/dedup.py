@@ -39,6 +39,7 @@ from ..functions.hashing import (
 )
 from ..functions.rounding import round_half_away
 from ..functions.textstats import jaccard
+from ..functions.veclib import list_column_to_matrix
 
 
 def exact_dedup(docs, id_col: str = "doc_id", text_col: str = "text"):
@@ -578,6 +579,7 @@ def embedding_dup_pairs_lsh(
     bands: int = 4,
     seed: int = 11,
     max_bucket: int = 512,
+    verify_broadcast_ids: int = 200_000,
 ):
     """Cosine near-dup pairs WITHOUT a label column: random-hyperplane LSH.
 
@@ -601,10 +603,17 @@ def embedding_dup_pairs_lsh(
          ``max_bucket`` truncation to the smallest ids);
       3. pair distinct per pair-hash partition (a pair surfaces from up to
          ``bands`` buckets);
-      4. exact-cosine verify as a union + partition-groupby co-location
-         join: candidate vectors (flat binary cells) attach to pair
-         memberships by id hash, the two pair sides co-locate by pair
-         hash, cosine computed vectorized (einsum) per partition.
+      4. exact-cosine verify, COST-BASED (same broadcast-vs-shuffle policy
+         as the relational ``_attach_or_join`` and the curate drop path):
+         the distinct candidate-id set is already a bounded driver-side
+         list; when it is <= ``verify_broadcast_ids`` the candidate
+         vectors are pulled once, ``ray.put`` as a (sorted ids, matrix)
+         lookup, and every candidate pair is verified in ONE map_batches
+         via searchsorted + einsum — no union, no extra shuffles. Above
+         the threshold the verify falls back to a union +
+         partition-groupby co-location join: candidate vectors (flat
+         binary cells) attach to pair memberships by id hash, the two
+         pair sides co-locate by pair hash, cosine per partition.
     Returns (id_a, id_b, cosine) with id_a < id_b, cosine rounded 6dp.
     """
     import ray
@@ -629,9 +638,7 @@ def embedding_dup_pairs_lsh(
     # 1. membership rows only — (bucket key, id); the float vector does NOT
     #    enter the bands-x shuffle (it is re-read once in the verify stage)
     def sig_batch(b: pa.Table) -> pa.Table:
-        vecs = np.stack(
-            [np.asarray(v, dtype=np.float64) for v in b[vec_col].to_pylist()]
-        )
+        vecs = list_column_to_matrix(b[vec_col])
         bits = (vecs @ _planes(vecs.shape[1])) >= 0  # (n, n_planes)
         n = len(vecs)
         keys = np.empty(n * bands, dtype=np.int64)
@@ -714,6 +721,46 @@ def embedding_dup_pairs_lsh(
     )
     id_ref = ray.put(pa.array(cand_ids, id_type))
 
+    if len(cand_ids) <= verify_broadcast_ids:
+        # broadcast verify: pull just the candidate vectors (bounded by
+        # the id-set size), sort by id, ship ONE lookup object
+        ids_parts: list[np.ndarray] = []
+        mats: list[np.ndarray] = []
+        filt = embeddings.map_batches(
+            lambda b: b.select([id_col, vec_col]).filter(
+                pc.is_in(b[id_col], value_set=ray.get(id_ref))
+            ),
+            batch_format="pyarrow",
+        )
+        for t in filt.iter_batches(batch_format="pyarrow", batch_size=None):
+            if t.num_rows:
+                ids_parts.append(t[id_col].to_numpy(zero_copy_only=False))
+                mats.append(list_column_to_matrix(t[vec_col]))
+        ids_np = np.concatenate(ids_parts)
+        mat = np.vstack(mats)
+        order = np.argsort(ids_np, kind="stable")
+        lut = ray.put((ids_np[order], mat[order]))
+
+        def verify_batch(b: pa.Table) -> pa.Table:
+            ids_s, m = ray.get(lut)
+            a = b["id_a"].to_numpy(zero_copy_only=False)
+            c = b["id_b"].to_numpy(zero_copy_only=False)
+            va, vb2 = m[np.searchsorted(ids_s, a)], m[np.searchsorted(ids_s, c)]
+            na = np.linalg.norm(va, axis=1)
+            nb = np.linalg.norm(vb2, axis=1)
+            na[na == 0] = 1.0
+            nb[nb == 0] = 1.0
+            cos = np.einsum("ij,ij->i", va, vb2) / (na * nb)
+            keep = cos >= threshold
+            return pa.table(
+                {"id_a": pa.array(a[keep], id_type),
+                 "id_b": pa.array(c[keep], id_type),
+                 "cosine": pa.array(round_half_away(cos[keep], 6),
+                                    pa.float64())}
+            )
+
+        return cand.map_batches(verify_batch, batch_format="pyarrow")
+
     def _part_of(arr: np.ndarray) -> np.ndarray:
         return (pd.util.hash_array(arr, categorize=False) % N_PARTS).astype(
             np.int32
@@ -722,10 +769,7 @@ def embedding_dup_pairs_lsh(
     def vec_rows(b: pa.Table) -> pa.Table:
         t = b.filter(pc.is_in(b[id_col], value_set=ray.get(id_ref)))
         ids = t[id_col].combine_chunks().cast(id_type)
-        vb = [
-            np.asarray(v, dtype=np.float64).tobytes()
-            for v in t[vec_col].to_pylist()
-        ]
+        vb = [row.tobytes() for row in list_column_to_matrix(t[vec_col])]
         n = t.num_rows
         return pa.table(
             {"jk": ids, "p_a": ids, "p_b": ids,

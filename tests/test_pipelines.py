@@ -294,6 +294,16 @@ def test_embedding_lsh_dedup_finds_planted_dups(ray_session):
     assert all(a <= 3 and b <= 3 for a, b in pairs)
     for c in out["cosine"]:
         assert c >= 0.95
+    # the cost-based verify: forcing the shuffle co-location path
+    # (verify_broadcast_ids=0) must produce the identical pair set
+    import pandas as pd
+
+    shuf = embedding_dup_pairs_lsh(
+        rd.from_items(rows), threshold=0.95, verify_broadcast_ids=0
+    ).to_pandas()
+    a = out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    b = shuf.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
 
 
 def test_media_resize_plumbing(docs):
