@@ -57,14 +57,75 @@ def exact_dedup(docs, id_col: str = "doc_id", text_col: str = "text"):
     )
 
 
-def dedup_keep_first(docs, id_col: str = "doc_id", text_col: str = "text"):
+def dedup_keep_first(
+    docs,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    drop_broadcast_ids: int = 2_000_000,
+):
     """The filtering counterpart of exact_dedup: returns the docs Dataset
     with exact duplicates removed, keeping the min-id copy of each distinct
-    text. Dataflow: hash-only keeper table (md5, min id) -> hash-shuffle
-    semi-join back onto the docs by id — the text column never enters a
-    shuffle, and nothing reaches the driver. This is the operator a
-    training-data pipeline actually applies before tokenization."""
+    text.
+
+    Dataflow: (md5, id) rows -> bounded hash-partition groupby ->
+    per-partition vectorized keep-min -> DROP-id set. The drop set holds
+    only the non-min duplicate copies — in a real corpus a small fraction
+    of the input — so its application is COST-BASED (same policy as the
+    curate drop path and relational._attach_or_join): at or below
+    ``drop_broadcast_ids`` the ids broadcast once via ray.put and docs
+    filter in one map_batches (the text column never enters a shuffle and
+    only the drop ids touch the driver); above it, the previous shape — a
+    keeper-table hash-shuffle semi-join (Dataset.join) — applies, which
+    stays fully distributed at any drop-set size. Both paths return the
+    identical (docs-schema) result; a test forces the join path.
+
+    This is the operator a training-data pipeline actually applies before
+    tokenization."""
     import ray
+
+    N_PARTS = 64
+
+    def hash_rows(b: pa.Table) -> pa.Table:
+        hs = [
+            hashlib.md5(t.encode("utf-8")).hexdigest()
+            for t in b[text_col].to_pylist()
+        ]
+        part = (
+            pd.util.hash_array(np.asarray(hs, dtype=object)) % N_PARTS
+        ).astype(np.int32)
+        return pa.table(
+            {"h": pa.array(hs), id_col: b[id_col], "part": pa.array(part)}
+        )
+
+    def drops_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["h", id_col], kind="stable")
+        h = g["h"].to_numpy()
+        keep = np.ones(len(g), dtype=bool)
+        keep[1:] = h[1:] != h[:-1]  # first (min-id) row of each hash run
+        return g.loc[~keep, [id_col]]
+
+    drops = (
+        docs.map_batches(hash_rows, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(drops_part, batch_format="pandas")
+        .materialize()
+    )
+    if drops.count() <= drop_broadcast_ids:
+        id_type = docs.schema().base_schema.field(id_col).type
+        chunks = [
+            t[id_col].combine_chunks().cast(id_type)
+            for t in drops.iter_batches(batch_format="pyarrow", batch_size=None)
+            if t.num_rows
+        ]
+        drop_ref = ray.put(
+            pa.concat_arrays(chunks) if chunks else pa.array([], id_type)
+        )
+        return docs.map_batches(
+            lambda b: b.filter(
+                pc.invert(pc.is_in(b[id_col], value_set=ray.get(drop_ref)))
+            ),
+            batch_format="pyarrow",
+        )
 
     keepers = exact_dedup(docs, id_col, text_col).map_batches(
         lambda b: b.select(["keeper_doc_id"]).rename_columns(["__keep_id"]),

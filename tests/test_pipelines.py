@@ -541,6 +541,17 @@ def test_dedup_keep_first_filters_docs(ray_session):
     out = dedup_keep_first(rd.from_items(rows)).to_pandas()
     assert sorted(out["doc_id"]) == [2, 3, 7]
     assert sorted(out["text"]) == ["aaa", "bbb", "ccc"]
+    # cost-based drop: forcing the shuffle semi-join fallback
+    # (drop_broadcast_ids=-1) must produce the identical result
+    import pandas as pd
+
+    joined = dedup_keep_first(
+        rd.from_items(rows), drop_broadcast_ids=-1
+    ).to_pandas()
+    pd.testing.assert_frame_equal(
+        out.sort_values("doc_id").reset_index(drop=True),
+        joined[out.columns].sort_values("doc_id").reset_index(drop=True),
+    )
 
 
 def test_curation_pipeline_stage_gates(ray_session):
