@@ -339,6 +339,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the driver cap so the frozen r2 contract rows stay comparable)
         "pii_scrub": lambda sf: text.pii_scrub_table(_docs(sf)),
         "sequence_packing": lambda sf: text.pack_sequences(_docs(sf), budget=2048),
+        "repetition_scores": lambda sf: text.repetition_scores(_docs(sf)),
     }
 
 
@@ -690,6 +691,29 @@ c AS (
 SELECT doc_id, CAST(n AS BIGINT) AS n_tokens, CAST(off AS BIGINT) AS "offset",
        CAST(off // 2048 AS BIGINT) AS pack_id
 FROM c
+""",
+        "repetition_scores": """
+WITH w0 AS (
+  SELECT doc_id,
+         unnest(string_split_regex(text, '\\s+')) AS word,
+         generate_subscripts(string_split_regex(text, '\\s+'), 1) AS pos
+  FROM documents
+),
+w AS (
+  SELECT doc_id, word,
+         row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rn
+  FROM w0 WHERE length(word) > 0
+),
+g AS (
+  SELECT a.doc_id, a.word || ' ' || b.word AS gram
+  FROM w a JOIN w b ON a.doc_id = b.doc_id AND b.rn = a.rn + 1
+),
+c AS (SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY doc_id, gram)
+SELECT doc_id,
+       CAST(SUM(cnt) AS BIGINT) AS n_grams,
+       ROUND(MAX(cnt) * 1.0 / SUM(cnt), 6) AS top2gram_frac,
+       ROUND((SUM(cnt) - COUNT(*)) * 1.0 / SUM(cnt), 6) AS dup2gram_frac
+FROM c GROUP BY doc_id
 """,
         # lang_id / fingerprints / minhash / simhash / ann_ivf / media /
         # crawl_*: non-SQL-expressible (heuristic, probabilistic-but-seeded,

@@ -52,6 +52,7 @@ BENCH_QUERIES = [
     "embedding_dup_pairs_lsh",
     "pii_scrub",
     "sequence_packing",
+    "repetition_scores",
 ]
 
 
@@ -101,7 +102,7 @@ def run_crawl_bench(num_cpus: int) -> dict:
         # fc=2*cpus 27.9s, identical page counts — the tail was ~half the
         # round wall). Cache footprint is unchanged: bucket ownership
         # partitions the corpus across the pool whatever its size.
-        fetch_concurrency=2 * num_cpus,
+        fetch_concurrency=int(os.environ.get("GRAFT_FETCH_MULT", "2")) * num_cpus,
         fetch_batch_size=256,
         round_budget_ms=20_000_000.0,  # virtual politeness window per round
         max_rounds=40,
@@ -113,6 +114,20 @@ def run_crawl_bench(num_cpus: int) -> dict:
         expected_urls_per_shard=200_000,
         checkpoint_interval=5,
         seed_urls=seeds,
+        # wave-pipelined admission (admission of wave w overlaps the fetch
+        # of waves w+1..; order-preserving, test_admission_waves_invariant).
+        # Default 1: on this compute-saturated single node the overlap
+        # STEALS cores from the 2x-oversubscribed fetch pool instead of
+        # filling idle tail time, and the per-wave slicing adds overhead —
+        # measured 32-CPU sweep waves 1/2/4 = 19.5/23.1/25.1 s (identical
+        # crawls). The lever is for multi-node tails where admission runs
+        # on shard-owning nodes that are otherwise idle.
+        admission_waves=int(os.environ.get("GRAFT_ADMISSION_WAVES", "1")),
+        # exchange granularity (slices per fetcher call): measured within
+        # noise of 1 on this single-node bench; on a cluster set it to the
+        # node count. Note waves multiply object-store entries (fetchers x
+        # waves x groups) — keep the product in budget.
+        fetch_slice_groups=int(os.environ.get("GRAFT_SLICE_GROUPS", "8")),
     )
     # Warm-up: a short crawl spawns the Ray worker pool and loads the
     # fetchers' page caches; the measured run adopts the warm fetch pool so

@@ -136,6 +136,33 @@ class CrawlConfig:
     # because both must produce identical crawls (tested); it costs ~1-2s of
     # per-round execution latency, which dominates at round granularity.
     admission: str = "direct"
+    # Admission pipelining (direct mode): split each round's frontier into
+    # this many contiguous discovered_seq ranges ("waves"). Fetchers process
+    # their waves in submission order; each shard's admit_tables call for
+    # wave w is submitted immediately (actors process calls serially and
+    # block in their own ray.get until wave w's fetch output exists), so
+    # shards admit wave w WHILE the fetchers work on waves w+1.. — hiding
+    # admission latency inside the fetch tail instead of paying it after
+    # the fetch barrier. Order-preserving by construction: wave boundaries
+    # are GLOBAL discovered_seq quantiles shared by every fetcher, and
+    # per-shard admission sorts by (parent_seq, link_ord) within each wave,
+    # so wave-major order equals the single-wave global sort order; the
+    # fetcher's cross-round _emitted suppression makes the emitted link set
+    # identical regardless of how the round is sliced (tested:
+    # test_admission_waves_invariant). One semantic grain: the per-host
+    # failure circuit breaker sees outcomes wave-by-wave instead of
+    # round-by-round, i.e. quarantine can engage mid-round — strictly
+    # CLOSER to the reference's per-page outcome/admission interleaving
+    # (`Serial Version/src/crawler.c:1104-1383`) than the round-grain
+    # barrier is. 1 = plain barrier (fetch all, then admit all).
+    # Measured (single 32-core node, bench crawl, identical outputs):
+    # waves 1/2/4 = 19.5/23.1/25.1 s — on a saturated node the overlap
+    # steals cores from the oversubscribed fetch pool and the per-wave
+    # slicing (more actor calls, more doc parts, per-wave slowest-fetcher
+    # mini-barriers) costs more than the ~10% admission time it hides.
+    # Use >1 only where admission capacity is idle during the fetch tail
+    # (shard actors on their own nodes of a multi-node cluster).
+    admission_waves: int = 1
 
 
 # ---------------------------------------------------------------------------
@@ -351,34 +378,54 @@ class ShardedCrawl:
             # shard-range slices as SEPARATE object-store entries
             # (num_returns), so admission is a partitioned exchange: shard s
             # pulls only its group's slices, not every fetcher's full round
-            # table. group_refs[f][g] = fetcher f's slice for shard group g.
+            # table. wave_refs[w][f] = fetcher f's slice list for wave w.
             n_groups = max(1, min(cfg.fetch_slice_groups, cfg.num_shards))
-            group_refs: list[list] = []
+            n_waves = max(1, cfg.admission_waves)
+            seq_np = frontier_all["discovered_seq"].to_numpy()
+            if n_waves > 1 and len(seq_np) > n_waves:
+                # global quantile boundaries: every fetcher slices its part
+                # at the SAME discovered_seq cut points, so concatenating
+                # waves in order reproduces the global discovery order
+                interior = np.quantile(
+                    seq_np, np.linspace(0.0, 1.0, n_waves + 1)[1:-1]
+                )
+                wave_of = np.searchsorted(interior, seq_np, side="right")
+            else:
+                n_waves = 1
+                wave_of = np.zeros(len(seq_np), dtype=np.int64)
+            wave_refs: list[list[list]] = [[] for _ in range(n_waves)]
             for f in range(nf):
-                idx = np.nonzero(fetcher_of == f)[0]
-                if idx.size == 0:
-                    continue
-                part = frontier_all.take(pa.array(idx))
-                if n_groups == 1:
-                    group_refs.append(
-                        [self._fetchers[f].fetch.remote(part, docs_dir)]
-                    )
-                else:
-                    refs = self._fetchers[f].fetch_sliced.options(
-                        num_returns=n_groups
-                    ).remote(part, docs_dir, n_groups)
-                    group_refs.append(list(refs))
-            flat_refs = [r for refs in group_refs for r in refs]
+                f_mask = fetcher_of == f
+                for w in range(n_waves):
+                    idx = np.nonzero(f_mask & (wave_of == w))[0]
+                    if idx.size == 0:
+                        continue
+                    part = frontier_all.take(pa.array(idx))
+                    if n_groups == 1:
+                        refs = [self._fetchers[f].fetch.remote(part, docs_dir)]
+                    else:
+                        refs = list(
+                            self._fetchers[f].fetch_sliced.options(
+                                num_returns=n_groups
+                            ).remote(part, docs_dir, n_groups)
+                        )
+                    wave_refs[w].append(refs)
+            flat_refs = [r for wave in wave_refs for refs in wave for r in refs]
             t_f0 = time.perf_counter()
-            ray.wait(flat_refs, num_returns=len(flat_refs), fetch_local=False)
-            t_fetch = time.perf_counter() - t_f0
             # Direct shuffle through the object store: each shard actor
             # reads its own pre-sliced outputs (zero-copy plasma reads) and
-            # admits in deterministic discovery order. See
+            # admits in deterministic discovery order. Admissions are
+            # submitted BEFORE the fetch barrier: each shard actor blocks
+            # in its own ray.get until its wave's slices exist, so with
+            # admission_waves > 1 admission of wave w overlaps the fetch of
+            # waves w+1.. (the driver's ray.wait below is passive — it only
+            # timestamps the fetch tail for metrics). See
             # FrontierShard.admit_tables for why this replaces a per-round
             # Ray Data groupby in the BFS feedback loop.
-            t_a0 = time.perf_counter()
             if cfg.admission == "dataset":
+                ray.wait(flat_refs, num_returns=len(flat_refs), fetch_local=False)
+                t_fetch = time.perf_counter() - t_f0
+                t_a0 = time.perf_counter()
                 handles = {i: a for i, a in enumerate(self._actors)}
                 stats_df = (
                     rd.from_arrow_refs(flat_refs)
@@ -387,17 +434,24 @@ class ShardedCrawl:
                     .to_pandas()
                 )
                 stat_rows = stats_df.to_dict("records")
+                t_fetch_admit = time.perf_counter() - t_f0
+                t_admit = time.perf_counter() - t_a0
             else:
-                stat_rows = ray.get(
-                    [
-                        self._actors[s].admit_tables.remote(
-                            [refs[s * n_groups // cfg.num_shards] for refs in group_refs]
-                        )
-                        for s in range(cfg.num_shards)
-                    ]
-                )
-            t_fetch_admit = time.perf_counter() - t_f0
-            t_admit = time.perf_counter() - t_a0
+                stat_futs = [
+                    self._actors[s].admit_tables.remote(
+                        [refs[s * n_groups // cfg.num_shards] for refs in wave_refs[w]]
+                    )
+                    for w in range(n_waves)
+                    if wave_refs[w]
+                    for s in range(cfg.num_shards)
+                ]
+                ray.wait(flat_refs, num_returns=len(flat_refs), fetch_local=False)
+                t_fetch = time.perf_counter() - t_f0
+                stat_rows = ray.get(stat_futs)
+                t_fetch_admit = time.perf_counter() - t_f0
+                # residual admission after the last fetch completed — the
+                # cost waves are designed to hide
+                t_admit = t_fetch_admit - t_fetch
             fetched = sum(s.get("fetched_ok", 0) for s in stat_rows)
             admitted = sum(s.get("admitted", 0) for s in stat_rows)
             max_shard = max(stat_rows, key=lambda s: s.get("t_total", 0), default={})

@@ -239,6 +239,66 @@ def pii_scrub_table(docs, id_col: str = "doc_id", text_col: str = "text"):
     return docs.map_batches(sbatch, batch_format="pyarrow")
 
 
+# -- repetition scoring (Gopher-style n-gram repetition gates) ---------------
+
+def repetition_scores(docs, id_col: str = "doc_id", text_col: str = "text"):
+    """(doc_id, n_grams, top2gram_frac, dup2gram_frac): word-2-gram
+    repetition metrics per document — the Gopher/MassiveText repetition
+    gates a curation pipeline thresholds on (fraction of 2-gram
+    occurrences taken by the most frequent 2-gram, and fraction of 2-gram
+    occurrences that are repeats of an earlier one). Batch-local and
+    shuffle-free: tokens -> adjacent-pair grams (numpy parent alignment)
+    -> pandas hash-grouped counts per doc. Docs with <2 tokens emit no row
+    (no 2-grams), matching the oracle's GROUP BY."""
+    import numpy as np
+    import pandas as pd
+
+    def rbatch(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        toks = pc.split_pattern_regex(b[text_col], r"\s+")
+        flat = pc.list_flatten(toks)
+        parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        nonempty = pc.greater(pc.utf8_length(flat), 0).to_numpy(
+            zero_copy_only=False
+        )
+        words = flat.to_pandas().to_numpy()[nonempty]
+        parents = parents[nonempty]
+        if len(words) < 2:
+            return pa.table(
+                {
+                    id_col: pa.array([], b[id_col].type),
+                    "n_grams": pa.array([], pa.int64()),
+                    "top2gram_frac": pa.array([], pa.float64()),
+                    "dup2gram_frac": pa.array([], pa.float64()),
+                }
+            )
+        # adjacent pairs within the same doc
+        same = parents[:-1] == parents[1:]
+        gp = parents[:-1][same]
+        grams = pd.Series(words[:-1][same]) + " " + pd.Series(words[1:][same])
+        df = pd.DataFrame({"p": gp, "g": grams})
+        per_gram = df.groupby(["p", "g"], sort=False).size()
+        total = np.bincount(gp, minlength=n).astype(np.float64)
+        top = per_gram.groupby(level=0).max()
+        distinct = per_gram.groupby(level=0).size()
+        top_a = np.zeros(n)
+        dist_a = np.zeros(n)
+        top_a[top.index.to_numpy()] = top.to_numpy(dtype=np.float64)
+        dist_a[distinct.index.to_numpy()] = distinct.to_numpy(dtype=np.float64)
+        has = total > 0
+        t = pa.table(
+            {
+                id_col: b[id_col],
+                "n_grams": pa.array(total.astype(np.int64), pa.int64()),
+                "top2gram_frac": _ratio(top_a, total),
+                "dup2gram_frac": _ratio(total - dist_a, total),
+            }
+        )
+        return t.filter(pa.array(has))
+
+    return docs.map_batches(rbatch, batch_format="pyarrow")
+
+
 # -- sequence packing (concat-and-chunk) -------------------------------------
 
 def pack_sequences(

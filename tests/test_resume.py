@@ -161,6 +161,25 @@ def test_fetch_slice_groups_invariant(ray_session, smoke_corpus):
     assert seen_4 == seen_1 and docs_4 == docs_1
 
 
+def test_admission_waves_invariant(ray_session, smoke_corpus):
+    """Wave-pipelined admission (admission_waves > 1 overlaps each wave's
+    admission with the fetch of later waves) must produce exactly the same
+    crawl as the plain fetch-all-then-admit-all barrier: wave boundaries
+    are global discovered_seq quantiles, so wave-major admission order
+    equals the global (parent_seq, link_ord) order."""
+    r1, seen_1, docs_1 = _run(smoke_corpus, "/tmp/t_wave1", admission_waves=1)
+    r3, seen_3, docs_3 = _run(smoke_corpus, "/tmp/t_wave3", admission_waves=3)
+    r8, seen_8, docs_8 = _run(smoke_corpus, "/tmp/t_wave8", admission_waves=8)
+    assert seen_3 == seen_1 and docs_3 == docs_1
+    assert seen_8 == seen_1 and docs_8 == docs_1
+    assert r3["pages_crawled"] == r1["pages_crawled"]
+    assert r8["pages_crawled"] == r1["pages_crawled"]
+    # admission totals (dups filtered, admitted) are slice-invariant too
+    for key in ("admitted", "dup", "robots_blocked"):
+        tot = lambda r: sum(s[key] for s in r["shard_stats"])
+        assert tot(r3) == tot(r1) and tot(r8) == tot(r1)
+
+
 def test_fetcher_death_recovers_via_resume(ray_session, smoke_corpus):
     """Kill a fetch actor mid-crawl: the run fails fast (RayActorError
     surfaces), and resume from the last checkpoint reaches the exact state
