@@ -44,6 +44,14 @@ def _docs(sf_dir: str):
     return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
 
+def _doc_sources(sf_dir: str):
+    import ray.data as rd
+
+    return rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+    )
+
+
 def _emb(sf_dir: str):
     import ray.data as rd
 
@@ -340,7 +348,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_scrub": lambda sf: text.pii_scrub_table(_docs(sf)),
         "sequence_packing": lambda sf: text.pack_sequences(_docs(sf), budget=2048),
         "repetition_scores": lambda sf: text.repetition_scores(_docs(sf)),
+        "quantity_quantiles": relational.quantity_quantiles,
+        "stratified_sample": lambda sf: text.stratified_sample(
+            _doc_sources(sf), rates=_SAMPLE_RATES
+        ),
     }
+
+
+# Source-mixing rates for the stratified_sample contract query: keep 100% of
+# src0-4, 50% of src5-9, 25% of src10-14, 10% of the rest (the oracle SQL's
+# CASE mirrors this dict exactly).
+_SAMPLE_RATES = {
+    **{f"src{i}": 100 for i in range(5)},
+    **{f"src{i}": 50 for i in range(5, 10)},
+    **{f"src{i}": 25 for i in range(10, 15)},
+    **{f"src{i}": 10 for i in range(15, 20)},
+}
 
 
 def oracle_sql() -> dict[str, str]:
@@ -714,6 +737,24 @@ SELECT doc_id,
        ROUND(MAX(cnt) * 1.0 / SUM(cnt), 6) AS top2gram_frac,
        ROUND((SUM(cnt) - COUNT(*)) * 1.0 / SUM(cnt), 6) AS dup2gram_frac
 FROM c GROUP BY doc_id
+""",
+        "quantity_quantiles": """
+SELECT l_returnflag,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       quantile_disc(l_quantity, 0.25) AS q25,
+       quantile_disc(l_quantity, 0.50) AS q50,
+       quantile_disc(l_quantity, 0.75) AS q75,
+       quantile_disc(l_quantity, 0.90) AS q90
+FROM lineitem GROUP BY l_returnflag
+""",
+        "stratified_sample": """
+SELECT doc_id, source FROM documents
+WHERE doc_id % 100 < CASE
+  WHEN source IN ('src0','src1','src2','src3','src4') THEN 100
+  WHEN source IN ('src5','src6','src7','src8','src9') THEN 50
+  WHEN source IN ('src10','src11','src12','src13','src14') THEN 25
+  WHEN source IN ('src15','src16','src17','src18','src19') THEN 10
+  ELSE 0 END
 """,
         # lang_id / fingerprints / minhash / simhash / ann_ivf / media /
         # crawl_*: non-SQL-expressible (heuristic, probabilistic-but-seeded,

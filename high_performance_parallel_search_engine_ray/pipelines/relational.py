@@ -1054,3 +1054,66 @@ def events_nearby_counts(sf_dir: str, window_s: int = 300):
         )
 
     return _by_partition(ev, "user_id", nearby_part)
+
+
+# -- exact distributed quantiles via value-count histogram --------------------
+
+def grouped_quantiles_disc(
+    ds,
+    key_col: str,
+    val_col: str,
+    qs: tuple = (0.25, 0.5, 0.75, 0.9),
+    out_names: tuple = ("q25", "q50", "q75", "q90"),
+):
+    """Per-``key_col`` EXACT discrete quantiles of ``val_col`` computed from
+    a distributed value-count histogram — the scale path for quantiles over
+    fact tables whose value domain is bounded (quantities, prices in cents,
+    durations in ms: distinct values ≪ rows at 100 TB). Never sorts or
+    shuffles the fact rows:
+
+      1. per-block (key, val) counts inside map_batches (Arrow group_by);
+      2. groupby-sum — the only shuffle, carrying distinct pairs;
+      3. per-key assembly: sorted cumsum + pick the ceil(q*n)-th ordered
+         element (DuckDB quantile_disc's rule, probed empirically), via
+         map_groups over the per-key histograms.
+
+    Contrast brand_median_price (ordered-group quantile_cont via full
+    group pull): that is the small-table anchor; this is what survives a
+    fact table. Output: one row per key, n_rows + one column per q."""
+    import math
+
+    def vc(b: pa.Table) -> pa.Table:
+        t = pa.table({key_col: b[key_col], val_col: b[val_col]})
+        return t.group_by([key_col, val_col]).aggregate([([], "count_all")])
+
+    from ray.data.aggregate import Sum
+
+    hist = (
+        ds.map_batches(vc, batch_format="pyarrow")
+        .groupby([key_col, val_col])
+        .aggregate(Sum("count_all", alias_name="cnt"))
+    )
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(val_col, kind="stable")
+        cnt = g["cnt"].to_numpy(dtype=np.int64)
+        cum = np.cumsum(cnt)
+        n = int(cum[-1])
+        out = {key_col: [g[key_col].iloc[0]], "n_rows": [n]}
+        vals = g[val_col].to_numpy()
+        for q, name in zip(qs, out_names):
+            # DuckDB quantile_disc: 1-based ordered index ceil(q*n), same
+            # double multiply so float edge cases land identically
+            target = max(1, math.ceil(q * n))
+            out[name] = [vals[np.searchsorted(cum, target, side="left")]]
+        return pd.DataFrame(out)
+
+    return hist.groupby(key_col).map_groups(pick, batch_format="pandas")
+
+
+def quantity_quantiles(sf_dir: str):
+    """Per l_returnflag discrete quantiles of l_quantity (bounded integer
+    domain: the histogram carries ~|flags| x 50 pairs through the shuffle
+    regardless of fact-table size)."""
+    li = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
+    return grouped_quantiles_disc(li, "l_returnflag", "l_quantity")

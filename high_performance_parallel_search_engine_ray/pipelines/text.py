@@ -299,6 +299,47 @@ def repetition_scores(docs, id_col: str = "doc_id", text_col: str = "text"):
     return docs.map_batches(rbatch, batch_format="pyarrow")
 
 
+# -- deterministic stratified sampling (source mixing) -----------------------
+
+def stratified_sample(
+    docs,
+    rates: dict[str, int],
+    mod: int = 100,
+    default_rate: int = 0,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+):
+    """Keep each row iff ``id % mod < rates[source]`` — deterministic
+    per-source downsampling, the mixing step that rebalances corpus sources
+    before training. Batch-local and shuffle-free; re-running (or resuming)
+    selects the identical rows, which is what makes the sample reproducible
+    across a 100-TB job's retries. Vectorized: rates gather via
+    pc.index_in on the (tiny) source list + numpy modulo mask.
+
+    The selector here is a plain modulo on the integer id so the DuckDB
+    oracle can express the identical predicate; with non-integer or
+    adversarial ids substitute a splitmix-style integer hash
+    (functions/hashing.stable_hash64) on both sides of the threshold —
+    the operator shape is unchanged."""
+    import numpy as np
+
+    src_keys = pa.array(list(rates.keys()), pa.string())
+    pct = np.array(list(rates.values()), dtype=np.int64)
+
+    def sbatch(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        idx = pc.index_in(b[source_col], value_set=src_keys)
+        known = pc.is_valid(idx).to_numpy(zero_copy_only=False)
+        idx_f = idx.fill_null(0).to_numpy(zero_copy_only=False).astype(np.int64)
+        rate = np.where(known, pct[idx_f], default_rate)
+        keep = (ids % mod) < rate
+        return pa.table(
+            {id_col: b[id_col], source_col: b[source_col]}
+        ).filter(pa.array(keep))
+
+    return docs.map_batches(sbatch, batch_format="pyarrow")
+
+
 # -- sequence packing (concat-and-chunk) -------------------------------------
 
 def pack_sequences(

@@ -127,7 +127,10 @@ def test_registry_ordering_contract():
     first50 = set(keys[:50])
     # round-3+ additions live past the cap by design (the r2 contract rows
     # must stay comparable); they are oracle-checked by THIS file instead
-    overflow_ok = {"pii_scrub", "sequence_packing", "repetition_scores"}
+    overflow_ok = {
+        "pii_scrub", "sequence_packing", "repetition_scores",
+        "quantity_quantiles", "stratified_sample",
+    }
     assert set(entry_mod.oracle_sql()) - overflow_ok <= first50
     for critical in (
         "crawl_sharded_smoke", "crawl_exact_trace", "curation_pipeline",
