@@ -352,6 +352,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": lambda sf: text.stratified_sample(
             _doc_sources(sf), rates=_SAMPLE_RATES
         ),
+        "unigram_logprob": lambda sf: text.unigram_logprob(_docs(sf)),
+        # n=4: the smallest n that yields nonzero overlap rows at every
+        # test scale (8/8/727 docs at sf0.001/0.01/0.1); real runs use the
+        # operator default n=8+
+        "decontaminate": lambda sf: text.decontaminate(_docs(sf), n=4),
     }
 
 
@@ -755,6 +760,41 @@ WHERE doc_id % 100 < CASE
   WHEN source IN ('src10','src11','src12','src13','src14') THEN 25
   WHEN source IN ('src15','src16','src17','src18','src19') THEN 10
   ELSE 0 END
+""",
+        "unigram_logprob": f"""
+WITH {_TOKS_CTE},
+freq AS (SELECT term, count(*) AS cnt FROM toks GROUP BY term),
+tot AS (SELECT count(*) AS total FROM toks)
+SELECT t.doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       ROUND(AVG(LN(f.cnt * 1.0 / tot.total)), 6) AS avg_logprob
+FROM toks t JOIN freq f ON t.term = f.term CROSS JOIN tot
+GROUP BY t.doc_id
+""",
+        "decontaminate": """
+WITH w0 AS (
+  SELECT doc_id,
+         unnest(string_split_regex(text, '\\s+')) AS word,
+         generate_subscripts(string_split_regex(text, '\\s+'), 1) AS pos
+  FROM documents
+),
+w AS (
+  SELECT doc_id, word,
+         row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rn
+  FROM w0 WHERE length(word) > 0
+),
+g AS (
+  SELECT doc_id,
+         word || ' ' || LEAD(word,1) OVER win || ' ' || LEAD(word,2) OVER win
+              || ' ' || LEAD(word,3) OVER win AS gram
+  FROM w WINDOW win AS (PARTITION BY doc_id ORDER BY rn)
+),
+g2 AS (SELECT doc_id, gram FROM g WHERE gram IS NOT NULL),
+ev AS (SELECT DISTINCT gram FROM g2 WHERE doc_id % 97 = 0)
+SELECT g2.doc_id, CAST(count(*) AS BIGINT) AS n_shared_ngrams
+FROM g2 JOIN ev USING (gram)
+WHERE g2.doc_id % 97 <> 0
+GROUP BY g2.doc_id
 """,
         # lang_id / fingerprints / minhash / simhash / ann_ivf / media /
         # crawl_*: non-SQL-expressible (heuristic, probabilistic-but-seeded,

@@ -299,6 +299,159 @@ def repetition_scores(docs, id_col: str = "doc_id", text_col: str = "text"):
     return docs.map_batches(rbatch, batch_format="pyarrow")
 
 
+# -- unigram LM scoring (perplexity proxy) -----------------------------------
+
+def unigram_logprob(docs, id_col: str = "doc_id", text_col: str = "text"):
+    """(doc_id, n_tokens, avg_logprob): per-document mean log-probability
+    under a unigram language model trained on the corpus itself — the
+    cheap stand-in for the KenLM-style perplexity gate curation pipelines
+    threshold on (low avg_logprob = unusual token distribution). Two
+    passes:
+
+      1. train: global term frequencies — per-batch Arrow counts, then the
+         (term) groupby-sum shuffle; the resulting vocab-sized model is
+         broadcast once via ray.put (bounded: vocabularies grow ~log of
+         corpus size, millions of terms at 100 TB — a few hundred MB as
+         sorted arrays, paid once per actor, never per batch);
+      2. score: embarrassingly parallel — tokens -> searchsorted into the
+         broadcast (term -> ln(freq/total)) arrays -> per-doc mean via
+         bincount segment sums.
+
+    Token definition = the engine's serial-tokenizer semantics
+    (pipelines/index.tokenize_batch), so the DuckDB oracle reuses the
+    shared toks CTE. Docs with zero kept tokens emit no row."""
+    import numpy as np
+    import ray
+    from ray.data.aggregate import Sum
+
+    from .index import tokenize_batch
+
+    def counts(b: pa.Table) -> pa.Table:
+        t = tokenize_batch(b, id_col, text_col)
+        return t.group_by("term").aggregate([([], "count_all")]).rename_columns(
+            ["term", "c"]
+        )
+
+    freq = (
+        docs.map_batches(counts, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("c", alias_name="cnt"))
+        .materialize()
+    )
+    rows = freq.take_all()  # vocab-bounded pull (see docstring)
+    terms = np.array([r["term"] for r in rows])
+    cnts = np.array([r["cnt"] for r in rows], dtype=np.float64)
+    order = np.argsort(terms)
+    terms, cnts = terms[order], cnts[order]
+    total = float(cnts.sum())
+    logp = np.log(cnts / total)  # same double division the SQL's LN does
+    model_ref = ray.put((terms, logp))
+
+    def score(b: pa.Table) -> pa.Table:
+        t = tokenize_batch(b, id_col, text_col)
+        terms_s, logp_s = ray.get(model_ref)
+        tok_terms = t["term"].to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(terms_s, tok_terms)
+        lp = logp_s[idx]  # every token's term is in the model by construction
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(ids, return_inverse=True)
+        n_tok = np.bincount(inv)
+        sums = np.bincount(inv, weights=lp)
+        return pa.table(
+            {
+                id_col: pa.array(uniq, b[id_col].type),
+                "n_tokens": pa.array(n_tok.astype(np.int64), pa.int64()),
+                "avg_logprob": pa.array(
+                    round_half_away(sums / n_tok, 6), pa.float64()
+                ),
+            }
+        )
+
+    return docs.map_batches(score, batch_format="pyarrow")
+
+
+# -- decontamination (benchmark n-gram overlap) -------------------------------
+
+def decontaminate(
+    docs,
+    eval_mod: int = 97,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """(doc_id, n_shared_ngrams) for every TRAINING doc sharing at least
+    one word-n-gram with the held-out eval slice (docs where
+    ``id % eval_mod == 0`` stand in for a benchmark set) — the
+    decontamination screen run before training so eval data cannot leak
+    into the corpus. Shape: the eval slice's distinct grams are small by
+    construction (benchmarks are), so they broadcast once via ray.put and
+    the screen itself is an embarrassingly parallel is_in over each
+    training doc's grams — no shuffle touches the corpus."""
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    def grams_of(b: pa.Table) -> tuple:
+        """(parents, gram_series) of word-n-grams for a batch."""
+        toks = pc.split_pattern_regex(b[text_col], r"\s+")
+        flat = pc.list_flatten(toks)
+        parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        keep = pc.greater(pc.utf8_length(flat), 0).to_numpy(zero_copy_only=False)
+        words = flat.to_pandas().to_numpy()[keep]
+        parents = parents[keep]
+        if len(words) < n:
+            return np.array([], dtype=np.int64), pd.Series([], dtype=object)
+        valid = parents[: -(n - 1)] == parents[n - 1 :]
+        gp = parents[: -(n - 1)][valid]
+        g = pd.Series(words[: -(n - 1)][valid])
+        for k in range(1, n):
+            end = -(n - 1 - k) or None
+            g = g + " " + pd.Series(words[k:end][valid])
+        return gp, g
+
+    def eval_grams(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        sel = pa.array(ids % eval_mod == 0)
+        eb = b.filter(sel)
+        if eb.num_rows == 0:
+            return pa.table({"gram": pa.array([], pa.string())})
+        _, g = grams_of(eb)
+        return pa.table({"gram": pa.array(pd.unique(g), pa.string())})
+
+    from ..functions.distinct import distinct_values
+
+    eset = distinct_values(
+        docs.map_batches(eval_grams, batch_format="pyarrow"), "gram"
+    )
+    eval_ref = ray.put(pa.array(eset, pa.string()))
+
+    def screen(b: pa.Table) -> pa.Table:
+        ids_all = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        train = b.filter(pa.array(ids_all % eval_mod != 0))
+        if train.num_rows == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], b[id_col].type),
+                    "n_shared_ngrams": pa.array([], pa.int64()),
+                }
+            )
+        gp, g = grams_of(train)
+        vs = ray.get(eval_ref)
+        hit = pc.is_in(pa.array(g, pa.string()), value_set=vs).to_numpy(
+            zero_copy_only=False
+        )
+        shared = np.bincount(gp[hit], minlength=train.num_rows).astype(np.int64)
+        out = pa.table(
+            {
+                id_col: train[id_col],
+                "n_shared_ngrams": pa.array(shared, pa.int64()),
+            }
+        )
+        return out.filter(pc.greater(out["n_shared_ngrams"], 0))
+
+    return docs.map_batches(screen, batch_format="pyarrow")
+
+
 # -- deterministic stratified sampling (source mixing) -----------------------
 
 def stratified_sample(
