@@ -357,6 +357,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # test scale (8/8/727 docs at sf0.001/0.01/0.1); real runs use the
         # operator default n=8+
         "decontaminate": lambda sf: text.decontaminate(_docs(sf), n=4),
+        "dup_clusters": lambda sf: dedup.dup_clusters(_docs(sf)),
     }
 
 
@@ -795,6 +796,32 @@ SELECT g2.doc_id, CAST(count(*) AS BIGINT) AS n_shared_ngrams
 FROM g2 JOIN ev USING (gram)
 WHERE g2.doc_id % 97 <> 0
 GROUP BY g2.doc_id
+""",
+        # connected components via recursive CTE: reach(src,node) enumerates
+        # every node reachable from src over prefix-16/suffix-16 blocking
+        # edges; min reachable id = the component label the Ray side's
+        # min-label propagation converges to
+        "dup_clusters": """
+WITH RECURSIVE
+pb AS (SELECT doc_id, substr(text, 1, 16) AS k FROM documents),
+sb AS (SELECT doc_id,
+              substr(text, CASE WHEN length(text) > 16
+                                THEN length(text) - 15 ELSE 1 END) AS k
+       FROM documents),
+e0 AS (
+  SELECT a.doc_id AS u, b.doc_id AS v FROM pb a JOIN pb b
+    ON a.k = b.k AND a.doc_id < b.doc_id
+  UNION
+  SELECT a.doc_id, b.doc_id FROM sb a JOIN sb b
+    ON a.k = b.k AND a.doc_id < b.doc_id
+),
+e AS (SELECT u, v FROM e0 UNION SELECT v, u FROM e0),
+reach(src, node) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.src, e.v FROM reach r JOIN e ON e.u = r.node
+)
+SELECT src AS doc_id, MIN(node) AS cluster_id FROM reach GROUP BY src
 """,
         # lang_id / fingerprints / minhash / simhash / ann_ivf / media /
         # crawl_*: non-SQL-expressible (heuristic, probabilistic-but-seeded,

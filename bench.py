@@ -53,6 +53,9 @@ BENCH_QUERIES = [
     "pii_scrub",
     "sequence_packing",
     "repetition_scores",
+    "unigram_logprob",
+    "decontaminate",
+    "dup_clusters",
 ]
 
 

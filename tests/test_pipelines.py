@@ -750,3 +750,46 @@ def test_pack_sequences_prefix_sum(ray_session):
     assert off[0] == 0
     assert (off[1:] == off[:-1] + n[:-1]).all()
     assert (out["pack_id"].to_numpy() == off // 16).all()
+
+
+def test_dup_clusters_multi_hop_chain(ray_session):
+    """Components must merge across ALTERNATING blocking relations: doc i
+    and i+1 share only a prefix (even i) or only a suffix (odd i), so the
+    6-doc chain's diameter forces multiple propagation rounds (the planted
+    corpora only exercise 1-hop blocks). Plus an isolated singleton."""
+    from high_performance_parallel_search_engine_ray.pipelines.dedup import dup_clusters
+
+    def text(pfx: int, sfx: int) -> str:
+        return f"{pfx:016d}" + "middle-padding-xyz" + f"{sfx:016d}"
+
+    # chain 0-1-2-3-4-5: prefixes pair (0,1)(2,3)(4,5), suffixes pair (1,2)(3,4)
+    rows = [
+        {"doc_id": 0, "text": text(10, 20)},
+        {"doc_id": 1, "text": text(10, 21)},
+        {"doc_id": 2, "text": text(11, 21)},
+        {"doc_id": 3, "text": text(11, 22)},
+        {"doc_id": 4, "text": text(12, 22)},
+        {"doc_id": 5, "text": text(12, 23)},
+        {"doc_id": 6, "text": text(99, 98)},  # isolated
+    ]
+    out = dup_clusters(rd.from_items(rows)).to_pandas().set_index("doc_id")
+    assert sorted(out.index) == list(range(7))
+    assert (out.loc[0:5, "cluster_id"] == 0).all()
+    assert out.loc[6, "cluster_id"] == 6
+
+
+def test_dup_clusters_shuffle_path_equivalence(ray_session):
+    """broadcast_threshold=0 forces every label attach through the
+    Dataset.join hash-shuffle path (the 100 TB shape, where the node table
+    is fact-scale); the result must equal the broadcast path's."""
+    from high_performance_parallel_search_engine_ray.pipelines.dedup import dup_clusters
+
+    sf = "/root/testdata/sf0.001"
+    a = dup_clusters(rd.read_parquet(f"{sf}/documents.parquet")).to_pandas()
+    b = dup_clusters(
+        rd.read_parquet(f"{sf}/documents.parquet"), broadcast_threshold=0
+    ).to_pandas()
+    a = a.sort_values("doc_id").reset_index(drop=True)
+    b = b.sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)
+    assert (a["cluster_id"] != a["doc_id"]).any()  # nontrivial clusters exist

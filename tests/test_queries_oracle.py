@@ -130,7 +130,7 @@ def test_registry_ordering_contract():
     overflow_ok = {
         "pii_scrub", "sequence_packing", "repetition_scores",
         "quantity_quantiles", "stratified_sample",
-        "unigram_logprob", "decontaminate",
+        "unigram_logprob", "decontaminate", "dup_clusters",
     }
     assert set(entry_mod.oracle_sql()) - overflow_ok <= first50
     for critical in (
