@@ -86,6 +86,25 @@ def _pairs_table(ds, cols: list[str], metric_type=None):
     )
 
 
+def _semdedup_table(ds):
+    """Small drop-set result with a stable schema even when no near-dups
+    exist at test scale (all-empty map_groups output loses its schema)."""
+    import pyarrow as pa
+
+    schema = pa.schema(
+        [
+            ("vec_id", pa.int64()),
+            ("cluster", pa.int32()),
+            ("dup_of", pa.int64()),
+            ("cosine", pa.float64()),
+        ]
+    )
+    rows = ds.take_all()
+    return pa.Table.from_pylist(
+        [{k: r[k] for k in schema.names} for r in rows], schema=schema
+    )
+
+
 def entry() -> Any:
     """Flagship: tokenize -> index -> BM25 top-10 over the sf0.001
     documents table (query drawn from the corpus vocabulary)."""
@@ -97,6 +116,7 @@ def entry() -> Any:
 def queries() -> dict[str, Callable[[str], Any]]:
     from high_performance_parallel_search_engine_ray.pipelines import (
         ann,
+        cluster,
         curate,
         dedup,
         index,
@@ -358,6 +378,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # operator default n=8+
         "decontaminate": lambda sf: text.decontaminate(_docs(sf), n=4),
         "dup_clusters": lambda sf: dedup.dup_clusters(_docs(sf)),
+        "tfidf_topk": lambda sf: rank.tfidf_topk(_docs(sf), k=5),
+        # distributed Lloyd + SemDeDup: approximate by construction (seeded)
+        # -> rows-only; exactness vs an in-memory numpy Lloyd is pytest-gated
+        "embedding_kmeans": lambda sf: cluster.kmeans_cluster_stats(
+            _emb(sf), k=8, iters=10
+        ),
+        "semdedup_drops": lambda sf: _semdedup_table(
+            cluster.semdedup(_emb(sf), k=8, threshold=0.92)
+        ),
     }
 
 
@@ -823,9 +852,32 @@ reach(src, node) AS (
 )
 SELECT src AS doc_id, MIN(node) AS cluster_id FROM reach GROUP BY src
 """,
+        # tfidf = tf * ln(N/df), rounded 6dp BEFORE ranking; N = docs with
+        # >=1 kept token; ties term-asc (matches rank.tfidf_topk exactly)
+        "tfidf_topk": f"""
+WITH {_TOKS_CTE},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(DISTINCT doc_id) AS n FROM tf),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         round(tf.tf * ln(n.n * 1.0 / df.df), 6) AS tfidf
+  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+),
+ranked AS (
+  SELECT doc_id, term, tfidf,
+         row_number() OVER (
+           PARTITION BY doc_id ORDER BY tfidf DESC, term
+         ) AS rank
+  FROM scored
+)
+SELECT doc_id, term, tfidf, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 5
+""",
         # lang_id / fingerprints / minhash / simhash / ann_ivf / media /
-        # crawl_*: non-SQL-expressible (heuristic, probabilistic-but-seeded,
-        # stateful iterative, or stubbed-decode) -> driver rows-only check.
+        # embedding_kmeans / semdedup_drops / crawl_*: non-SQL-expressible
+        # (heuristic, probabilistic-but-seeded, stateful iterative, or
+        # stubbed-decode) -> driver rows-only check.
     }
 
 

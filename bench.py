@@ -56,6 +56,9 @@ BENCH_QUERIES = [
     "unigram_logprob",
     "decontaminate",
     "dup_clusters",
+    "tfidf_topk",
+    "embedding_kmeans",
+    "semdedup_drops",
 ]
 
 

@@ -228,3 +228,91 @@ def bm25_eval_queries() -> list[str]:
         "parallel computing",
         "microservices",
     ]
+
+
+def tfidf_topk(
+    docs,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Top-k terms per document by tf-idf (tfidf = tf * ln(N / df), rounded
+    6dp BEFORE ranking; ties broken term-asc). The classic keyword-extraction
+    summary a curation pipeline runs next to BM25 (same tf/df building
+    blocks as the inverted index, `Serial Version/src/index.c:15-114`).
+
+    Dataflow (no join shuffle):
+      tf rows (one tokenize pass, materialized once)
+        -> df per term: groupby('term') count — vocab-sized result,
+           broadcast ONCE as sorted arrays via ray.put (searchsorted
+           lookup per batch; same bounded-model pattern as
+           text.unigram_logprob)
+        -> per-row tfidf in map_batches (numpy float64, the same double
+           expression the DuckDB oracle evaluates)
+        -> per-doc top-k partition-grouped by hash(doc)%64 (one pandas
+           sort+cumcount per PARTITION, not per doc — the per-group-tax
+           rule, pipelines/relational.py:433-440)."""
+    import pandas as pd
+    import ray
+    from ray.data.aggregate import Count
+
+    tf = term_doc_tf(docs, id_col, text_col).materialize()
+
+    df_rows = (
+        tf.groupby("term").aggregate(Count(alias_name="df")).take_all()
+    )  # vocab-bounded pull (see unigram_logprob's scale note)
+    terms = np.array([r["term"] for r in df_rows])
+    dfs = np.array([r["df"] for r in df_rows], dtype=np.float64)
+    order = np.argsort(terms)
+    model_ref = ray.put((terms[order], dfs[order]))
+
+    # N = docs with >= 1 kept token (the oracle's COUNT(DISTINCT doc_id))
+    n_docs = float(
+        tf.map_batches(
+            lambda b: pa.table({id_col: pc.unique(b[id_col])}),
+            batch_format="pyarrow",
+        )
+        .groupby(id_col)
+        .count()
+        .count()
+    )
+
+    def score(b: pa.Table) -> pa.Table:
+        t_s, df_s = ray.get(model_ref)
+        tt = b["term"].to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(t_s, tt)
+        tfidf = b["tf"].to_numpy(zero_copy_only=False) * np.log(n_docs / df_s[idx])
+        return pa.table(
+            {
+                id_col: b[id_col],
+                "term": b["term"],
+                "tfidf": pa.array(round_half_away(tfidf, 6), pa.float64()),
+            }
+        )
+
+    scored = tf.map_batches(score, batch_format="pyarrow")
+
+    n_parts = 64
+
+    def add_part(b: pa.Table) -> pa.Table:
+        part = (
+            pd.util.hash_array(
+                b[id_col].to_numpy(zero_copy_only=False), categorize=False
+            )
+            % n_parts
+        ).astype(np.int32)
+        return b.append_column("part", pa.array(part))
+
+    def topk_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            [id_col, "tfidf", "term"], ascending=[True, False, True], kind="stable"
+        ).copy()
+        g["rank"] = g.groupby(id_col, sort=False).cumcount() + 1
+        g = g[g["rank"] <= k]
+        return g[[id_col, "term", "tfidf", "rank"]]
+
+    return (
+        scored.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(topk_part, batch_format="pandas")
+    )

@@ -793,3 +793,103 @@ def test_dup_clusters_shuffle_path_equivalence(ray_session):
     b = b.sort_values("doc_id").reset_index(drop=True)
     assert a.equals(b)
     assert (a["cluster_id"] != a["doc_id"]).any()  # nontrivial clusters exist
+
+
+def test_kmeans_matches_inmemory_lloyd(ray_session):
+    """Distributed Lloyd == an in-memory numpy Lloyd run from the SAME init:
+    cluster sizes agree and every vector ends on its nearest final centroid
+    (self-consistency holds regardless of float merge order)."""
+    from high_performance_parallel_search_engine_ray.pipelines.cluster import (
+        _init_centroids,
+        _normalize,
+        kmeans_assign,
+        kmeans_fit,
+    )
+
+    rng = np.random.default_rng(7)
+    # 3 well-separated blobs -> Lloyd converges to the same partition
+    # whatever the summation order
+    centers = np.eye(3, 16) * 8.0
+    rows = []
+    for i in range(240):
+        c = i % 3
+        rows.append(
+            {"vec_id": i, "embedding": (centers[c] + rng.standard_normal(16)).tolist()}
+        )
+    ds = rd.from_items(rows)
+
+    cent = kmeans_fit(ds, k=3, iters=10, seed=5)
+    assert cent.shape == (3, 16)
+    np.testing.assert_allclose(np.linalg.norm(cent, axis=1), 1.0, rtol=1e-9)
+
+    # in-memory reference from the same init
+    x = _normalize(np.array([r["embedding"] for r in rows]))
+    ref = _init_centroids(ds, 3, 5, "embedding", 2048)
+    for _ in range(10):
+        a = np.argmax(x @ ref.T, axis=1)
+        new = ref.copy()
+        for c in range(3):
+            m = a == c
+            if m.any():
+                v = x[m].mean(axis=0)
+                new[c] = v / max(np.linalg.norm(v), 1e-12)
+        if np.abs(new - ref).max() < 1e-6:
+            ref = new
+            break
+        ref = new
+
+    out = kmeans_assign(ds, cent).to_pandas()
+    ref_assign = np.argmax(x @ ref.T, axis=1)
+    got = out.sort_values("vec_id")["cluster"].to_numpy()
+    assert (got == ref_assign).all()
+    # self-consistency: every vector sits on its nearest final centroid
+    sims = x @ cent.T
+    assert (got == np.argmax(sims, axis=1)).all()
+    assert len(set(got)) == 3 and np.bincount(got).min() == 80
+
+
+def test_semdedup_drops_planted_semantic_dups(ray_session):
+    """Planted near-identical vectors are dropped toward the smallest id of
+    their group; distinct vectors survive; every reported cosine is a true
+    >= threshold similarity (verified exactly against numpy)."""
+    from high_performance_parallel_search_engine_ray.pipelines.cluster import (
+        _normalize,
+        semdedup,
+    )
+
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal(24) * 4
+    rows = [
+        {"vec_id": 1, "embedding": base.tolist()},
+        {"vec_id": 2, "embedding": base.tolist()},  # exact dup of 1
+        {"vec_id": 3, "embedding": (base + 0.02 * rng.standard_normal(24)).tolist()},
+    ] + [
+        {"vec_id": 10 + i, "embedding": (rng.standard_normal(24) * 4).tolist()}
+        for i in range(60)
+    ]
+    ds = rd.from_items(rows)
+    out = semdedup(ds, k=4, threshold=0.95, seed=3).to_pandas()
+
+    dropped = set(out["vec_id"])
+    assert dropped == {2, 3}  # 1 is the representative, survivors untouched
+    assert set(out["dup_of"]) == {1}
+    x = _normalize(np.array([r["embedding"] for r in rows]))
+    ids = np.array([r["vec_id"] for r in rows])
+    for _, r in out.iterrows():
+        a = x[ids == r["vec_id"]][0]
+        b = x[ids == r["dup_of"]][0]
+        assert float(a @ b) >= 0.95
+
+
+def test_semdedup_cluster_cap(ray_session):
+    """Oversized clusters are capped keep-smallest-ids (the LSH bucket-cap
+    guardrail): the pass still completes and never reports ids beyond the
+    cap window."""
+    from high_performance_parallel_search_engine_ray.pipelines.cluster import semdedup
+
+    v = np.ones(8)
+    rows = [{"vec_id": i, "embedding": v.tolist()} for i in range(50)]
+    out = semdedup(rd.from_items(rows), k=1, threshold=0.99, max_cluster=20).to_pandas()
+    # ids 1..19 drop to representative 0; ids >= 20 were capped away
+    assert set(out["vec_id"]) == set(range(1, 20))
+    assert (out["dup_of"] == 0).all()
