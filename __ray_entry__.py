@@ -379,6 +379,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": lambda sf: text.decontaminate(_docs(sf), n=4),
         "dup_clusters": lambda sf: dedup.dup_clusters(_docs(sf)),
         "tfidf_topk": lambda sf: rank.tfidf_topk(_docs(sf), k=5),
+        "dup_substrings": lambda sf: dedup.dup_substring_counts(
+            _docs(sf), gram_len=32
+        ),
         # distributed Lloyd + SemDeDup: approximate by construction (seeded)
         # -> rows-only; exactness vs an in-memory numpy Lloyd is pytest-gated
         "embedding_kmeans": lambda sf: cluster.kmeans_cluster_stats(
@@ -873,6 +876,25 @@ ranked AS (
 )
 SELECT doc_id, term, tfidf, CAST(rank AS BIGINT) AS rank
 FROM ranked WHERE rank <= 5
+""",
+        # content-defined (space-anchored) 32-char grams; a gram counts when
+        # it appears in >= 2 documents (matches dedup.dup_substring_counts;
+        # byte==char positions because the corpus is ASCII)
+        "dup_substrings": """
+WITH pos AS (
+  SELECT doc_id, text,
+         unnest(generate_series(1, length(text) - 31)) AS p
+  FROM documents WHERE length(text) >= 32
+),
+g AS (
+  SELECT DISTINCT doc_id, substr(text, CAST(p AS INTEGER), 32) AS gram
+  FROM pos
+  WHERE substr(text, CAST(p AS INTEGER), 1) = ' '
+),
+d AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2)
+SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_dup_grams
+FROM g JOIN d USING (gram)
+GROUP BY g.doc_id
 """,
         # lang_id / fingerprints / minhash / simhash / ann_ivf / media /
         # embedding_kmeans / semdedup_drops / crawl_*: non-SQL-expressible

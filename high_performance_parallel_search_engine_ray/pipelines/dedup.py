@@ -1053,3 +1053,109 @@ def dup_clusters(
         lambda b: pa.table({id_col: b["id"], "cluster_id": b["label"]}),
         batch_format="pyarrow",
     )
+
+
+def dup_substring_counts(
+    docs,
+    gram_len: int = 32,
+    anchor: str = " ",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Exact-substring duplication detector: per doc, how many of its
+    anchored ``gram_len``-char grams also occur in ANOTHER document.
+
+    Gram selection is CONTENT-DEFINED (Manber's sif anchors): a gram starts
+    at every occurrence of the ``anchor`` byte (default space). Because the
+    selection depends only on the text itself, two documents sharing a
+    substring select the SAME grams from it regardless of where the run
+    sits in each doc — a stride/offset sample would only collide when the
+    two alignments agree mod stride (~1/stride of the time). Guarantee: any
+    shared run that contains an anchor byte >= gram_len chars before the
+    run's end lights up in both docs; anchor-free runs (e.g. base64 blobs)
+    escape the screen. This is the standard scalable stand-in for
+    suffix-array substring dedup — a screen, not a proof.
+
+    Dataflow:
+      explode (doc_id, gram) rows — one zero-copy numpy pass over the Arrow
+      string buffers per batch (np.where on the byte array finds anchors,
+      a broadcasted gather extracts all grams at once; no per-row Python);
+      in-batch distinct per doc (a doc is wholly inside its batch)
+        -> partition-grouped by hash(gram): grams seen in >= 2 docs emit
+           one row per (doc, gram) — the shuffle carries (gram, doc_id)
+           pairs; at 100 TB you would shuffle a 64-bit gram hash instead of
+           the 32-byte gram and accept the collision odds (kept exact here
+           so the DuckDB oracle matches bit-for-bit)
+        -> groupby(doc_id) sum of per-partition partials.
+
+    Byte-level slicing equals DuckDB's char-level substr because the corpus
+    is ASCII (verified in tests); non-ASCII corpora would need the grams
+    cast to binary on both sides.
+
+    Returns (doc_id, n_dup_grams), docs with >= 1 shared gram only."""
+    from ray.data.aggregate import Sum
+
+    N_PARTS = 64
+    anchor_byte = anchor.encode("ascii")[0]
+    empty = pa.schema(
+        [(id_col, pa.int64()), ("gram", pa.large_string()), ("part", pa.int32())]
+    )
+
+    def grams(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return empty.empty_table()
+        b = b.filter(pc.is_valid(b[text_col]))
+        texts = b[text_col].combine_chunks() if isinstance(
+            b[text_col], pa.ChunkedArray
+        ) else b[text_col]
+        arr = texts.cast(pa.large_binary())
+        n = len(arr)
+        if n == 0:
+            return empty.empty_table()
+        offsets = np.frombuffer(arr.buffers()[1], dtype=np.int64)[
+            arr.offset : arr.offset + n + 1
+        ]
+        data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+        # anchor positions inside this batch's value buffer
+        pos = np.where(data[offsets[0] : offsets[-1]] == anchor_byte)[0]
+        pos += offsets[0]
+        row = np.searchsorted(offsets, pos, side="right") - 1
+        fits = pos + gram_len <= offsets[row + 1]
+        pos, row = pos[fits], row[fits]
+        if pos.size == 0:
+            return empty.empty_table()
+        mat = np.ascontiguousarray(data[pos[:, None] + np.arange(gram_len)])
+        off = np.arange(0, (pos.size + 1) * gram_len, gram_len, dtype=np.int64)
+        gram_arr = pa.Array.from_buffers(
+            pa.large_string(),
+            pos.size,
+            [None, pa.py_buffer(off.tobytes()), pa.py_buffer(mat.tobytes())],
+        )
+        ids = b[id_col].to_numpy(zero_copy_only=False)[row]
+        t = pa.table({id_col: pa.array(ids), "gram": gram_arr})
+        t = t.group_by([id_col, "gram"]).aggregate([])
+        part = (
+            pd.util.hash_array(t["gram"].to_numpy(zero_copy_only=False),
+                               categorize=False)
+            % N_PARTS
+        ).astype(np.int32)
+        return t.append_column("part", pa.array(part))
+
+    def dup_rows(g: pd.DataFrame) -> pd.DataFrame:
+        # all grams of the partition in one pass: keep rows whose gram
+        # occurs in >= 2 docs (rows are already (doc, gram)-distinct)
+        counts = g.groupby("gram", sort=False)["gram"].transform("size")
+        kept = g[counts >= 2]
+        out = kept.groupby(id_col, sort=False).size().reset_index(name="n")
+        return out[[id_col, "n"]]
+
+    exploded = docs.map_batches(grams, batch_format="pyarrow")
+    partials = exploded.groupby("part").map_groups(dup_rows, batch_format="pandas")
+    summed = partials.groupby(id_col).aggregate(Sum("n", alias_name="n_dup_grams"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {id_col: b[id_col], "n_dup_grams": b["n_dup_grams"].cast(pa.int64())}
+        )
+
+    return summed.map_batches(finish, batch_format="pyarrow")

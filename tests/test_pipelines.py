@@ -893,3 +893,31 @@ def test_semdedup_cluster_cap(ray_session):
     # ids 1..19 drop to representative 0; ids >= 20 were capped away
     assert set(out["vec_id"]) == set(range(1, 20))
     assert (out["dup_of"] == 0).all()
+
+
+def test_dup_substring_counts_planted(ray_session):
+    """Content-defined anchoring is alignment-robust: the shared run sits at
+    DIFFERENT, stride-incommensurate offsets in the two docs (100 vs 63 — a
+    fixed-stride sampler would select disjoint grams), yet both docs select
+    the identical space-anchored grams from it; disjoint texts produce no
+    rows."""
+    from high_performance_parallel_search_engine_ray.pipelines.dedup import (
+        dup_substring_counts,
+    )
+
+    shared = "the quick brown fox jumps over the lazy dog 123"  # 47 chars
+    rows = [
+        {"doc_id": 1, "text": "A" * 99 + " " + shared + "/tail-one"},
+        {"doc_id": 2, "text": "B" * 62 + " " + shared + "/other-tail"},
+        {"doc_id": 3, "text": "completely unrelated text " * 10},
+    ]
+    out = (
+        dup_substring_counts(rd.from_items(rows), gram_len=32)
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    assert set(out["doc_id"]) == {1, 2}
+    # common grams: the boundary space + shared[:31], and the anchors at
+    # shared offsets 3, 9, 15 (the only in-run spaces with 32 chars left
+    # before the run ends at 47) -> exactly 4 per doc
+    assert (out["n_dup_grams"] == 4).all()
