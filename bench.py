@@ -59,6 +59,7 @@ BENCH_QUERIES = [
     "tfidf_topk",
     "embedding_kmeans",
     "semdedup_drops",
+    "dup_substrings",
 ]
 
 

@@ -131,7 +131,7 @@ def test_registry_ordering_contract():
         "pii_scrub", "sequence_packing", "repetition_scores",
         "quantity_quantiles", "stratified_sample",
         "unigram_logprob", "decontaminate", "dup_clusters",
-        "tfidf_topk",
+        "tfidf_topk", "dup_substrings",
     }
     assert set(entry_mod.oracle_sql()) - overflow_ok <= first50
     for critical in (
