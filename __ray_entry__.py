@@ -120,6 +120,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         curate,
         dedup,
         index,
+        interleave,
         multimodal,
         rank,
         relational,
@@ -389,6 +390,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "semdedup_drops": lambda sf: _semdedup_table(
             cluster.semdedup(_emb(sf), k=8, threshold=0.92)
+        ),
+        # interleaved-payload family (north-rule input shape): a
+        # deterministic docs->spans synthesiser whose closed form the SQL
+        # oracle mirrors, then the span operators over it. All four are
+        # value-checked vs DuckDB.
+        "span_explode": lambda sf: interleave.explode_spans(
+            interleave.docs_to_interleaved(_docs(sf))
+        ),
+        "span_kind_stats": lambda sf: interleave.span_kind_stats(
+            interleave.docs_to_interleaved(_docs(sf))
+        ),
+        "media_manifest": lambda sf: interleave.media_manifest(
+            interleave.docs_to_interleaved(_docs(sf))
+        ),
+        "interleave_roundtrip": lambda sf: interleave.reconstruct_text(
+            interleave.docs_to_interleaved(_docs(sf))
+        ),
+        # composition: the plain-text op suite consuming an interleaved
+        # corpus via reconstruct_text (same oracle as quality_scores,
+        # doc_id cast to VARCHAR)
+        "interleaved_quality": lambda sf: text.quality_scores(
+            interleave.reconstruct_text(interleave.docs_to_interleaved(_docs(sf)))
         ),
     }
 
@@ -895,6 +918,52 @@ d AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2)
 SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_dup_grams
 FROM g JOIN d USING (gram)
 GROUP BY g.doc_id
+""",
+        # interleaved family — synthesis constants (8 words/span, media on
+        # doc_id%3==0, ref doc_id%97) are literals in
+        # pipelines/interleave.py; the SQL mirrors them exactly
+        "span_explode": """
+WITH w AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         unnest(string_split(text, ' ')) AS word,
+         unnest(generate_series(0, len(string_split(text, ' ')) - 1)) AS i
+  FROM documents
+),
+chunks AS (
+  SELECT doc_id, i // 8 AS "offset", string_agg(word, ' ' ORDER BY i) AS text
+  FROM w GROUP BY doc_id, i // 8
+)
+SELECT doc_id, 'text' AS kind, text, '' AS media_ref, "offset" FROM chunks
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR), 'media', '',
+       'media/img' || (doc_id % 97) || '.jpg',
+       (len(string_split(text, ' ')) + 7) // 8
+FROM documents WHERE doc_id % 3 = 0
+""",
+        "span_kind_stats": """
+SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+       (len(string_split(text, ' ')) + 7) // 8 AS n_text_spans,
+       CAST(doc_id % 3 = 0 AS BIGINT) AS n_media_spans,
+       length(text) AS n_chars
+FROM documents
+""",
+        "media_manifest": """
+SELECT 'media/img' || (doc_id % 97) || '.jpg' AS media_ref,
+       count(*) AS n_docs
+FROM documents WHERE doc_id % 3 = 0
+GROUP BY 1
+""",
+        "interleave_roundtrip": """
+SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM documents
+""",
+        "interleaved_quality": """
+SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+       length(text) AS n_chars,
+       len(regexp_extract_all(text, '\\S+')) AS n_ws_tokens,
+       round(len(regexp_extract_all(text, '[A-Za-z]')) * 1.0 / length(text), 6) AS alpha_ratio,
+       round(len(regexp_extract_all(text, '[0-9]')) * 1.0 / length(text), 6)   AS digit_ratio,
+       round(len(regexp_extract_all(text, '[.,;:!?]')) * 1.0 / length(text), 6) AS punct_ratio
+FROM documents
 """,
         # lang_id / fingerprints / minhash / simhash / ann_ivf / media /
         # embedding_kmeans / semdedup_drops / crawl_*: non-SQL-expressible

@@ -60,6 +60,9 @@ BENCH_QUERIES = [
     "embedding_kmeans",
     "semdedup_drops",
     "dup_substrings",
+    # interleaved-payload family (north-rule input shape)
+    "span_kind_stats",
+    "interleave_roundtrip",
 ]
 
 

@@ -1,0 +1,254 @@
+"""Interleaved-document (spans) operators — the input-table shape of the
+north rule: ``(doc_id: string, spans: list<struct<kind: string, text: string,
+media_ref: string, offset: int32>>)``.
+
+The crawl engine EMITS this shape (`pipelines/refcrawler.py:224-228`,
+`functions/htmltext.html_to_spans`); this module provides the operators that
+CONSUME it: explode to a flat span table, per-document kind statistics, the
+media work-list (manifest of media_refs to fetch next), and linear-text
+reconstruction so every text operator in `pipelines/text.py` can run over an
+interleaved corpus.
+
+``docs_to_interleaved`` is the deterministic small-scale synthesiser the
+brief mandates ("synthesise it deterministically at small scale"): it turns
+the flat ``documents`` test table into the interleaved shape with a closed
+form a SQL oracle can mirror exactly (fixed-width word chunks + a media span
+for every ``doc_id % 3 == 0`` doc), so the whole family is value-checked
+against DuckDB, not just rows-only.
+
+Scale shape: every operator here is a single block-local ``map_batches``
+over zero-copy Arrow — no shuffle — except ``media_manifest``, which does a
+partial per-block count and then a groupby over the (small) distinct-ref
+space. Span structs are never converted to Python objects; the nested
+column is processed via ``list_flatten`` / ``list_parent_indices`` plus
+numpy offset arithmetic.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# Span kinds that carry no document text. Everything else ("text" in the
+# synthetic corpus; "title"/"h1"/"h2"/"p" in crawl output) is text-bearing,
+# so these operators work unchanged on crawl-emitted interleaved docs.
+NON_TEXT_KINDS = ("media", "link")
+
+SPAN_TYPE = pa.list_(
+    pa.struct(
+        [
+            ("kind", pa.string()),
+            ("text", pa.string()),
+            ("media_ref", pa.string()),
+            ("offset", pa.int32()),
+        ]
+    )
+)
+
+# Synthesis constants — mirrored literally in the oracle SQL
+# (__ray_entry__.oracle_sql: span_explode / span_kind_stats / media_manifest).
+WORDS_PER_SPAN = 8
+MEDIA_EVERY = 3  # docs with doc_id % MEDIA_EVERY == 0 get one media span
+MEDIA_MOD = 97  # media_ref = "media/img{doc_id % MEDIA_MOD}.jpg"
+
+
+def docs_to_interleaved(docs, words_per_span: int = WORDS_PER_SPAN):
+    """(doc_id:int64, text) -> the north-rule interleaved shape.
+
+    Deterministic: text spans are consecutive ``words_per_span``-word chunks
+    (split on single space, order preserved), each with ``media_ref=""`` and
+    ``offset`` = span ordinal; docs with ``doc_id % 3 == 0`` get one media
+    span appended (``text=""``, ``media_ref="media/img{doc_id%97}.jpg"``).
+    Pure per-batch Arrow+numpy; chunks exactly tile the word sequence, so
+    the chunk list-array offsets are just every W-th word boundary.
+    """
+    W = int(words_per_span)
+
+    def build(b: pa.Table) -> pa.Table:
+        did_raw = b["doc_id"].combine_chunks()
+        did = pc.cast(did_raw, pa.string())
+        txt = pc.fill_null(b["text"].combine_chunks(), "")
+        words = pc.split_pattern(txt, " ")
+        flat_words = pc.list_flatten(words)
+        if isinstance(flat_words, pa.ChunkedArray):
+            flat_words = flat_words.combine_chunks()
+        wcounts = pc.list_value_length(words).to_numpy().astype(np.int64)
+        n = len(wcounts)
+        word_starts = np.zeros(n + 1, np.int64)
+        np.cumsum(wcounts, out=word_starts[1:])
+
+        n_chunks = (wcounts + W - 1) // W  # >=1: split("") yields [""]
+        total_chunks = int(n_chunks.sum())
+        first_chunk = np.cumsum(n_chunks) - n_chunks
+        doc_of_chunk = np.repeat(np.arange(n), n_chunks)
+        chunk_rank = np.arange(total_chunks) - first_chunk[doc_of_chunk]
+        chunk_start = word_starts[doc_of_chunk] + chunk_rank * W
+        # chunks tile the words exactly, so starts + final total are valid
+        # monotone list offsets
+        chunk_offsets = np.append(chunk_start, word_starts[n]).astype(np.int32)
+        chunk_list = pa.ListArray.from_arrays(
+            pa.array(chunk_offsets, pa.int32()), flat_words
+        )
+        chunk_text = pc.binary_join(chunk_list, " ")
+
+        ids_np = did_raw.to_numpy(zero_copy_only=False).astype(np.int64)
+        has_media = ids_np % MEDIA_EVERY == 0
+        spans_per_doc = n_chunks + has_media.astype(np.int64)
+        total_spans = int(spans_per_doc.sum())
+        first_span = np.cumsum(spans_per_doc) - spans_per_doc
+        doc_of_span = np.repeat(np.arange(n), spans_per_doc)
+        span_rank = np.arange(total_spans) - first_span[doc_of_span]
+        is_media = span_rank == n_chunks[doc_of_span]  # only where has_media
+
+        kind = pa.array(np.where(is_media, "media", "text"))
+        # text column: take from chunk_text, media rows point at a sentinel ""
+        text_ext = pa.concat_arrays(
+            [chunk_text, pa.array([""], type=chunk_text.type)]
+        )
+        tidx = np.empty(total_spans, np.int64)
+        tidx[~is_media] = np.arange(total_chunks)
+        tidx[is_media] = total_chunks
+        span_text = text_ext.take(pa.array(tidx))
+
+        media_ids = (ids_np[has_media] % MEDIA_MOD).astype("U")
+        refs_np = np.char.add(np.char.add("media/img", media_ids), ".jpg")
+        ref_ext = pa.concat_arrays(
+            [pa.array(refs_np, pa.string()), pa.array([""], pa.string())]
+        )
+        ridx = np.full(total_spans, len(media_ids), np.int64)
+        # one media span per doc, emitted in doc order == is_media order
+        ridx[is_media] = np.arange(len(media_ids))
+        span_ref = ref_ext.take(pa.array(ridx))
+
+        struct = pa.StructArray.from_arrays(
+            [
+                kind.cast(pa.string()),
+                span_text.cast(pa.string()),
+                span_ref,
+                pa.array(span_rank.astype(np.int32), pa.int32()),
+            ],
+            ["kind", "text", "media_ref", "offset"],
+        )
+        list_offsets = np.append(first_span, total_spans).astype(np.int32)
+        spans_col = pa.ListArray.from_arrays(
+            pa.array(list_offsets, pa.int32()), struct
+        )
+        return pa.table({"doc_id": did, "spans": spans_col})
+
+    return docs.map_batches(build, batch_format="pyarrow")
+
+
+def _flat(b: pa.Table):
+    """(parent_indices ndarray, flattened struct array) for a spans batch."""
+    lst = b["spans"].combine_chunks()
+    parent = pc.list_parent_indices(lst).to_numpy(zero_copy_only=False)
+    flat = pc.list_flatten(lst)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    return parent, flat
+
+
+def explode_spans(inter):
+    """Interleaved -> flat (doc_id, kind, text, media_ref, offset) span
+    table. Zero-copy flatten per block; offset cast to int64 for oracle
+    comparability (DuckDB arithmetic yields BIGINT)."""
+
+    def ex(b: pa.Table) -> pa.Table:
+        parent, flat = _flat(b)
+        return pa.table(
+            {
+                "doc_id": b["doc_id"].combine_chunks().take(pa.array(parent)),
+                "kind": flat.field("kind"),
+                "text": flat.field("text"),
+                "media_ref": flat.field("media_ref"),
+                "offset": flat.field("offset").cast(pa.int64()),
+            }
+        )
+
+    return inter.map_batches(ex, batch_format="pyarrow")
+
+
+def span_kind_stats(inter):
+    """Per-doc (doc_id, n_text_spans, n_media_spans, n_chars) where n_chars
+    is the reconstructed linear text length (chunk chars + single-space
+    separators) — equal to the original document length by construction.
+    Block-local bincounts; no shuffle."""
+
+    def stats(b: pa.Table) -> pa.Table:
+        parent, flat = _flat(b)
+        n = len(b)
+        is_text = ~pc.is_in(
+            flat.field("kind"), value_set=pa.array(NON_TEXT_KINDS)
+        ).to_numpy(zero_copy_only=False)
+        is_media = pc.equal(flat.field("kind"), "media").to_numpy(
+            zero_copy_only=False
+        )
+        tl = pc.utf8_length(flat.field("text")).to_numpy(zero_copy_only=False)
+        n_text = np.bincount(parent[is_text], minlength=n).astype(np.int64)
+        n_media = np.bincount(parent[is_media], minlength=n).astype(np.int64)
+        chars = np.bincount(
+            parent, weights=tl * is_text, minlength=n
+        ).astype(np.int64)
+        n_chars = chars + np.maximum(n_text - 1, 0)
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "n_text_spans": pa.array(n_text, pa.int64()),
+                "n_media_spans": pa.array(n_media, pa.int64()),
+                "n_chars": pa.array(n_chars, pa.int64()),
+            }
+        )
+
+    return inter.map_batches(stats, batch_format="pyarrow")
+
+
+def reconstruct_text(inter):
+    """Interleaved -> (doc_id, text): join text-bearing span chunks per doc
+    with a single space, in span order. Round-trips ``docs_to_interleaved``
+    exactly (oracle: SELECT doc_id, text FROM documents). Block-local —
+    a doc's spans live in one row, so no shuffle is ever needed."""
+
+    def recon(b: pa.Table) -> pa.Table:
+        parent, flat = _flat(b)
+        mask = pc.invert(
+            pc.is_in(flat.field("kind"), value_set=pa.array(NON_TEXT_KINDS))
+        )
+        mask_np = mask.to_numpy(zero_copy_only=False)
+        texts = flat.field("text").filter(mask)
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        tparent = parent[mask_np]
+        n_text = np.bincount(tparent, minlength=len(b))
+        offsets = np.append(np.cumsum(n_text) - n_text, len(texts)).astype(
+            np.int32
+        )
+        lst = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), texts)
+        return pa.table(
+            {"doc_id": b["doc_id"], "text": pc.binary_join(lst, " ")}
+        )
+
+    return inter.map_batches(recon, batch_format="pyarrow")
+
+
+def media_manifest(inter):
+    """The fetch-media work list: distinct media_ref + number of referencing
+    docs. Partial per-block counts (Arrow group_by) then a groupby-sum over
+    the already-distinct-per-block refs — the shuffle carries (ref, n)
+    pairs, never spans."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        _, flat = _flat(b)
+        refs = flat.field("media_ref").filter(
+            pc.equal(flat.field("kind"), "media")
+        )
+        g = (
+            pa.table({"media_ref": refs})
+            .group_by(["media_ref"])
+            .aggregate([([], "count_all")])
+        )
+        return g.rename_columns(["media_ref", "n"])
+
+    partials = inter.map_batches(partial, batch_format="pyarrow")
+    return partials.groupby("media_ref").aggregate(Sum("n", alias_name="n_docs"))

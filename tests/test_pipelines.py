@@ -921,3 +921,66 @@ def test_dup_substring_counts_planted(ray_session):
     # shared offsets 3, 9, 15 (the only in-run spaces with 32 chars left
     # before the run ends at 47) -> exactly 4 per doc
     assert (out["n_dup_grams"] == 4).all()
+
+
+def test_interleaved_shape_matches_input_hint(docs):
+    """docs_to_interleaved emits EXACTLY the north-rule spans schema:
+    list<struct<kind:string, text:string, media_ref:string, offset:int32>>."""
+    from high_performance_parallel_search_engine_ray.pipelines import interleave as il
+
+    tb = il.docs_to_interleaved(docs).take_batch(3, batch_format="pyarrow")
+    assert tb.schema.field("doc_id").type == __import__("pyarrow").string()
+    assert tb.schema.field("spans").type == il.SPAN_TYPE
+
+
+def test_interleave_ops_consume_crawl_spans(ray_session):
+    """The span operators work unchanged on crawl-emitted interleaved docs
+    (multi-kind text spans + link/media spans from html_to_spans)."""
+    import pyarrow as pa
+
+    from high_performance_parallel_search_engine_ray.functions.htmltext import (
+        html_to_spans,
+    )
+    from high_performance_parallel_search_engine_ray.pipelines import interleave as il
+
+    html = (
+        "<html><head><title>T One</title></head><body><h1>Head</h1>"
+        "<p>para one text</p><a href='http://x.test/a.jpg'>m</a>"
+        "<a href='http://x.test/page'>l</a></body></html>"
+    )
+    spans = html_to_spans(html, ["http://x.test/a.jpg", "http://x.test/page"])
+    inter = rd.from_arrow(
+        pa.table({"doc_id": pa.array(["u1"]), "spans": pa.array([spans], il.SPAN_TYPE)})
+    )
+    flat = il.explode_spans(inter).to_pandas()
+    assert set(flat["kind"]) >= {"media", "link"}
+    assert list(flat["offset"]) == sorted(flat["offset"])
+    stats = il.span_kind_stats(inter).to_pandas()
+    assert stats.loc[0, "n_media_spans"] == 1  # the .jpg link only
+    rec = il.reconstruct_text(inter).to_pandas()
+    # text-bearing spans joined in order, link/media excluded
+    texts = [s["text"] for s in spans if s["kind"] not in ("media", "link")]
+    assert rec.loc[0, "text"] == " ".join(texts)
+    mm = il.media_manifest(inter).to_pandas()
+    assert list(mm["media_ref"]) == ["http://x.test/a.jpg"]
+    assert list(mm["n_docs"]) == [1]
+
+
+def test_interleave_multiblock_equals_singleblock(docs):
+    """Block boundaries never change results: every doc's spans live in one
+    row, so a 16-block run must equal the 1-block run bit-for-bit."""
+    from high_performance_parallel_search_engine_ray.pipelines import interleave as il
+
+    one = (
+        il.span_kind_stats(il.docs_to_interleaved(docs.repartition(1)))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    many = (
+        il.span_kind_stats(il.docs_to_interleaved(docs.repartition(16)))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert one.equals(many)

@@ -132,6 +132,8 @@ def test_registry_ordering_contract():
         "quantity_quantiles", "stratified_sample",
         "unigram_logprob", "decontaminate", "dup_clusters",
         "tfidf_topk", "dup_substrings",
+        "span_explode", "span_kind_stats", "media_manifest",
+        "interleave_roundtrip", "interleaved_quality",
     }
     assert set(entry_mod.oracle_sql()) - overflow_ok <= first50
     for critical in (
