@@ -413,6 +413,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "interleaved_quality": lambda sf: text.quality_scores(
             interleave.reconstruct_text(interleave.docs_to_interleaved(_docs(sf)))
         ),
+        # crawl->media loop: manifest -> dedup'd actor-pool fetch (stub seam)
+        # -> feature extraction; deterministic payloads -> rows-only check
+        "interleaved_media_features": lambda sf: (
+            multimodal.media_features_from_interleaved(
+                interleave.docs_to_interleaved(_docs(sf))
+            )
+        ),
     }
 
 

@@ -206,6 +206,117 @@ class FrameSampleStage:
         )
 
 
+class MediaFetchStage:
+    """Actor-pool media fetcher: (media_ref, n_docs) manifest rows ->
+    MEDIA_SCHEMA payload rows. The actual GET (HTTP / object store) is the
+    stub seam per the build contract: ``fetch=True`` raises
+    NotImplementedError at exactly the point a real client would run;
+    ``fetch=False`` synthesizes a deterministic payload from the ref hash so
+    the plumbing — per-actor client setup in ``__init__``, small batches for
+    large binaries, typed-metadata output — is real and testable.
+
+    media_type derives from the ref's extension (the same blacklist notion
+    the crawler's ``is_media_url`` uses); payload size is hash-varied so
+    downstream batch-sizing paths see non-uniform binaries.
+    """
+
+    _AUDIO = (".mp3", ".wav", ".ogg", ".flac")
+    _VIDEO = (".mp4", ".avi", ".mov", ".webm", ".mkv")
+
+    def __init__(self, max_payload_bytes: int = 4096, fetch: bool = False):
+        self.max_payload = int(max_payload_bytes)
+        self.fetch = fetch  # per-actor client/session would be built here
+
+    def _type_of(self, ref: str) -> str:
+        low = ref.lower()
+        if low.endswith(self._AUDIO):
+            return "audio"
+        if low.endswith(self._VIDEO):
+            return "video"
+        return "image"
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        if self.fetch:
+            raise NotImplementedError(
+                "real media fetch requires a network/object-store client, not "
+                "available in this container; run with fetch=False for "
+                "deterministic synthetic payloads"
+            )
+        from ..functions.hashing import stable_hash64
+
+        refs = b["media_ref"].to_pylist()
+        types, payloads, widths, heights, durs = [], [], [], [], []
+        for ref in refs:
+            h = stable_hash64(ref)
+            mt = self._type_of(ref)
+            size = 512 + h % max(1, self.max_payload - 512)
+            payloads.append(
+                np.random.RandomState(h % 2**32).bytes(size)
+            )
+            types.append(mt)
+            widths.append(int(64 + h % 1024) if mt == "image" else -1)
+            heights.append(int(64 + (h >> 10) % 1024) if mt == "image" else -1)
+            durs.append(int(1000 + h % 60_000) if mt != "image" else -1)
+        return pa.table(
+            {
+                "media_id": pa.array([str(r) for r in refs], pa.string()),
+                "media_type": pa.array(types, pa.string()),
+                "payload": pa.array(payloads, pa.large_binary()),
+                "width": pa.array(widths, pa.int32()),
+                "height": pa.array(heights, pa.int32()),
+                "duration_ms": pa.array(durs, pa.int32()),
+            }
+        )
+
+
+def media_features_from_interleaved(inter, concurrency: int = 2,
+                                    batch_size: int = 64):
+    """The crawl->media loop: interleaved docs (the crawl engine's output
+    shape) -> media manifest (distinct refs; tiny shuffle) -> actor-pool
+    fetch (deduplicated: each ref fetched ONCE no matter how many docs
+    reference it) -> actor-pool feature extraction. Returns
+    (media_id, media_type, n_bytes, features); per-ref doc counts are the
+    manifest itself (``interleave.media_manifest``)."""
+    from .interleave import media_manifest
+
+    manifest = media_manifest(inter)
+    # autoscaling (1, N) pools: two chained actor pools with fixed size can
+    # reserve every CPU of a small cluster and starve the upstream read
+    # (same failure shape as the measured join-pool deadlock,
+    # relational._join_partitions) — min 1 actor keeps the plan live anywhere
+    media = manifest.map_batches(
+        MediaFetchStage,
+        fn_constructor_kwargs=dict(fetch=False),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=(1, concurrency),
+        num_cpus=1,
+    )
+    return media.map_batches(
+        MediaFeatureStage,
+        fn_constructor_kwargs=dict(decode=False),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=(1, concurrency),
+        num_cpus=1,
+    )
+
+
+def media_fetch_from_interleaved(inter, concurrency: int = 2,
+                                 batch_size: int = 64):
+    """Manifest -> fetched MEDIA_SCHEMA rows (one per distinct media_ref)."""
+    from .interleave import media_manifest
+
+    return media_manifest(inter).map_batches(
+        MediaFetchStage,
+        fn_constructor_kwargs=dict(fetch=False),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=(1, concurrency),
+        num_cpus=1,
+    )
+
+
 def media_resize(docs, target_w: int = 224, target_h: int = 224,
                  concurrency: int = 2, batch_size: int = 64):
     media = attach_fake_media(docs)

@@ -984,3 +984,54 @@ def test_interleave_multiblock_equals_singleblock(docs):
         .reset_index(drop=True)
     )
     assert one.equals(many)
+
+
+def test_media_fetch_from_interleaved(docs):
+    """Crawl->media loop: manifest refs fetch ONCE each (deduplicated),
+    payloads are deterministic across actors/runs, and the feature stage
+    composes on top."""
+    from high_performance_parallel_search_engine_ray.pipelines import interleave as il
+    from high_performance_parallel_search_engine_ray.pipelines import multimodal as mm
+
+    inter = il.docs_to_interleaved(docs)
+    manifest = il.media_manifest(inter).to_pandas()
+    fetched = mm.media_fetch_from_interleaved(inter).to_pandas()
+    assert sorted(fetched["media_id"]) == sorted(manifest["media_ref"])
+    assert fetched["media_id"].is_unique
+    assert (fetched["media_type"] == "image").all()  # all refs are .jpg
+    # determinism: a second run yields identical payload bytes per ref
+    again = mm.media_fetch_from_interleaved(inter).to_pandas()
+    a = fetched.sort_values("media_id").reset_index(drop=True)
+    b = again.sort_values("media_id").reset_index(drop=True)
+    assert (a["payload"] == b["payload"]).all()
+    feats = mm.media_features_from_interleaved(inter).to_pandas()
+    assert len(feats) == len(manifest)
+    assert all(len(f) == mm.MediaFeatureStage.FEATURE_DIM for f in feats["features"])
+
+
+def test_media_fetch_stub_seam():
+    import pyarrow as pa
+    import pytest as _pytest
+
+    from high_performance_parallel_search_engine_ray.pipelines.multimodal import (
+        MediaFetchStage,
+    )
+
+    st = MediaFetchStage(fetch=True)
+    with _pytest.raises(NotImplementedError):
+        st(pa.table({"media_ref": pa.array(["http://x.test/a.jpg"]), "n_docs": pa.array([1])}))
+    # type derivation covers the three modality families
+    st2 = MediaFetchStage()
+    out = st2(
+        pa.table(
+            {
+                "media_ref": pa.array(
+                    ["a.jpg", "b.mp3", "c.mp4", "d.unknownext"]
+                ),
+                "n_docs": pa.array([1, 1, 1, 1]),
+            }
+        )
+    )
+    assert out["media_type"].to_pylist() == ["image", "audio", "video", "image"]
+    assert out["duration_ms"].to_pylist()[0] == -1
+    assert out["width"].to_pylist()[1] == -1
