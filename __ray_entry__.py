@@ -237,6 +237,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
             batch_format="pyarrow",
         )
 
+    def _interleaved_curation(sf_dir):
+        inter = interleave.docs_to_interleaved(_docs(sf_dir))
+        curated, _stats = curate.curate_corpus(interleave.reconstruct_text(inter))
+        return curated.map_batches(
+            lambda b: b.select(["doc_id", "n_ws_tokens", "n_bpeish_tokens"]),
+            batch_format="pyarrow",
+        )
+
     def crawl_smoke(sf_dir):
         # Sharded frontier crawl over the deterministic synthetic web
         # (sf_dir-independent; the crawl's own corpus is the input contract).
@@ -420,6 +428,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 interleave.docs_to_interleaved(_docs(sf))
             )
         ),
+        # the engine story end to end: interleaved input (the crawl's own
+        # output shape) -> linear text -> the flagship curation composition.
+        # Same stage semantics as curation_pipeline, over reconstructed text
+        # with string doc ids -> rows-only check (curation itself is
+        # oracle-anchored via its stage operators)
+        "interleaved_curation": _interleaved_curation,
     }
 
 

@@ -327,7 +327,10 @@ def minhash_lsh_pairs(
 
     def _part_of(arr: np.ndarray) -> np.ndarray:
         # pd.util.hash_array is deterministic across processes (fixed-key
-        # siphash) and handles int and object/string ids alike
+        # siphash) and handles int and object/string ids alike — but rejects
+        # numpy unicode ('<U') arrays, which np.asarray(list[str]) produces
+        if arr.dtype.kind == "U":
+            arr = arr.astype(object)
         return (pd.util.hash_array(arr, categorize=False) % N_PARTS).astype(
             np.int32
         )
@@ -823,6 +826,8 @@ def embedding_dup_pairs_lsh(
         return cand.map_batches(verify_batch, batch_format="pyarrow")
 
     def _part_of(arr: np.ndarray) -> np.ndarray:
+        if arr.dtype.kind == "U":  # hash_array rejects numpy unicode
+            arr = arr.astype(object)
         return (pd.util.hash_array(arr, categorize=False) % N_PARTS).astype(
             np.int32
         )

@@ -1035,3 +1035,24 @@ def test_media_fetch_stub_seam():
     assert out["media_type"].to_pylist() == ["image", "audio", "video", "image"]
     assert out["duration_ms"].to_pylist()[0] == -1
     assert out["width"].to_pylist()[1] == -1
+
+
+def test_curation_handles_string_doc_ids(ray_session):
+    """North-rule doc ids are strings (URLs). The full curation composition
+    — including the minhash verify shuffle whose partitioner hashes the id
+    column — must work when doc_id is a string, not just int64."""
+    from high_performance_parallel_search_engine_ray.pipelines.curate import (
+        curate_corpus,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog " * 4
+    rows = [
+        {"doc_id": f"http://h{i}.test/p", "text": base + f"tail {i}"}
+        for i in range(6)
+    ] + [
+        {"doc_id": "http://dup.test/a", "text": base + "tail 0"},  # near-dup
+    ]
+    curated, stats = curate_corpus(rd.from_items(rows), jaccard_threshold=0.5)
+    out = curated.to_pandas()
+    assert len(out) >= 1
+    assert out["doc_id"].map(type).eq(str).all()
