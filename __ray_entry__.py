@@ -434,6 +434,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # with string doc ids -> rows-only check (curation itself is
         # oracle-anchored via its stage operators)
         "interleaved_curation": _interleaved_curation,
+        # deterministic pseudo-shuffle shard split (training output layout)
+        "train_shards": lambda sf: text.pseudo_shuffle_shards(
+            _docs(sf), n_shards=16
+        ),
     }
 
 
@@ -985,6 +989,18 @@ SELECT CAST(doc_id AS VARCHAR) AS doc_id,
        round(len(regexp_extract_all(text, '[0-9]')) * 1.0 / length(text), 6)   AS digit_ratio,
        round(len(regexp_extract_all(text, '[.,;:!?]')) * 1.0 / length(text), 6) AS punct_ratio
 FROM documents
+""",
+        "train_shards": """
+WITH m AS (
+  SELECT doc_id,
+         (doc_id * 2654435761 + 1013904223) % 4294967296 AS mix
+  FROM documents
+)
+SELECT doc_id, mix % 16 AS shard,
+       CAST(row_number() OVER (
+           PARTITION BY mix % 16 ORDER BY mix // 16, doc_id
+       ) AS BIGINT) - 1 AS train_pos
+FROM m
 """,
         # lang_id / fingerprints / minhash / simhash / ann_ivf / media /
         # embedding_kmeans / semdedup_drops / crawl_*: non-SQL-expressible

@@ -63,6 +63,7 @@ BENCH_QUERIES = [
     # interleaved-payload family (north-rule input shape)
     "span_kind_stats",
     "interleave_roundtrip",
+    "train_shards",
 ]
 
 

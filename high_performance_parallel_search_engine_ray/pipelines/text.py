@@ -578,3 +578,62 @@ def pack_sequences(
         )
 
     return parted.groupby("part").map_groups(pack_part, batch_format="pandas")
+
+
+# -- pseudo-shuffle shard split (training output layout) ---------------------
+
+def pseudo_shuffle_shards(docs, n_shards: int = 16, id_col: str = "doc_id"):
+    """(doc_id, shard, train_pos): deterministic global-shuffle-equivalent.
+
+    The last step of a training-data pipeline is "shuffle the corpus and
+    split it into shards". ``Dataset.random_shuffle`` is a full all-to-all
+    over the DATA; this operator gets the same statistical effect by
+    hashing ids into shards and ordering within each shard by the hash's
+    upper bits — the only shuffle is a groupby over (id, shard, key) rows,
+    never text, and the result is reproducible across retries (seeded by
+    the multiplier, not an RNG).
+
+    Mixing is a 32-bit LCG step mirrored literally by the SQL oracle:
+    ``mix = (doc_id * 2654435761 + 1013904223) % 2**32`` (Knuth
+    multiplicative + Numerical Recipes increment). Exact in int64 for
+    doc_id < ~3.4e9; beyond that (10^10-id corpora) swap the mixer for
+    unsigned splitmix64 in numpy — same dataflow, no SQL mirror.
+
+    train_pos is the 0-based position within the shard (row_number over
+    (mix upper bits, doc_id)); a downstream writer streams each shard in
+    train_pos order to its own file.
+    """
+    import numpy as np
+
+    S = int(n_shards)
+
+    def assign(b: pa.Table) -> pa.Table:
+        ids = b[id_col].combine_chunks().to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        mix = (ids * 2654435761 + 1013904223) % (2**32)
+        return pa.table(
+            {
+                id_col: pa.array(ids, pa.int64()),
+                "shard": pa.array(mix % S, pa.int64()),
+                "okey": pa.array(mix // S, pa.int64()),
+            }
+        )
+
+    def order_shard(g):
+        import pandas as pd
+
+        idx = np.lexsort((g[id_col].to_numpy(), g["okey"].to_numpy()))
+        return pd.DataFrame(
+            {
+                id_col: g[id_col].to_numpy()[idx],
+                "shard": g["shard"].to_numpy()[idx],
+                "train_pos": np.arange(len(g), dtype=np.int64),
+            }
+        )
+
+    return (
+        docs.map_batches(assign, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(order_shard, batch_format="pandas")
+    )

@@ -1056,3 +1056,35 @@ def test_curation_handles_string_doc_ids(ray_session):
     out = curated.to_pandas()
     assert len(out) >= 1
     assert out["doc_id"].map(type).eq(str).all()
+
+
+def test_pseudo_shuffle_shards_properties(docs):
+    """Shard split is balanced-ish, deterministic across block layouts, and
+    train_pos is a dense 0..n_s-1 sequence per shard."""
+    from high_performance_parallel_search_engine_ray.pipelines.text import (
+        pseudo_shuffle_shards,
+    )
+
+    a = (
+        pseudo_shuffle_shards(docs, n_shards=8)
+        .to_pandas()
+        .sort_values(["shard", "train_pos"])
+        .reset_index(drop=True)
+    )
+    b = (
+        pseudo_shuffle_shards(docs.repartition(16), n_shards=8)
+        .to_pandas()
+        .sort_values(["shard", "train_pos"])
+        .reset_index(drop=True)
+    )
+    assert a.equals(b)  # block layout never changes the split
+    sizes = a.groupby("shard").size()
+    assert len(sizes) == 8
+    assert sizes.max() <= 2 * sizes.min() + 8  # hash balance, small-n slack
+    for _, g in a.groupby("shard"):
+        assert list(g["train_pos"]) == list(range(len(g)))
+    # the order within a shard is not doc_id order (it actually shuffles)
+    any_shuffled = any(
+        list(g["doc_id"]) != sorted(g["doc_id"]) for _, g in a.groupby("shard")
+    )
+    assert any_shuffled

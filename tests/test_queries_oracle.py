@@ -133,7 +133,7 @@ def test_registry_ordering_contract():
         "unigram_logprob", "decontaminate", "dup_clusters",
         "tfidf_topk", "dup_substrings",
         "span_explode", "span_kind_stats", "media_manifest",
-        "interleave_roundtrip", "interleaved_quality",
+        "interleave_roundtrip", "interleaved_quality", "train_shards",
     }
     assert set(entry_mod.oracle_sql()) - overflow_ok <= first50
     for critical in (
