@@ -438,6 +438,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "train_shards": lambda sf: text.pseudo_shuffle_shards(
             _docs(sf), n_shards=16
         ),
+        # CCNet-style span-level exact dedup over the interleaved corpus
+        # (keep the globally first occurrence of each exact span text)
+        "span_dedup": lambda sf: interleave.span_dedup(
+            interleave.docs_to_interleaved(_docs(sf))
+        ),
+        # multimodal training-cost accounting (media spans charge a fixed
+        # 64-position placeholder budget)
+        "interleaved_token_counts": lambda sf: interleave.interleaved_token_counts(
+            interleave.docs_to_interleaved(_docs(sf))
+        ),
     }
 
 
@@ -988,6 +998,36 @@ SELECT CAST(doc_id AS VARCHAR) AS doc_id,
        round(len(regexp_extract_all(text, '[A-Za-z]')) * 1.0 / length(text), 6) AS alpha_ratio,
        round(len(regexp_extract_all(text, '[0-9]')) * 1.0 / length(text), 6)   AS digit_ratio,
        round(len(regexp_extract_all(text, '[.,;:!?]')) * 1.0 / length(text), 6) AS punct_ratio
+FROM documents
+""",
+        "span_dedup": """
+WITH w AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         unnest(string_split(text, ' ')) AS word,
+         unnest(generate_series(0, len(string_split(text, ' ')) - 1)) AS i
+  FROM documents
+),
+chunks AS (
+  SELECT doc_id, i // 8 AS off, string_agg(word, ' ' ORDER BY i) AS text
+  FROM w GROUP BY doc_id, i // 8
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id, off) AS rn
+  FROM chunks
+)
+SELECT doc_id,
+       coalesce(string_agg(CASE WHEN rn = 1 THEN text END, ' ' ORDER BY off),
+                '') AS kept_text,
+       CAST(count(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_kept,
+       CAST(count(*) FILTER (WHERE rn > 1) AS BIGINT) AS n_dropped
+FROM r GROUP BY doc_id
+""",
+        "interleaved_token_counts": """
+SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+       len(regexp_extract_all(text, '\\S+')) AS n_text_tokens,
+       CAST(doc_id % 3 = 0 AS BIGINT) AS n_media_spans,
+       len(regexp_extract_all(text, '\\S+'))
+         + 64 * CAST(doc_id % 3 = 0 AS BIGINT) AS n_tokens_total
 FROM documents
 """,
         "train_shards": """

@@ -52,6 +52,11 @@ WORDS_PER_SPAN = 8
 MEDIA_EVERY = 3  # docs with doc_id % MEDIA_EVERY == 0 get one media span
 MEDIA_MOD = 97  # media_ref = "media/img{doc_id % MEDIA_MOD}.jpg"
 
+# Fixed per-media-span placeholder budget for token accounting — the "one
+# image costs K sequence positions" convention of multimodal training
+# recipes. Mirrored literally by the interleaved_token_counts oracle.
+MEDIA_TOKEN_BUDGET = 64
+
 
 def docs_to_interleaved(docs, words_per_span: int = WORDS_PER_SPAN):
     """(doc_id:int64, text) -> the north-rule interleaved shape.
@@ -229,6 +234,256 @@ def reconstruct_text(inter):
         )
 
     return inter.map_batches(recon, batch_format="pyarrow")
+
+
+def interleaved_token_counts(inter, media_budget: int = MEDIA_TOKEN_BUDGET):
+    """Per-doc multimodal training-cost accounting over the interleaved
+    shape: ``(doc_id, n_text_tokens, n_media_spans, n_tokens_total)`` where
+    text tokens are whitespace tokens summed over text spans and every
+    media span charges a fixed ``media_budget`` placeholder positions —
+    the sequence-budget arithmetic a packing/sharding stage consumes.
+    Block-local bincounts over zero-copy Arrow; no shuffle."""
+
+    def acct(b: pa.Table) -> pa.Table:
+        parent, flat = _flat(b)
+        n = len(b)
+        is_text = ~pc.is_in(
+            flat.field("kind"), value_set=pa.array(NON_TEXT_KINDS)
+        ).to_numpy(zero_copy_only=False)
+        is_media = pc.equal(flat.field("kind"), "media").to_numpy(
+            zero_copy_only=False
+        )
+        tok = pc.count_substring_regex(flat.field("text"), r"\S+").to_numpy(
+            zero_copy_only=False
+        )
+        n_tok = np.bincount(
+            parent, weights=tok * is_text, minlength=n
+        ).astype(np.int64)
+        n_media = np.bincount(parent[is_media], minlength=n).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "n_text_tokens": pa.array(n_tok, pa.int64()),
+                "n_media_spans": pa.array(n_media, pa.int64()),
+                "n_tokens_total": pa.array(
+                    n_tok + media_budget * n_media, pa.int64()
+                ),
+            }
+        )
+
+    return inter.map_batches(acct, batch_format="pyarrow")
+
+
+def span_dedup(
+    inter,
+    n_parts: int = 64,
+    drop_broadcast_spans: int = 2_000_000,
+):
+    """CCNet-style span-level exact dedup over the interleaved corpus.
+
+    A text span SURVIVES iff it is the globally FIRST occurrence of its
+    exact text, occurrences ordered by ``(doc_id, offset)`` (doc_id
+    lexicographic — the interleaved contract's id type is string). Media
+    spans carry no text and never participate. Returns one row per doc:
+    ``(doc_id, kept_text, n_kept, n_dropped)`` where ``kept_text`` is the
+    surviving text spans joined by a single space in span order and the
+    counts cover text spans only. This is the paragraph-level dedup pass of
+    a CCNet-style curation pipeline (drop boilerplate lines repeated across
+    pages) re-expressed over the north-rule interleaved shape.
+
+    Scale shape — span text never enters the duplicate-detection shuffle:
+      1. occurrence rows ``(md5(text), doc_id, offset)`` exchange grouped by
+         a BOUNDED partition key (``hash(md5) % n_parts``; all hash runs of
+         a partition resolved vectorized — the measured per-group-tax
+         rationale of ``dedup.minhash_lsh_pairs``);
+      2. the resulting DROP list holds only duplicate occurrences. At or
+         below ``drop_broadcast_spans`` rows it broadcasts once via
+         ``ray.put`` and both the span filter and the per-doc
+         reconstruction are block-local (a doc's spans live in one row);
+      3. above the threshold the fully-distributed path applies: exploded
+         text spans left-join the drop list on ``(doc_id, offset)``
+         (hash-shuffle ``Dataset.join``), then a partition-grouped per-doc
+         reassembly — the same cost policy as ``dedup.dedup_keep_first``.
+    Both paths return identical rows; a test forces the join path.
+    """
+    import hashlib
+
+    import pandas as pd
+    import ray
+
+    def occurrences(b: pa.Table) -> pa.Table:
+        parent, flat = _flat(b)
+        is_text = pc.invert(
+            pc.is_in(flat.field("kind"), value_set=pa.array(NON_TEXT_KINDS))
+        )
+        mask = is_text.to_numpy(zero_copy_only=False)
+        texts = flat.field("text").filter(is_text).to_pylist()
+        hs = [hashlib.md5(t.encode("utf-8")).hexdigest() for t in texts]
+        dids = b["doc_id"].combine_chunks().take(pa.array(parent[mask]))
+        offs = flat.field("offset").filter(is_text).cast(pa.int64())
+        part = (
+            pd.util.hash_array(np.asarray(hs, dtype=object)) % n_parts
+        ).astype(np.int32)
+        return pa.table(
+            {
+                "h": pa.array(hs, pa.string()),
+                "doc_id": dids,
+                "offset": offs,
+                "part": pa.array(part),
+            }
+        )
+
+    def drops_part(g: pd.DataFrame) -> pd.DataFrame:
+        # all md5 runs of one partition, first-(doc_id, offset) kept,
+        # vectorized
+        g = g.sort_values(["h", "doc_id", "offset"], kind="stable")
+        h = g["h"].to_numpy()
+        first = np.ones(len(g), dtype=bool)
+        first[1:] = h[1:] != h[:-1]
+        return g.loc[~first, ["doc_id", "offset"]]
+
+    drops = (
+        inter.map_batches(occurrences, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(drops_part, batch_format="pandas")
+        .materialize()
+    )
+
+    if drops.count() <= drop_broadcast_spans:
+        key_chunks = [
+            pc.binary_join_element_wise(
+                t["doc_id"].combine_chunks().cast(pa.string()),
+                t["offset"].combine_chunks().cast(pa.string()),
+                "\x1f",
+            )
+            for t in drops.iter_batches(batch_format="pyarrow", batch_size=None)
+            if t.num_rows
+        ]
+        drop_ref = ray.put(
+            pa.concat_arrays(key_chunks)
+            if key_chunks
+            else pa.array([], pa.string())
+        )
+
+        def apply_drops(b: pa.Table) -> pa.Table:
+            parent, flat = _flat(b)
+            n = len(b)
+            is_text = pc.invert(
+                pc.is_in(flat.field("kind"), value_set=pa.array(NON_TEXT_KINDS))
+            )
+            did_span = b["doc_id"].combine_chunks().take(pa.array(parent))
+            keys = pc.binary_join_element_wise(
+                pc.cast(did_span, pa.string()),
+                pc.cast(flat.field("offset").cast(pa.int64()), pa.string()),
+                "\x1f",
+            )
+            dup = pc.and_(
+                is_text, pc.is_in(keys, value_set=ray.get(drop_ref))
+            ).to_numpy(zero_copy_only=False)
+            text_np = is_text.to_numpy(zero_copy_only=False)
+            n_text = np.bincount(parent[text_np], minlength=n).astype(np.int64)
+            n_dropped = np.bincount(parent[dup], minlength=n).astype(np.int64)
+            keep = text_np & ~dup
+            texts = flat.field("text").filter(pa.array(keep))
+            if isinstance(texts, pa.ChunkedArray):
+                texts = texts.combine_chunks()
+            kept_per_doc = np.bincount(parent[keep], minlength=n)
+            offsets = np.append(
+                np.cumsum(kept_per_doc) - kept_per_doc, len(texts)
+            ).astype(np.int32)
+            lst = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), texts)
+            return pa.table(
+                {
+                    "doc_id": b["doc_id"],
+                    "kept_text": pc.binary_join(lst, " "),
+                    "n_kept": pa.array(n_text - n_dropped, pa.int64()),
+                    "n_dropped": pa.array(n_dropped, pa.int64()),
+                }
+            )
+
+        return inter.map_batches(apply_drops, batch_format="pyarrow")
+
+    # distributed path: exploded text spans left-join the drop list, then a
+    # partition-grouped per-doc reassembly (only text spans + drop markers
+    # shuffle; media spans are excluded by construction here)
+    def explode_text(b: pa.Table) -> pa.Table:
+        parent, flat = _flat(b)
+        is_text = pc.invert(
+            pc.is_in(flat.field("kind"), value_set=pa.array(NON_TEXT_KINDS))
+        )
+        mask = is_text.to_numpy(zero_copy_only=False)
+        dids = b["doc_id"].combine_chunks().take(pa.array(parent[mask]))
+        return pa.table(
+            {
+                "doc_id": dids,
+                "offset": flat.field("offset").filter(is_text).cast(pa.int64()),
+                "text": flat.field("text").filter(is_text),
+            }
+        )
+
+    marked_drops = drops.map_batches(
+        lambda b: b.append_column(
+            "__dup", pa.array(np.ones(b.num_rows, np.int8))
+        ),
+        batch_format="pyarrow",
+    )
+    cpus = (
+        int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    )
+    npart = max(2, cpus // 2)
+    joined = inter.map_batches(explode_text, batch_format="pyarrow").join(
+        marked_drops.repartition(npart),
+        join_type="left_outer",
+        num_partitions=npart,
+        on=("doc_id", "offset"),
+    )
+
+    def with_doc_part(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        if ids.dtype.kind == "U":
+            ids = ids.astype(object)
+        part = (pd.util.hash_array(ids, categorize=False) % n_parts).astype(
+            np.int32
+        )
+        return b.append_column("dpart", pa.array(part))
+
+    def rebuild_part(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype=object),
+                    "kept_text": pd.Series([], dtype=object),
+                    "n_kept": pd.Series([], dtype=np.int64),
+                    "n_dropped": pd.Series([], dtype=np.int64),
+                }
+            )
+        idx = np.lexsort((g["offset"].to_numpy(), g["doc_id"].to_numpy()))
+        dids = g["doc_id"].to_numpy()[idx]
+        dup = g["__dup"].notna().to_numpy()[idx]
+        texts = g["text"].to_numpy()[idx]
+        uniq, starts = np.unique(dids, return_index=True)
+        counts = np.diff(np.append(starts, len(dids)))
+        n_kept = np.add.reduceat((~dup).astype(np.int64), starts)
+        keep = ~dup
+        k_texts = pa.array(texts[keep].astype(object), pa.string())
+        offsets = np.append(np.cumsum(n_kept) - n_kept, int(keep.sum())).astype(
+            np.int32
+        )
+        lst = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), k_texts)
+        return pd.DataFrame(
+            {
+                "doc_id": uniq,
+                "kept_text": pc.binary_join(lst, " ").to_pandas().to_numpy(),
+                "n_kept": n_kept,
+                "n_dropped": counts - n_kept,
+            }
+        )
+
+    return (
+        joined.map_batches(with_doc_part, batch_format="pyarrow")
+        .groupby("dpart")
+        .map_groups(rebuild_part, batch_format="pandas")
+    )
 
 
 def media_manifest(inter):

@@ -986,6 +986,73 @@ def test_interleave_multiblock_equals_singleblock(docs):
     assert one.equals(many)
 
 
+def test_span_dedup_planted(ray_session):
+    """Keep-first semantics on a hand-built interleaved corpus: the exact
+    span text repeated across (and within) docs survives only at its
+    globally first (doc_id, offset); media spans pass through untouched."""
+    import pyarrow as pa
+
+    from high_performance_parallel_search_engine_ray.pipelines import interleave as il
+
+    def span(kind, text, ref, off):
+        return {"kind": kind, "text": text, "media_ref": ref, "offset": off}
+
+    rows = pa.table(
+        {
+            "doc_id": pa.array(["a", "b", "c"], pa.string()),
+            "spans": pa.array(
+                [
+                    [
+                        span("text", "dup chunk", "", 0),
+                        span("text", "only in a", "", 1),
+                        span("media", "", "m/x.jpg", 2),
+                    ],
+                    [
+                        span("text", "dup chunk", "", 0),
+                        span("text", "dup chunk", "", 1),
+                        span("text", "b tail", "", 2),
+                    ],
+                    [span("text", "dup chunk", "", 0)],
+                ],
+                il.SPAN_TYPE,
+            ),
+        }
+    )
+    inter = rd.from_arrow(rows)
+    for kwargs in ({}, {"drop_broadcast_spans": 0}):  # both drop paths
+        out = (
+            il.span_dedup(inter, **kwargs)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert list(out["kept_text"]) == ["dup chunk only in a", "b tail", ""]
+        assert list(out["n_kept"]) == [2, 1, 0]
+        assert list(out["n_dropped"]) == [0, 2, 1]
+
+
+def test_span_dedup_join_path_equals_broadcast(docs):
+    """The fully-distributed join path returns rows identical to the
+    broadcast path over the synthetic corpus."""
+    from high_performance_parallel_search_engine_ray.pipelines import interleave as il
+
+    inter = il.docs_to_interleaved(docs)
+    a = (
+        il.span_dedup(inter)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    b = (
+        il.span_dedup(inter, drop_broadcast_spans=0)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert a.equals(b)
+    assert (a["n_kept"] + a["n_dropped"] > 0).all()
+
+
 def test_media_fetch_from_interleaved(docs):
     """Crawl->media loop: manifest refs fetch ONCE each (deduplicated),
     payloads are deterministic across actors/runs, and the feature stage
