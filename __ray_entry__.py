@@ -448,7 +448,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "interleaved_token_counts": lambda sf: interleave.interleaved_token_counts(
             interleave.docs_to_interleaved(_docs(sf))
         ),
+        # CCNet head/middle/tail split: exact global ntile(3) over the
+        # unigram-LM score (distributed two-pass rank)
+        "quality_buckets": lambda sf: text.quality_buckets(_docs(sf), k=3),
+        # Dolma-style source mixing by integer repeat factors
+        "source_mix_epochs": lambda sf: text.source_mix_epochs(
+            _doc_sources(sf), epochs=_MIX_EPOCHS
+        ),
     }
+
+
+# Repeat factors for the source_mix_epochs contract query: 3 epochs of
+# src0-4, 2 of src5-9, 1 of everything else (the oracle SQL's CASE mirrors
+# this dict exactly).
+_MIX_EPOCHS = {
+    **{f"src{i}": 3 for i in range(5)},
+    **{f"src{i}": 2 for i in range(5, 10)},
+}
 
 
 # Source-mixing rates for the stratified_sample contract query: keep 100% of
@@ -1028,6 +1044,29 @@ SELECT CAST(doc_id AS VARCHAR) AS doc_id,
        CAST(doc_id % 3 = 0 AS BIGINT) AS n_media_spans,
        len(regexp_extract_all(text, '\\S+'))
          + 64 * CAST(doc_id % 3 = 0 AS BIGINT) AS n_tokens_total
+FROM documents
+""",
+        "quality_buckets": "WITH "
+        + _TOKS_CTE
+        + """,
+freq AS (SELECT term, count(*) AS cnt FROM toks GROUP BY term),
+tot AS (SELECT count(*) AS total FROM toks),
+lp AS (
+  SELECT t.doc_id, ROUND(AVG(LN(f.cnt * 1.0 / tot.total)), 6) AS avg_logprob
+  FROM toks t JOIN freq f ON t.term = f.term CROSS JOIN tot
+  GROUP BY t.doc_id
+)
+SELECT doc_id, avg_logprob,
+       CAST(ntile(3) OVER (ORDER BY avg_logprob DESC, doc_id) AS BIGINT)
+         AS bucket
+FROM lp
+""",
+        "source_mix_epochs": """
+SELECT doc_id, source,
+       unnest(generate_series(0, CASE
+         WHEN source IN ('src0','src1','src2','src3','src4') THEN 2
+         WHEN source IN ('src5','src6','src7','src8','src9') THEN 1
+         ELSE 0 END)) AS epoch
 FROM documents
 """,
         "train_shards": """

@@ -370,6 +370,123 @@ def unigram_logprob(docs, id_col: str = "doc_id", text_col: str = "text"):
     return docs.map_batches(score, batch_format="pyarrow")
 
 
+def quality_buckets(
+    docs,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_parts: int = 64,
+):
+    """(doc_id, avg_logprob, bucket): the CCNet head/middle/tail quality
+    split — an EXACT global ``ntile(k)`` over the ``unigram_logprob``
+    score, ordered by (avg_logprob DESC, doc_id). Bucket 1 = head (highest
+    mean log-prob / lowest perplexity proxy), bucket k = tail. Curation
+    recipes keep the head and resample or drop the tail.
+
+    Scale shape — the same two-pass range-partitioned global rank as
+    ``pack_sequences``: only (doc_id, avg_logprob) rows ever shuffle.
+      1. score table range-partitions by value (monotone in the DESC sort
+         key, so partition p's ranks all precede partition p+1's);
+      2. per-partition counts -> driver-side exclusive prefix over
+         ``n_parts`` values -> broadcast bases;
+      3. per-partition local sort + base = exact global rank; the ntile
+         boundary arithmetic needs only the (driver-held) global count.
+    Value-range partitioning can skew if the score distribution is highly
+    concentrated; ``n_parts`` bounds the per-partition work and the score
+    has ~continuous support, so this is the documented trade."""
+    import numpy as np
+    import pandas as pd
+    import ray
+    from ray.data.aggregate import Count, Max, Min
+
+    lp = unigram_logprob(docs, id_col, text_col).materialize()
+    b = lp.aggregate(Min("avg_logprob"), Max("avg_logprob"))
+    lo, hi = float(b["min(avg_logprob)"]), float(b["max(avg_logprob)"])
+    span = (hi - lo) or 1.0
+
+    def with_part(t: pa.Table) -> pa.Table:
+        v = t["avg_logprob"].to_numpy(zero_copy_only=False)
+        part = np.clip(
+            ((hi - v) / span * n_parts).astype(np.int64), 0, n_parts - 1
+        )
+        return t.append_column("part", pa.array(part.astype(np.int32)))
+
+    parted = lp.map_batches(with_part, batch_format="pyarrow").materialize()
+    totals = {
+        r["part"]: r["count()"]
+        for r in parted.groupby("part").aggregate(Count()).take_all()
+    }
+    n = int(sum(totals.values()))
+    base, bases = 0, {}
+    for p in range(n_parts):
+        bases[p] = base
+        base += int(totals.get(p, 0))
+    q, r = divmod(n, k)
+    cut = r * (q + 1)
+    bases_ref = ray.put(bases)
+
+    def rank_part(g: pd.DataFrame) -> pd.DataFrame:
+        v = g["avg_logprob"].to_numpy()
+        ids = g[id_col].to_numpy()
+        idx = np.lexsort((ids, -v))
+        rank = (
+            np.arange(len(g), dtype=np.int64)
+            + ray.get(bases_ref)[int(g["part"].iloc[0])]
+        )
+        bucket = (
+            np.where(rank < cut, rank // (q + 1), r + (rank - cut) // max(q, 1))
+            + 1
+        )
+        return pd.DataFrame(
+            {
+                id_col: ids[idx],
+                "avg_logprob": v[idx],
+                "bucket": bucket.astype(np.int64),
+            }
+        )
+
+    return parted.groupby("part").map_groups(rank_part, batch_format="pandas")
+
+
+def source_mix_epochs(
+    docs,
+    epochs: dict | None = None,
+    default_epochs: int = 1,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+):
+    """(doc_id, source, epoch): Dolma/LLaMA-style corpus mixing by integer
+    repeat factor — every doc of source s is emitted ``epochs.get(s,
+    default_epochs)`` times with epoch = 0..reps-1, the deterministic
+    up-sampling step that weights high-quality sources before packing.
+    Pure per-batch row replication (np.repeat over zero-copy Arrow takes);
+    shuffle-free, reproducible across retries."""
+    import numpy as np
+
+    eps = epochs or {}
+
+    def rep(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        src = b[source_col].to_numpy(zero_copy_only=False)
+        reps = (
+            pd.Series(src).map(eps).fillna(default_epochs).to_numpy(np.int64)
+        )
+        idx = np.repeat(np.arange(len(src)), reps)
+        offs = np.cumsum(reps) - reps
+        epoch = np.arange(int(reps.sum()), dtype=np.int64) - offs[idx]
+        take = pa.array(idx)
+        return pa.table(
+            {
+                id_col: b[id_col].combine_chunks().take(take),
+                source_col: b[source_col].combine_chunks().take(take),
+                "epoch": pa.array(epoch, pa.int64()),
+            }
+        )
+
+    return docs.map_batches(rep, batch_format="pyarrow")
+
+
 # -- decontamination (benchmark n-gram overlap) -------------------------------
 
 def decontaminate(

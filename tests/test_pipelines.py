@@ -986,6 +986,49 @@ def test_interleave_multiblock_equals_singleblock(docs):
     assert one.equals(many)
 
 
+def test_quality_buckets_properties(docs):
+    """Exact-ntile invariants on a multi-block run: bucket sizes differ by
+    at most 1, every head score >= every tail score, and each scored doc
+    appears exactly once."""
+    from high_performance_parallel_search_engine_ray.pipelines import text as tx
+
+    out = tx.quality_buckets(docs.repartition(16), k=3).to_pandas()
+    assert out["doc_id"].is_unique
+    sizes = out["bucket"].value_counts()
+    assert set(sizes.index) == {1, 2, 3}
+    assert sizes.max() - sizes.min() <= 1
+    assert (
+        out.loc[out["bucket"] == 1, "avg_logprob"].min()
+        >= out.loc[out["bucket"] == 3, "avg_logprob"].max()
+    )
+
+
+def test_source_mix_epochs_replication(ray_session):
+    """Per-source repeat factors: each doc appears exactly epochs[source]
+    times with epoch = 0..reps-1."""
+    import pyarrow as pa
+
+    from high_performance_parallel_search_engine_ray.pipelines import text as tx
+
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+                "source": pa.array(["hi", "hi", "lo", "unknown"]),
+            }
+        )
+    ).repartition(3)
+    out = tx.source_mix_epochs(docs, epochs={"hi": 3, "lo": 2}).to_pandas()
+    got = (
+        out.groupby("doc_id")["epoch"]
+        .agg(["count", "min", "max"])
+        .sort_index()
+    )
+    assert list(got["count"]) == [3, 3, 2, 1]
+    assert list(got["min"]) == [0, 0, 0, 0]
+    assert list(got["max"]) == [2, 2, 1, 0]
+
+
 def test_span_dedup_planted(ray_session):
     """Keep-first semantics on a hand-built interleaved corpus: the exact
     span text repeated across (and within) docs survives only at its
