@@ -455,6 +455,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_mix_epochs": lambda sf: text.source_mix_epochs(
             _doc_sources(sf), epochs=_MIX_EPOCHS
         ),
+        # multimodal packing: interleaved token totals -> the distributed
+        # prefix-sum packing core
+        "pack_interleaved": lambda sf: text.pack_interleaved(
+            interleave.docs_to_interleaved(_docs(sf)), budget=2048
+        ),
     }
 
 
@@ -1068,6 +1073,23 @@ SELECT doc_id, source,
          WHEN source IN ('src5','src6','src7','src8','src9') THEN 1
          ELSE 0 END)) AS epoch
 FROM documents
+""",
+        "pack_interleaved": """
+WITH t AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '\\S+'))
+           + 64 * CAST(doc_id % 3 = 0 AS BIGINT) AS n
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n,
+         sum(n) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n AS off
+  FROM t
+)
+SELECT CAST(doc_id AS VARCHAR) AS doc_id, CAST(n AS BIGINT) AS n_tokens,
+       CAST(off AS BIGINT) AS "offset",
+       CAST(off // 2048 AS BIGINT) AS pack_id
+FROM c
 """,
         "train_shards": """
 WITH m AS (

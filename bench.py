@@ -64,6 +64,8 @@ BENCH_QUERIES = [
     "span_kind_stats",
     "interleave_roundtrip",
     "train_shards",
+    "span_dedup",
+    "quality_buckets",
 ]
 
 

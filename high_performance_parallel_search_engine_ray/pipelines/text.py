@@ -636,12 +636,6 @@ def pack_sequences(
       3. per-partition sorted local cumsum + partition base offset.
     Only (doc_id, n_tokens) pairs ever shuffle; text stays put.
     """
-    import numpy as np
-    import pandas as pd
-    import ray
-
-    # id domain for range partitioning (two tiny aggregate passes over a
-    # projected column — parquet footers make these near-free at the read)
     counts = docs.map_batches(
         lambda b: pa.table(
             {
@@ -653,6 +647,21 @@ def pack_sequences(
         ),
         batch_format="pyarrow",
     ).materialize()
+    return _pack_counts(counts, budget, id_col, n_parts)
+
+
+def _pack_counts(counts, budget: int, id_col: str, n_parts: int):
+    """The distributed concat-and-chunk core over a materialized
+    ``(id_col: int64, n_tokens)`` table — the two-pass range-partitioned
+    prefix sum documented in ``pack_sequences``. Shared by
+    ``pack_sequences`` (whitespace-token costs) and ``pack_interleaved``
+    (multimodal token totals)."""
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    # id domain for range partitioning (two tiny aggregate passes over a
+    # projected column — parquet footers make these near-free at the read)
     from ray.data.aggregate import Max, Min
 
     bounds = counts.aggregate(Min(id_col), Max(id_col))
@@ -695,6 +704,46 @@ def pack_sequences(
         )
 
     return parted.groupby("part").map_groups(pack_part, batch_format="pandas")
+
+
+def pack_interleaved(inter, budget: int = 2048, n_parts: int = 64):
+    """(doc_id, n_tokens, offset, pack_id) over an INTERLEAVED corpus:
+    concat-and-chunk packing where each doc costs its multimodal token
+    total (text tokens + ``interleave.MEDIA_TOKEN_BUDGET`` placeholder
+    positions per media span) — the packing stage a multimodal training
+    pipeline actually runs. Composition: ``interleaved_token_counts``
+    (block-local accounting) feeds the same two-pass range-partitioned
+    prefix sum as ``pack_sequences``; spans never shuffle, only
+    (doc_id, n_tokens) pairs.
+
+    Requires integer-castable doc ids for the range partition / pack order
+    (the synthesiser's contract; crawl-emitted string ids should first map
+    through an id-assignment pass)."""
+    from .interleave import interleaved_token_counts
+
+    counts = (
+        interleaved_token_counts(inter)
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "doc_id": pc.cast(b["doc_id"], pa.int64()),
+                    "n_tokens": b["n_tokens_total"],
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+    packed = _pack_counts(counts, budget, "doc_id", n_parts)
+    # emit the interleaved contract's string id type
+    return packed.map_batches(
+        lambda b: b.set_column(
+            b.schema.get_field_index("doc_id"),
+            "doc_id",
+            pc.cast(b["doc_id"], pa.string()),
+        ),
+        batch_format="pyarrow",
+    )
 
 
 # -- pseudo-shuffle shard split (training output layout) ---------------------

@@ -1029,6 +1029,31 @@ def test_source_mix_epochs_replication(ray_session):
     assert list(got["max"]) == [2, 2, 1, 0]
 
 
+def test_pack_interleaved_prefix_sum(docs):
+    """Multimodal packing invariants on a multi-block run: offsets are the
+    exact exclusive prefix sum of multimodal token totals in doc order, and
+    media spans charge the fixed placeholder budget."""
+    from high_performance_parallel_search_engine_ray.pipelines import interleave as il
+    from high_performance_parallel_search_engine_ray.pipelines import text as tx
+
+    inter = il.docs_to_interleaved(docs.repartition(16))
+    out = (
+        tx.pack_interleaved(inter, budget=512)
+        .to_pandas()
+        .astype({"doc_id": int})
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    n = out["n_tokens"].to_numpy()
+    off = out["offset"].to_numpy()
+    assert off[0] == 0
+    assert (off[1:] == off[:-1] + n[:-1]).all()
+    assert (out["pack_id"] == out["offset"] // 512).all()
+    tc = il.interleaved_token_counts(inter).to_pandas().astype({"doc_id": int})
+    merged = out.merge(tc, on="doc_id")
+    assert (merged["n_tokens"] == merged["n_tokens_total"]).all()
+
+
 def test_span_dedup_planted(ray_session):
     """Keep-first semantics on a hand-built interleaved corpus: the exact
     span text repeated across (and within) docs survives only at its

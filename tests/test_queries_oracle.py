@@ -135,7 +135,7 @@ def test_registry_ordering_contract():
         "span_explode", "span_kind_stats", "media_manifest",
         "interleave_roundtrip", "interleaved_quality", "train_shards",
         "span_dedup", "interleaved_token_counts",
-        "quality_buckets", "source_mix_epochs",
+        "quality_buckets", "source_mix_epochs", "pack_interleaved",
     }
     assert set(entry_mod.oracle_sql()) - overflow_ok <= first50
     for critical in (
