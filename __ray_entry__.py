@@ -52,6 +52,12 @@ def _doc_sources(sf_dir: str):
     )
 
 
+def _doc_ids(sf_dir: str):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+
 def _emb(sf_dir: str):
     import ray.data as rd
 
@@ -119,6 +125,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         cluster,
         curate,
         dedup,
+        graph,
         index,
         interleave,
         multimodal,
@@ -459,6 +466,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # prefix-sum packing core
         "pack_interleaved": lambda sf: text.pack_interleaved(
             interleave.docs_to_interleaved(_docs(sf)), budget=2048
+        ),
+        # distributed PageRank over the deterministic synthetic link graph
+        # (float-iterative -> rows-only at the driver; exact-vs-numpy in
+        # pytest, same policy as kmeans)
+        "pagerank_scores": lambda sf: graph.pagerank(
+            graph.synth_link_graph(_doc_ids(sf)), damping=0.85, iters=10
         ),
     }
 

@@ -66,6 +66,7 @@ BENCH_QUERIES = [
     "train_shards",
     "span_dedup",
     "quality_buckets",
+    "pagerank_scores",
 ]
 
 

@@ -1,0 +1,261 @@
+"""Link-graph operators: edge extraction from interleaved crawl output and
+distributed PageRank — the canonical search-engine ranking signal the
+reference's BM25 pipeline would consume as a static prior (reference scope:
+crawl + rank; `Serial Version/src/crawler.c` extracts the links, this module
+ranks with them).
+
+Scale shape
+-----------
+``pagerank`` is the textbook bulk-synchronous power iteration expressed as
+Ray Data dataflow. Per iteration:
+
+  1. attach each edge's source rank via the cost-based broadcast/shuffle
+     join (`relational._attach_or_join`) — node-scale build side, so it
+     broadcasts at bench scale and flips to a hash-shuffle `Dataset.join`
+     at cluster scale, same policy as every dimension join in the repo;
+  2. per-edge contribution rank/out_degree (out_degree is attached to the
+     EDGE table once, up front — it never changes);
+  3. ``groupby(dst).sum`` — the one per-iteration all-to-all, carrying only
+     (node, float) rows, never page text;
+  4. a union with a zero row per node + ``groupby(node)`` completes the
+     inner join to outer semantics (nodes with no in-links keep a row) and
+     re-derives the state table; dangling mass (rank parked on nodes with
+     no out-links) is summed with a scalar aggregate and redistributed
+     uniformly, per the standard formulation.
+
+State is materialized once per iteration — iterating an unmaterialized
+Dataset would re-execute the whole lineage each round (same rationale as
+``dedup.dup_clusters``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def link_edges(inter, src_col: str = "url"):
+    """Interleaved crawl output -> distinct ``(src, dst)`` edge table: one
+    row per (page URL, outgoing link URL). Link spans carry the resolved
+    target in ``media_ref`` (functions/htmltext.html_to_spans). Block-local
+    explode + per-block distinct; the global distinct is a (src, dst)
+    groupby — URL pairs only, never spans."""
+
+    def ex(b: pa.Table) -> pa.Table:
+        lst = b["spans"].combine_chunks()
+        parent = pc.list_parent_indices(lst).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(lst)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        is_link = pc.equal(flat.field("kind"), "link")
+        mask = is_link.to_numpy(zero_copy_only=False)
+        src = b[src_col].combine_chunks().take(pa.array(parent[mask]))
+        t = pa.table({"src": src, "dst": flat.field("media_ref").filter(is_link)})
+        # per-block distinct cuts the shuffle before the global groupby
+        return t.group_by(["src", "dst"]).aggregate([])
+
+    from ray.data.aggregate import Count
+
+    exploded = inter.map_batches(ex, batch_format="pyarrow")
+    return exploded.groupby(["src", "dst"]).aggregate(Count()).drop_columns(
+        ["count()"]
+    )
+
+
+def synth_link_graph(docs, out_deg: int = 3, id_col: str = "doc_id"):
+    """Deterministic small-scale link graph over the documents table (the
+    brief's synthesise-at-small-scale rule): each doc links to
+    ``(id * 31 + 17*j + 1) mod (max_id + 1)`` for j in 0..out_deg-1,
+    self-loops dropped. Mirrored bit-for-bit by the in-memory verification
+    in tests (pagerank itself is float-iterative -> rows-only at the
+    driver, exact-vs-numpy in pytest, same policy as kmeans)."""
+    from ray.data.aggregate import Max
+
+    hi = int(docs.aggregate(Max(id_col))[f"max({id_col})"])
+    n_nodes = hi + 1
+
+    def edges(b: pa.Table) -> pa.Table:
+        ids = b[id_col].combine_chunks().to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        src = np.repeat(ids, out_deg)
+        j = np.tile(np.arange(out_deg, dtype=np.int64), len(ids))
+        dst = (src * 31 + 17 * j + 1) % n_nodes
+        keep = src != dst
+        return pa.table(
+            {
+                "src": pa.array(src[keep], pa.int64()),
+                "dst": pa.array(dst[keep], pa.int64()),
+            }
+        )
+
+    return docs.map_batches(edges, batch_format="pyarrow")
+
+
+def pagerank(edges, damping: float = 0.85, iters: int = 10):
+    """(node, rank) PageRank over a ``(src, dst)`` edge Dataset after
+    ``iters`` power iterations with uniform init 1/N, uniform teleport and
+    uniform dangling-mass redistribution:
+
+        rank'(v) = (1-d)/N + d * (sum_{u->v} rank(u)/deg(u)
+                                  + dangling_sum/N)
+
+    Node ids may be any joinable type (int doc ids, URL strings). See the
+    module docstring for the per-iteration dataflow and scale shape."""
+    import ray
+    from ray.data.aggregate import Count, Max, Sum
+
+    from .relational import _attach_or_join
+
+    cpus = (
+        int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    )
+    npart = max(2, cpus // 2)
+
+    edges = edges.materialize()
+
+    # static: out-degree attached to edges once; node set; dangling flags
+    deg = edges.groupby("src").aggregate(Count(alias_name="deg"))
+    edges_deg = _attach_or_join(
+        edges, "src", deg.rename_columns(["node", "deg"]), "node", ["deg"], npart
+    ).materialize()
+
+    def nodes_of(b: pa.Table) -> pa.Table:
+        both = pa.concat_arrays(
+            [b["src"].combine_chunks(), b["dst"].combine_chunks()]
+        )
+        return pa.table({"node": pc.unique(both)})
+
+    nodes = (
+        edges.map_batches(nodes_of, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Count())
+        .drop_columns(["count()"])
+        .materialize()
+    )
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        return nodes.map_batches(
+            lambda b: pa.table(
+                {"node": b["node"], "rank": pa.array([], pa.float64())}
+            ),
+            batch_format="pyarrow",
+        )
+
+    # is_dangling: node never appears as src (deg undefined -> parks mass).
+    # Every src IS a node, so +1 per node row and -1 per distinct-src row
+    # sum to 1 exactly for dangling nodes, 0 for the rest.
+    flags = nodes.map_batches(
+        lambda b: pa.table(
+            {
+                "node": b["node"],
+                "is_dangling": pa.array(np.ones(b.num_rows, np.int8)),
+            }
+        ),
+        batch_format="pyarrow",
+    ).union(
+        deg.map_batches(
+            lambda b: pa.table(
+                {
+                    "node": b["src"],
+                    "is_dangling": pa.array(np.zeros(b.num_rows, np.int8) - 1),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    # dangling iff only the all-nodes row exists (max flag 1); srcs get -1
+    base = (
+        flags.groupby("node")
+        .aggregate(Sum("is_dangling", alias_name="f"))
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "node": b["node"],
+                    "is_dangling": pc.cast(
+                        pc.equal(b["f"], 1), pa.int8()
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+
+    init = 1.0 / n_nodes
+    state = base.map_batches(
+        lambda b: b.append_column(
+            "rank", pa.array(np.full(b.num_rows, init), pa.float64())
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    for _ in range(iters):
+        dangling_sum = (
+            state.map_batches(
+                lambda b: pa.table(
+                    {
+                        "d": pc.multiply(
+                            b["rank"],
+                            pc.cast(b["is_dangling"], pa.float64()),
+                        )
+                    }
+                ),
+                batch_format="pyarrow",
+            ).sum("d")
+            or 0.0
+        )
+        contribs = _attach_or_join(
+            edges_deg, "src", state, "node", ["rank"], npart
+        ).map_batches(
+            lambda b: pa.table(
+                {
+                    "node": b["dst"],
+                    "in_sum": pc.divide(
+                        b["rank"], pc.cast(b["deg"], pa.float64())
+                    ),
+                    "is_dangling": pa.array(
+                        np.zeros(b.num_rows, np.int8)
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        zero = state.map_batches(
+            lambda b: pa.table(
+                {
+                    "node": b["node"],
+                    "in_sum": pa.array(np.zeros(b.num_rows), pa.float64()),
+                    "is_dangling": b["is_dangling"],
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        teleport = (1.0 - damping) / n_nodes
+        dang_share = damping * float(dangling_sum) / n_nodes
+
+        def new_rank(b: pa.Table) -> pa.Table:
+            s = b["in_sum"].to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "node": b["node"],
+                    "is_dangling": pc.cast(b["flag"], pa.int8()),
+                    "rank": pa.array(
+                        teleport + damping * s + dang_share, pa.float64()
+                    ),
+                }
+            )
+
+        state = (
+            contribs.union(zero)
+            .groupby("node")
+            .aggregate(
+                Sum("in_sum", alias_name="in_sum"),
+                Max("is_dangling", alias_name="flag"),
+            )
+            .map_batches(new_rank, batch_format="pyarrow")
+            .materialize()
+        )
+
+    return state.drop_columns(["is_dangling"])

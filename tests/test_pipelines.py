@@ -1029,6 +1029,68 @@ def test_source_mix_epochs_replication(ray_session):
     assert list(got["max"]) == [2, 2, 1, 0]
 
 
+def _pagerank_inmemory(edges_df, damping=0.85, iters=10):
+    import numpy as np
+
+    nodes = np.unique(
+        np.concatenate([edges_df["src"].to_numpy(), edges_df["dst"].to_numpy()])
+    )
+    pos = {n: i for i, n in enumerate(nodes)}
+    src = edges_df["src"].map(pos).to_numpy()
+    dst = edges_df["dst"].map(pos).to_numpy()
+    n = len(nodes)
+    deg = np.bincount(src, minlength=n)
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        dang = r[deg == 0].sum()
+        contrib = np.zeros(n)
+        np.add.at(contrib, dst, r[src] / deg[src])
+        r = (1 - damping) / n + damping * (contrib + dang / n)
+    return dict(zip(nodes, r))
+
+
+def test_pagerank_matches_inmemory(docs):
+    """Distributed power iteration == in-memory numpy power iteration on
+    the deterministic synthetic link graph (float tolerance only for
+    summation order)."""
+    import numpy as np
+
+    from high_performance_parallel_search_engine_ray.pipelines import graph as gr
+
+    edges = gr.synth_link_graph(docs.repartition(8), out_deg=3)
+    got = gr.pagerank(edges, damping=0.85, iters=10).to_pandas()
+    want = _pagerank_inmemory(edges.to_pandas())
+    assert len(got) == len(want)
+    assert abs(got["rank"].sum() - 1.0) < 1e-9  # rank mass conserved
+    for node, rank in zip(got["node"], got["rank"]):
+        assert np.isclose(rank, want[node], rtol=1e-9, atol=1e-12), node
+
+
+def test_pagerank_dangling_and_string_ids(ray_session):
+    """Dangling-node mass redistributes uniformly; string node ids (URL
+    graphs) flow through the same joins."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from high_performance_parallel_search_engine_ray.pipelines import graph as gr
+
+    # c is dangling (no out-edges); b links only to c
+    edf = pd.DataFrame(
+        {"src": ["u/a", "u/a", "u/b"], "dst": ["u/b", "u/c", "u/c"]}
+    )
+    got = (
+        gr.pagerank(rd.from_arrow(pa.Table.from_pandas(edf)), iters=8)
+        .to_pandas()
+        .set_index("node")["rank"]
+    )
+    want = _pagerank_inmemory(edf, iters=8)
+    assert abs(got.sum() - 1.0) < 1e-9
+    for node, rank in want.items():
+        assert np.isclose(got[node], rank, rtol=1e-9, atol=1e-12), node
+    assert got["u/c"] > got["u/b"] > got["u/a"]  # c collects the most mass
+
+
 def test_pack_interleaved_prefix_sum(docs):
     """Multimodal packing invariants on a multi-block run: offsets are the
     exact exclusive prefix sum of multimodal token totals in doc order, and
@@ -1052,6 +1114,47 @@ def test_pack_interleaved_prefix_sum(docs):
     tc = il.interleaved_token_counts(inter).to_pandas().astype({"doc_id": int})
     merged = out.merge(tc, on="doc_id")
     assert (merged["n_tokens"] == merged["n_tokens_total"]).all()
+
+
+def test_link_edges_from_crawl_spans(ray_session):
+    """link_edges consumes crawl-emitted interleaved docs: link spans carry
+    the target in media_ref; duplicates collapse to distinct (src, dst)."""
+    import pyarrow as pa
+
+    from high_performance_parallel_search_engine_ray.pipelines import graph as gr
+    from high_performance_parallel_search_engine_ray.pipelines import interleave as il
+
+    def span(kind, text, ref, off):
+        return {"kind": kind, "text": text, "media_ref": ref, "offset": off}
+
+    rows = pa.table(
+        {
+            "doc_id": pa.array(["d0", "d1"], pa.string()),
+            "url": pa.array(["u/0", "u/1"], pa.string()),
+            "spans": pa.array(
+                [
+                    [
+                        span("text", "hello", "", 0),
+                        span("link", "", "u/1", 1),
+                        span("link", "", "u/1", 2),  # dup edge
+                        span("media", "", "m/x.jpg", 3),
+                    ],
+                    [span("link", "", "u/0", 0)],
+                ],
+                il.SPAN_TYPE,
+            ),
+        }
+    )
+    edges = (
+        gr.link_edges(rd.from_arrow(rows))
+        .to_pandas()
+        .sort_values(["src", "dst"])
+        .reset_index(drop=True)
+    )
+    assert list(map(tuple, edges.to_numpy())) == [
+        ("u/0", "u/1"),
+        ("u/1", "u/0"),
+    ]
 
 
 def test_span_dedup_planted(ray_session):
