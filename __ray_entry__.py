@@ -473,6 +473,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_scores": lambda sf: graph.pagerank(
             graph.synth_link_graph(_doc_ids(sf)), damping=0.85, iters=10
         ),
+        # the full web-search composition: BM25 relevance fused with the
+        # PageRank static prior over the candidate set
+        "bm25_pagerank": lambda sf: rank.bm25_pagerank_topk(
+            _docs(sf),
+            "hash join",
+            graph.pagerank(graph.synth_link_graph(_doc_ids(sf)), iters=10),
+            k=10,
+        ),
     }
 
 

@@ -145,6 +145,69 @@ def bm25_multi(
     return pa.concat_tables(parts)
 
 
+def bm25_pagerank_topk(
+    docs,
+    query: str,
+    pr,
+    k: int = 10,
+    mix: float = 0.3,
+    candidates: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tf=None,
+):
+    """Retrieval with a static link-authority prior — the composition a web
+    search engine actually serves: ``final = (1-mix) * bm25_norm + mix *
+    pagerank_norm`` over the BM25 top-``candidates*k`` candidate set, both
+    components min-max normalized ON THAT SET (the standard prior-fusion
+    recipe; rank-stable and scale-free).
+
+    Scale shape: BM25 does the heavy lifting (shared tokenize pass, see
+    bm25_topk); the candidate table is k-scale, so the prior lookup is a
+    broadcast ``is_in`` filter over the (node-scale) PageRank Dataset —
+    never a full join. Candidates missing from the graph take prior 0.
+    Returns a small pyarrow table (doc_id, score, bm25, prior)."""
+    cand = bm25_topk(docs, query, k=candidates * k, id_col=id_col,
+                     text_col=text_col, round_to=None, tf=tf)
+    if cand.num_rows == 0:
+        return pa.table(
+            {
+                id_col: pa.array([], cand.schema.field(id_col).type),
+                "score": pa.array([], pa.float64()),
+                "bm25": pa.array([], pa.float64()),
+                "prior": pa.array([], pa.float64()),
+            }
+        )
+    id_set = cand[id_col].combine_chunks()
+    pr_rows = pr.map_batches(
+        lambda b: b.filter(pc.is_in(b["node"], value_set=id_set)),
+        batch_format="pyarrow",
+    ).take_all()  # candidate-scale pull, bounded by candidates*k
+    pr_map = {r["node"]: r["rank"] for r in pr_rows}
+    bm = cand["score"].to_numpy()
+    prior = np.array(
+        [pr_map.get(x, 0.0) for x in cand[id_col].to_pylist()], np.float64
+    )
+
+    def _norm(v: np.ndarray) -> np.ndarray:
+        lo, hi = float(v.min()), float(v.max())
+        return (v - lo) / (hi - lo) if hi > lo else np.zeros_like(v)
+
+    final = (1.0 - mix) * _norm(bm) + mix * _norm(prior)
+    order = np.lexsort((cand[id_col].to_numpy(zero_copy_only=False), -final))[
+        :k
+    ]
+    take = pa.array(order)
+    return pa.table(
+        {
+            id_col: id_set.take(take),
+            "score": pa.array(round_half_away(final[order], 6), pa.float64()),
+            "bm25": pa.array(round_half_away(bm[order], 6), pa.float64()),
+            "prior": pa.array(prior[order], pa.float64()),
+        }
+    )
+
+
 def expand_query_terms(qterms: list[str], known_terms: set[str]) -> list[str]:
     """Plural/singular fallback (`OpenMP Version/src/ranking.c:110-150`): a
     query term absent from the index retries as term+'s', then term[:-1]."""

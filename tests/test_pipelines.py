@@ -1091,6 +1091,24 @@ def test_pagerank_dangling_and_string_ids(ray_session):
     assert got["u/c"] > got["u/b"] > got["u/a"]  # c collects the most mass
 
 
+def test_bm25_pagerank_fusion_endpoints(docs):
+    """mix=0 reproduces pure-BM25 candidate order; mix=1 orders the same
+    candidate set purely by the PageRank prior."""
+    from high_performance_parallel_search_engine_ray.pipelines import graph as gr
+    from high_performance_parallel_search_engine_ray.pipelines import rank as rk
+
+    pr = gr.pagerank(gr.synth_link_graph(docs), iters=5).materialize()
+    pure = rk.bm25_pagerank_topk(docs, "hash join", pr, k=5, mix=0.0).to_pandas()
+    bm = rk.bm25_topk(docs, "hash join", k=5).to_pandas()
+    assert list(pure["doc_id"]) == list(bm["doc_id"])
+    prior_only = rk.bm25_pagerank_topk(
+        docs, "hash join", pr, k=5, mix=1.0
+    ).to_pandas()
+    assert (
+        prior_only["prior"].to_numpy()[:-1] >= prior_only["prior"].to_numpy()[1:]
+    ).all()
+
+
 def test_pack_interleaved_prefix_sum(docs):
     """Multimodal packing invariants on a multi-block run: offsets are the
     exact exclusive prefix sum of multimodal token totals in doc order, and
