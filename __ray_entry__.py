@@ -481,6 +481,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
             graph.pagerank(graph.synth_link_graph(_doc_ids(sf)), iters=10),
             k=10,
         ),
+        # CLIP-style image-text pair extraction (media span + neighbor text)
+        "media_context_pairs": lambda sf: interleave.media_context_pairs(
+            interleave.docs_to_interleaved(_docs(sf)), window=1
+        ),
     }
 
 
@@ -1111,6 +1115,29 @@ SELECT CAST(doc_id AS VARCHAR) AS doc_id, CAST(n AS BIGINT) AS n_tokens,
        CAST(off AS BIGINT) AS "offset",
        CAST(off // 2048 AS BIGINT) AS pack_id
 FROM c
+""",
+        "media_context_pairs": """
+WITH w AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         unnest(string_split(text, ' ')) AS word,
+         unnest(generate_series(0, len(string_split(text, ' ')) - 1)) AS i
+  FROM documents
+),
+chunks AS (
+  SELECT doc_id, i // 8 AS off, string_agg(word, ' ' ORDER BY i) AS text
+  FROM w GROUP BY doc_id, i // 8
+),
+m AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         'media/img' || (doc_id % 97) || '.jpg' AS media_ref,
+         (len(string_split(text, ' ')) + 7) // 8 AS moff
+  FROM documents WHERE doc_id % 3 = 0
+)
+SELECT m.doc_id, m.media_ref,
+       coalesce(string_agg(c.text, ' ' ORDER BY c.off), '') AS context
+FROM m LEFT JOIN chunks c
+  ON c.doc_id = m.doc_id AND abs(c.off - m.moff) <= 1
+GROUP BY m.doc_id, m.media_ref
 """,
         "train_shards": """
 WITH m AS (

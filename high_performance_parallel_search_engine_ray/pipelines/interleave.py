@@ -486,6 +486,78 @@ def span_dedup(
     )
 
 
+def media_context_pairs(inter, window: int = 1):
+    """(doc_id, media_ref, context): one row per media span with the text
+    of its neighboring spans (span offsets within ``window``) joined in
+    span order — the image-text pair extraction a CLIP-style multimodal
+    training pipeline runs over interleaved documents (the adjacent text
+    stands in for caption/alt-text). Media spans with no text neighbor get
+    ``context=""``.
+
+    Block-local: spans of a doc live in one row, so pairing is a per-batch
+    searchsorted over (doc, offset) keys — 2*window+1 vectorized probes,
+    no shuffle at any scale.
+
+    Context quality depends on media spans carrying INLINE offsets (the
+    synthesiser does; an HTML emitter that records <img> positions would).
+    Crawl output appends link-derived media spans after the text spans, so
+    those get ``context=""`` — correct, just not caption-bearing."""
+    W = int(window)
+
+    def pairs(b: pa.Table) -> pa.Table:
+        parent, flat = _flat(b)
+        offs = flat.field("offset").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        is_media = pc.equal(flat.field("kind"), "media").to_numpy(
+            zero_copy_only=False
+        )
+        is_text = ~pc.is_in(
+            flat.field("kind"), value_set=pa.array(NON_TEXT_KINDS)
+        ).to_numpy(zero_copy_only=False)
+        # composite sort keys over (doc ordinal, offset); offsets are
+        # int32-bounded so doc<<32 | off is collision-free
+        key = parent.astype(np.int64) * (1 << 32) + offs
+        tkey = key[is_text]
+        torder = np.argsort(tkey, kind="stable")
+        tkey_s = tkey[torder]
+        texts = flat.field("text").filter(pa.array(is_text))
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        texts_s = texts.take(pa.array(torder))
+
+        mkey = key[is_media]
+        n_m = len(mkey)
+        # for each media span, probe offsets moff-W..moff+W
+        hit_idx = []  # indices into texts_s, grouped per media in delta order
+        hit_owner = []
+        for d in range(-W, W + 1):
+            probe = mkey + d
+            pos = np.searchsorted(tkey_s, probe)
+            ok = (pos < len(tkey_s)) & (tkey_s[np.minimum(pos, len(tkey_s) - 1)] == probe)
+            hit_idx.append(np.where(ok, pos, -1))
+            hit_owner.append(np.arange(n_m))
+        # assemble per-media hit lists ordered by delta (== offset order)
+        idx_mat = np.stack(hit_idx, axis=1) if n_m else np.zeros((0, 2 * W + 1), np.int64)
+        valid = idx_mat >= 0
+        counts = valid.sum(axis=1).astype(np.int64)
+        flat_idx = idx_mat[valid]
+        ctx_offsets = np.append(np.cumsum(counts) - counts, int(counts.sum())).astype(np.int32)
+        lst = pa.ListArray.from_arrays(
+            pa.array(ctx_offsets, pa.int32()),
+            texts_s.take(pa.array(flat_idx)) if len(flat_idx) else pa.array([], texts_s.type),
+        )
+        return pa.table(
+            {
+                "doc_id": b["doc_id"].combine_chunks().take(pa.array(parent[is_media])),
+                "media_ref": flat.field("media_ref").filter(pa.array(is_media)),
+                "context": pc.binary_join(lst, " "),
+            }
+        )
+
+    return inter.map_batches(pairs, batch_format="pyarrow")
+
+
 def media_manifest(inter):
     """The fetch-media work list: distinct media_ref + number of referencing
     docs. Partial per-block counts (Arrow group_by) then a groupby-sum over

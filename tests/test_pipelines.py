@@ -1175,6 +1175,43 @@ def test_link_edges_from_crawl_spans(ray_session):
     ]
 
 
+def test_media_context_pairs_mid_document(ray_session):
+    """Context gathers text neighbors on BOTH sides of a mid-document media
+    span, in offset order, skipping non-text neighbors; window widens."""
+    import pyarrow as pa
+
+    from high_performance_parallel_search_engine_ray.pipelines import interleave as il
+
+    def span(kind, text, ref, off):
+        return {"kind": kind, "text": text, "media_ref": ref, "offset": off}
+
+    rows = pa.table(
+        {
+            "doc_id": pa.array(["d"], pa.string()),
+            "spans": pa.array(
+                [
+                    [
+                        span("text", "far left", "", 0),
+                        span("text", "left", "", 1),
+                        span("media", "", "m/a.jpg", 2),
+                        span("link", "", "u/x", 3),  # non-text neighbor
+                        span("text", "right2", "", 4),
+                        span("media", "", "m/b.jpg", 5),
+                    ]
+                ],
+                il.SPAN_TYPE,
+            ),
+        }
+    )
+    inter = rd.from_arrow(rows)
+    w1 = il.media_context_pairs(inter, window=1).to_pandas().set_index("media_ref")
+    assert w1.loc["m/a.jpg", "context"] == "left"
+    assert w1.loc["m/b.jpg", "context"] == "right2"
+    w2 = il.media_context_pairs(inter, window=2).to_pandas().set_index("media_ref")
+    assert w2.loc["m/a.jpg", "context"] == "far left left right2"
+    assert w2.loc["m/b.jpg", "context"] == "right2"
+
+
 def test_span_dedup_planted(ray_session):
     """Keep-first semantics on a hand-built interleaved corpus: the exact
     span text repeated across (and within) docs survives only at its
