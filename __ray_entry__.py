@@ -485,6 +485,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_context_pairs": lambda sf: interleave.media_context_pairs(
             interleave.docs_to_interleaved(_docs(sf)), window=1
         ),
+        # the complete pretraining-data story: curation -> source mixing ->
+        # packing -> shard split; per-shard readiness accounting (rows-only:
+        # curation's minhash verify is non-SQL; invariants pytest-gated)
+        "training_pipeline": lambda sf: curate.training_pipeline(
+            _docs(sf), _doc_sources(sf), epochs=_MIX_EPOCHS
+        ),
     }
 
 

@@ -67,6 +67,7 @@ BENCH_QUERIES = [
     "span_dedup",
     "quality_buckets",
     "pagerank_scores",
+    "training_pipeline",
 ]
 
 

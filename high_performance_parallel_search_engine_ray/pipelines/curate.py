@@ -237,3 +237,108 @@ def curate_corpus(
         }
     )
     return curated, stats
+
+
+def training_pipeline(
+    docs,
+    sources,
+    epochs: dict | None = None,
+    budget: int = 2048,
+    n_shards: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    **curate_kwargs,
+):
+    """The complete pretraining-data story, one dataflow:
+
+        curate_corpus (dedup -> near-dup -> quality/lang gates -> tokens)
+          -> source mixing   (per-source epoch replication; instance id =
+                              doc_id * 8 + epoch keeps ids integer+unique)
+          -> sequence packing (text._pack_counts distributed prefix sum
+                              over (instance, n_ws_tokens) — text never
+                              re-shuffles after curation)
+          -> pseudo-shuffle shard split over PACKS (LCG mix on pack_id,
+                              block-local — no all-to-all)
+
+    Returns the per-shard accounting table ``(shard, n_packs,
+    n_doc_instances, n_tokens)`` — what a training-launch readiness check
+    reads. A pack's straddling tokens are attributed to the shard where
+    each member doc STARTS (stats semantics, documented).
+
+    Scale shape: everything after curation moves only (id, n_tokens)-sized
+    rows; the source attach is the engine's cost-based broadcast/shuffle
+    join; epoch replication happens on the COUNT table, never on text."""
+    import ray
+
+    from .relational import _attach_or_join
+    from .text import _pack_counts
+
+    cpus = (
+        int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    )
+    npart = max(2, cpus // 2)
+    eps = epochs or {}
+    MAX_E = 8  # epoch headroom in the composite instance id
+
+    curated, _stats = curate_corpus(docs, id_col, text_col, **curate_kwargs)
+    counts = curated.map_batches(
+        lambda b: pa.table({id_col: b[id_col], "n_tokens": b["n_ws_tokens"]}),
+        batch_format="pyarrow",
+    )
+    with_src = _attach_or_join(
+        counts, id_col, sources, id_col, [source_col], npart
+    )
+
+    def explode(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        src = b[source_col].to_numpy(zero_copy_only=False)
+        reps = pd.Series(src).map(eps).fillna(1).to_numpy(np.int64)
+        if reps.max(initial=0) > MAX_E:
+            raise ValueError(f"epoch factor > {MAX_E} breaks instance ids")
+        ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        nt = b["n_tokens"].to_numpy(zero_copy_only=False)
+        idx = np.repeat(np.arange(len(ids)), reps)
+        offs = np.cumsum(reps) - reps
+        epoch = np.arange(int(reps.sum()), dtype=np.int64) - offs[idx]
+        return pa.table(
+            {
+                "inst_id": pa.array(ids[idx] * MAX_E + epoch, pa.int64()),
+                "n_tokens": pa.array(nt[idx], pa.int64()),
+            }
+        )
+
+    inst = with_src.map_batches(explode, batch_format="pyarrow").materialize()
+    packed = _pack_counts(inst, budget, "inst_id", n_parts=64)
+
+    from ray.data.aggregate import Count, Sum
+
+    packs = packed.groupby("pack_id").aggregate(
+        Count(alias_name="n_doc_instances"),
+        Sum("n_tokens", alias_name="n_tokens"),
+    )
+
+    S = int(n_shards)
+
+    def assign(b: pa.Table) -> pa.Table:
+        pid = b["pack_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        mix = (pid * 2654435761 + 1013904223) % (2**32)
+        return pa.table(
+            {
+                "shard": pa.array(mix % S, pa.int64()),
+                "n_doc_instances": b["n_doc_instances"],
+                "n_tokens": b["n_tokens"],
+            }
+        )
+
+    return (
+        packs.map_batches(assign, batch_format="pyarrow")
+        .groupby("shard")
+        .aggregate(
+            Count(alias_name="n_packs"),
+            Sum("n_doc_instances", alias_name="n_doc_instances"),
+            Sum("n_tokens", alias_name="n_tokens"),
+        )
+        .sort("shard")
+    )

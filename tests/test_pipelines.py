@@ -1091,6 +1091,36 @@ def test_pagerank_dangling_and_string_ids(ray_session):
     assert got["u/c"] > got["u/b"] > got["u/a"]  # c collects the most mass
 
 
+def test_training_pipeline_accounting(ray_session):
+    """End-to-end flagship invariants: every shard id in range, token mass
+    equals the curated corpus's epoch-weighted whitespace tokens, pack
+    count consistent with the budget."""
+    import numpy as np
+
+    from high_performance_parallel_search_engine_ray.pipelines import curate as cu
+
+    docs = rd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    sources = rd.read_parquet(
+        f"{SF}/documents.parquet", columns=["doc_id", "source"]
+    )
+    eps = {"src0": 3, "src1": 2}
+    out = cu.training_pipeline(
+        docs, sources, epochs=eps, budget=512, n_shards=8
+    ).to_pandas()
+    assert set(out["shard"]).issubset(set(range(8)))
+
+    curated, _ = cu.curate_corpus(docs)
+    cur = curated.to_pandas().merge(sources.to_pandas(), on="doc_id")
+    reps = cur["source"].map(eps).fillna(1).astype(int)
+    want_tokens = int((cur["n_ws_tokens"] * reps).sum())
+    assert int(out["n_tokens"].sum()) == want_tokens
+    assert int(out["n_doc_instances"].sum()) == int(reps.sum())
+    # packs tile the token stream: total packs == ceil(total/budget) when
+    # ids are dense enough that every pack gets at least one doc start;
+    # at minimum the count is bounded below by that ceiling
+    assert int(out["n_packs"].sum()) <= int(np.ceil(want_tokens / 512))
+
+
 def test_bm25_pagerank_fusion_endpoints(docs):
     """mix=0 reproduces pure-BM25 candidate order; mix=1 orders the same
     candidate set purely by the PageRank prior."""
