@@ -93,6 +93,30 @@ def synth_link_graph(docs, out_deg: int = 3, id_col: str = "doc_id"):
     return docs.map_batches(edges, batch_format="pyarrow")
 
 
+def host_authority(ranks):
+    """(host, authority, n_pages): PageRank mass aggregated per host — the
+    domain-authority table a crawl scheduler feeds back into URL priority
+    scoring (functions/urlnorm.combined_priority takes exactly this kind of
+    prior). Host extraction is a vectorized regex over the URL node ids;
+    the shuffle carries (host, float) rows only."""
+    from ray.data.aggregate import Count, Sum
+
+    def with_host(b: pa.Table) -> pa.Table:
+        # scheme://HOST/...; nodes without a scheme keep their first path
+        # segment as "host" (consistent with functions/urlnorm.host_of)
+        host = pc.replace_substring_regex(
+            b["node"], r"^[a-z+.-]+://([^/]*).*$", r"\1"
+        )
+        host = pc.replace_substring_regex(host, r"^([^/]*)/.*$", r"\1")
+        return pa.table({"host": host, "rank": b["rank"]})
+
+    return ranks.map_batches(with_host, batch_format="pyarrow").groupby(
+        "host"
+    ).aggregate(
+        Sum("rank", alias_name="authority"), Count(alias_name="n_pages")
+    )
+
+
 def pagerank(edges, damping: float = 0.85, iters: int = 10):
     """(node, rank) PageRank over a ``(src, dst)`` edge Dataset after
     ``iters`` power iterations with uniform init 1/N, uniform teleport and

@@ -530,13 +530,11 @@ def media_context_pairs(inter, window: int = 1):
         n_m = len(mkey)
         # for each media span, probe offsets moff-W..moff+W
         hit_idx = []  # indices into texts_s, grouped per media in delta order
-        hit_owner = []
         for d in range(-W, W + 1):
             probe = mkey + d
             pos = np.searchsorted(tkey_s, probe)
             ok = (pos < len(tkey_s)) & (tkey_s[np.minimum(pos, len(tkey_s) - 1)] == probe)
             hit_idx.append(np.where(ok, pos, -1))
-            hit_owner.append(np.arange(n_m))
         # assemble per-media hit lists ordered by delta (== offset order)
         idx_mat = np.stack(hit_idx, axis=1) if n_m else np.zeros((0, 2 * W + 1), np.int64)
         valid = idx_mat >= 0

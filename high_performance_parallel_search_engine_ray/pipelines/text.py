@@ -401,6 +401,19 @@ def quality_buckets(
 
     lp = unigram_logprob(docs, id_col, text_col).materialize()
     b = lp.aggregate(Min("avg_logprob"), Max("avg_logprob"))
+    if b is None or b["min(avg_logprob)"] is None:  # zero scored docs
+        return lp.map_batches(
+            lambda t: pa.table(
+                {
+                    id_col: t[id_col],
+                    "avg_logprob": t["avg_logprob"],
+                    "bucket": pa.array(
+                        np.zeros(t.num_rows, np.int64), pa.int64()
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
     lo, hi = float(b["min(avg_logprob)"]), float(b["max(avg_logprob)"])
     span = (hi - lo) or 1.0
 
@@ -744,6 +757,41 @@ def pack_interleaved(inter, budget: int = 2048, n_parts: int = 64):
         ),
         batch_format="pyarrow",
     )
+
+
+def write_train_shards(
+    docs,
+    out_dir: str,
+    n_shards: int = 16,
+    id_col: str = "doc_id",
+):
+    """Materialize the training layout on disk: one parquet directory per
+    shard (``out_dir/shard=K/``), rows carrying (doc_id, text..., shard,
+    train_pos) with ``train_pos`` the within-shard pseudo-shuffle order —
+    the resumable partitioned sink the brief mandates (a failed run skips
+    finished ``shard=K`` directories; never one giant file).
+
+    Dataflow: ``pseudo_shuffle_shards`` computes (id, shard, train_pos)
+    over id-only rows; the assignment joins back onto the doc rows via the
+    cost-based attach (broadcast at bench scale, hash shuffle at corpus
+    scale) so text moves exactly once — into its shard file. Returns the
+    number of rows written."""
+    import ray
+
+    from .relational import _attach_or_join
+
+    cpus = (
+        int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    )
+    npart = max(2, cpus // 2)
+    assign = pseudo_shuffle_shards(
+        docs.select_columns([id_col]), n_shards=n_shards, id_col=id_col
+    )
+    tagged = _attach_or_join(
+        docs, id_col, assign, id_col, ["shard", "train_pos"], npart
+    ).materialize()
+    tagged.write_parquet(out_dir, partition_cols=["shard"])
+    return tagged.count()
 
 
 # -- pseudo-shuffle shard split (training output layout) ---------------------

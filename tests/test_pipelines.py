@@ -1091,6 +1091,55 @@ def test_pagerank_dangling_and_string_ids(ray_session):
     assert got["u/c"] > got["u/b"] > got["u/a"]  # c collects the most mass
 
 
+def test_host_authority_aggregation(ray_session):
+    """PageRank mass rolls up per host; URL scheme/host parsing matches
+    host_of semantics."""
+    import numpy as np
+    import pyarrow as pa
+
+    from high_performance_parallel_search_engine_ray.pipelines import graph as gr
+
+    ranks = rd.from_arrow(
+        pa.table(
+            {
+                "node": pa.array(
+                    [
+                        "https://a.example/x",
+                        "https://a.example/y",
+                        "http://b.example/",
+                    ]
+                ),
+                "rank": pa.array([0.25, 0.35, 0.4], pa.float64()),
+            }
+        )
+    )
+    out = gr.host_authority(ranks).to_pandas().set_index("host")
+    assert np.isclose(out.loc["a.example", "authority"], 0.6)
+    assert out.loc["a.example", "n_pages"] == 2
+    assert np.isclose(out.loc["b.example", "authority"], 0.4)
+
+
+def test_write_train_shards_layout(docs, tmp_path):
+    """Partitioned sink: shard=K directories on disk, every doc present
+    exactly once with its text, per-shard train_pos dense from 0."""
+    import os
+
+    from high_performance_parallel_search_engine_ray.pipelines import text as tx
+
+    out = str(tmp_path / "shards")
+    n = tx.write_train_shards(docs, out, n_shards=4)
+    assert n == docs.count()
+    dirs = sorted(d for d in os.listdir(out) if d.startswith("shard="))
+    assert dirs == [f"shard={k}" for k in range(4)]
+    back = rd.read_parquet(out).to_pandas()
+    assert len(back) == n
+    assert back["doc_id"].is_unique
+    assert back["text"].notna().all()
+    for _, g in back.groupby("shard"):
+        pos = sorted(g["train_pos"])
+        assert pos == list(range(len(g)))
+
+
 def test_training_pipeline_accounting(ray_session):
     """End-to-end flagship invariants: every shard id in range, token mass
     equals the curated corpus's epoch-weighted whitespace tokens, pack
@@ -1274,17 +1323,21 @@ def test_span_dedup_planted(ray_session):
             ),
         }
     )
-    inter = rd.from_arrow(rows)
-    for kwargs in ({}, {"drop_broadcast_spans": 0}):  # both drop paths
-        out = (
-            il.span_dedup(inter, **kwargs)
-            .to_pandas()
-            .sort_values("doc_id")
-            .reset_index(drop=True)
-        )
-        assert list(out["kept_text"]) == ["dup chunk only in a", "b tail", ""]
-        assert list(out["n_kept"]) == [2, 1, 0]
-        assert list(out["n_dropped"]) == [0, 2, 1]
+    # repartition(8) forces EMPTY blocks through every stage (the shape
+    # that broke Dataset.unique in round 2 — regression guard)
+    for inter in (rd.from_arrow(rows), rd.from_arrow(rows).repartition(8)):
+        for kwargs in ({}, {"drop_broadcast_spans": 0}):  # both drop paths
+            out = (
+                il.span_dedup(inter, **kwargs)
+                .to_pandas()
+                .sort_values("doc_id")
+                .reset_index(drop=True)
+            )
+            assert list(out["kept_text"]) == [
+                "dup chunk only in a", "b tail", "",
+            ]
+            assert list(out["n_kept"]) == [2, 1, 0]
+            assert list(out["n_dropped"]) == [0, 2, 1]
 
 
 def test_span_dedup_join_path_equals_broadcast(docs):
