@@ -485,6 +485,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_context_pairs": lambda sf: interleave.media_context_pairs(
             interleave.docs_to_interleaved(_docs(sf)), window=1
         ),
+        # shape-preserving span dedup (renumbered offsets), exploded flat so
+        # the nested result is value-checked against SQL
+        "span_dedup_structured": lambda sf: interleave.explode_spans(
+            interleave.span_dedup_structured(
+                interleave.docs_to_interleaved(_docs(sf))
+            )
+        ),
         # the complete pretraining-data story: curation -> source mixing ->
         # packing -> shard split; per-shard readiness accounting (rows-only:
         # curation's minhash verify is non-SQL; invariants pytest-gated)
@@ -1121,6 +1128,35 @@ SELECT CAST(doc_id AS VARCHAR) AS doc_id, CAST(n AS BIGINT) AS n_tokens,
        CAST(off AS BIGINT) AS "offset",
        CAST(off // 2048 AS BIGINT) AS pack_id
 FROM c
+""",
+        "span_dedup_structured": """
+WITH w AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         unnest(string_split(text, ' ')) AS word,
+         unnest(generate_series(0, len(string_split(text, ' ')) - 1)) AS i
+  FROM documents
+),
+chunks AS (
+  SELECT doc_id, i // 8 AS off, string_agg(word, ' ' ORDER BY i) AS text
+  FROM w GROUP BY doc_id, i // 8
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id, off) AS rn
+  FROM chunks
+),
+keep AS (
+  SELECT doc_id, 'text' AS kind, text, '' AS media_ref, off
+  FROM r WHERE rn = 1
+  UNION ALL
+  SELECT CAST(doc_id AS VARCHAR), 'media', '',
+         'media/img' || (doc_id % 97) || '.jpg',
+         (len(string_split(text, ' ')) + 7) // 8
+  FROM documents WHERE doc_id % 3 = 0
+)
+SELECT doc_id, kind, text, media_ref,
+       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY off) AS BIGINT)
+         - 1 AS "offset"
+FROM keep
 """,
         "media_context_pairs": """
 WITH w AS (

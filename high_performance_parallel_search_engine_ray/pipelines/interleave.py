@@ -274,42 +274,15 @@ def interleaved_token_counts(inter, media_budget: int = MEDIA_TOKEN_BUDGET):
     return inter.map_batches(acct, batch_format="pyarrow")
 
 
-def span_dedup(
-    inter,
-    n_parts: int = 64,
-    drop_broadcast_spans: int = 2_000_000,
-):
-    """CCNet-style span-level exact dedup over the interleaved corpus.
-
-    A text span SURVIVES iff it is the globally FIRST occurrence of its
-    exact text, occurrences ordered by ``(doc_id, offset)`` (doc_id
-    lexicographic — the interleaved contract's id type is string). Media
-    spans carry no text and never participate. Returns one row per doc:
-    ``(doc_id, kept_text, n_kept, n_dropped)`` where ``kept_text`` is the
-    surviving text spans joined by a single space in span order and the
-    counts cover text spans only. This is the paragraph-level dedup pass of
-    a CCNet-style curation pipeline (drop boilerplate lines repeated across
-    pages) re-expressed over the north-rule interleaved shape.
-
-    Scale shape — span text never enters the duplicate-detection shuffle:
-      1. occurrence rows ``(md5(text), doc_id, offset)`` exchange grouped by
-         a BOUNDED partition key (``hash(md5) % n_parts``; all hash runs of
-         a partition resolved vectorized — the measured per-group-tax
-         rationale of ``dedup.minhash_lsh_pairs``);
-      2. the resulting DROP list holds only duplicate occurrences. At or
-         below ``drop_broadcast_spans`` rows it broadcasts once via
-         ``ray.put`` and both the span filter and the per-doc
-         reconstruction are block-local (a doc's spans live in one row);
-      3. above the threshold the fully-distributed path applies: exploded
-         text spans left-join the drop list on ``(doc_id, offset)``
-         (hash-shuffle ``Dataset.join``), then a partition-grouped per-doc
-         reassembly — the same cost policy as ``dedup.dedup_keep_first``.
-    Both paths return identical rows; a test forces the join path.
-    """
+def _span_drops(inter, n_parts: int = 64):
+    """Materialized (doc_id, offset) DROP list for span-level exact dedup:
+    every text-span occurrence that is NOT the globally first occurrence
+    of its exact text (ordered by (doc_id, offset)). Only
+    (md5, doc_id, offset) rows shuffle, grouped by a bounded partition key
+    — shared by ``span_dedup`` and ``span_dedup_structured``."""
     import hashlib
 
     import pandas as pd
-    import ray
 
     def occurrences(b: pa.Table) -> pa.Table:
         parent, flat = _flat(b)
@@ -342,12 +315,49 @@ def span_dedup(
         first[1:] = h[1:] != h[:-1]
         return g.loc[~first, ["doc_id", "offset"]]
 
-    drops = (
+    return (
         inter.map_batches(occurrences, batch_format="pyarrow")
         .groupby("part")
         .map_groups(drops_part, batch_format="pandas")
         .materialize()
     )
+
+
+def span_dedup(
+    inter,
+    n_parts: int = 64,
+    drop_broadcast_spans: int = 2_000_000,
+):
+    """CCNet-style span-level exact dedup over the interleaved corpus.
+
+    A text span SURVIVES iff it is the globally FIRST occurrence of its
+    exact text, occurrences ordered by ``(doc_id, offset)`` (doc_id
+    lexicographic — the interleaved contract's id type is string). Media
+    spans carry no text and never participate. Returns one row per doc:
+    ``(doc_id, kept_text, n_kept, n_dropped)`` where ``kept_text`` is the
+    surviving text spans joined by a single space in span order and the
+    counts cover text spans only. This is the paragraph-level dedup pass of
+    a CCNet-style curation pipeline (drop boilerplate lines repeated across
+    pages) re-expressed over the north-rule interleaved shape.
+
+    Scale shape — span text never enters the duplicate-detection shuffle:
+      1. occurrence rows ``(md5(text), doc_id, offset)`` exchange grouped by
+         a BOUNDED partition key (``hash(md5) % n_parts``; all hash runs of
+         a partition resolved vectorized — the measured per-group-tax
+         rationale of ``dedup.minhash_lsh_pairs``);
+      2. the resulting DROP list holds only duplicate occurrences. At or
+         below ``drop_broadcast_spans`` rows it broadcasts once via
+         ``ray.put`` and both the span filter and the per-doc
+         reconstruction are block-local (a doc's spans live in one row);
+      3. above the threshold the fully-distributed path applies: exploded
+         text spans left-join the drop list on ``(doc_id, offset)``
+         (hash-shuffle ``Dataset.join``), then a partition-grouped per-doc
+         reassembly — the same cost policy as ``dedup.dedup_keep_first``.
+    Both paths return identical rows; a test forces the join path.
+    """
+    import ray
+
+    drops = _span_drops(inter, n_parts)
 
     if drops.count() <= drop_broadcast_spans:
         key_chunks = [
@@ -554,6 +564,173 @@ def media_context_pairs(inter, window: int = 1):
         )
 
     return inter.map_batches(pairs, batch_format="pyarrow")
+
+
+def span_dedup_structured(
+    inter,
+    n_parts: int = 64,
+    drop_broadcast_spans: int = 2_000_000,
+):
+    """``span_dedup`` that PRESERVES the interleaved shape: returns
+    ``(doc_id, spans)`` with duplicate text spans removed (same
+    keep-globally-first rule) and ``offset`` renumbered densely per doc, so
+    every downstream interleaved operator — ``pack_interleaved``,
+    ``media_context_pairs``, ``interleaved_token_counts`` — composes AFTER
+    dedup. Media spans always survive and keep their relative position.
+
+    Same two drop paths as ``span_dedup`` (shared ``_span_drops``
+    exchange): broadcast keys + block-local list rebuild at or below
+    ``drop_broadcast_spans``; above it, explode -> hash left-join ->
+    partition-grouped per-doc list reassembly (text moves once)."""
+    import pandas as pd
+    import ray
+
+    drops = _span_drops(inter, n_parts)
+
+    def _rebuilt_table(doc_ids, kind, text, ref, parent_kept, n_docs, total):
+        counts = np.bincount(parent_kept, minlength=n_docs).astype(np.int64)
+        starts = np.cumsum(counts) - counts
+        new_off = (
+            np.arange(total, dtype=np.int64) - starts[parent_kept]
+        ).astype(np.int32)
+        struct = pa.StructArray.from_arrays(
+            [
+                kind.cast(pa.string()),
+                text.cast(pa.string()),
+                ref.cast(pa.string()),
+                pa.array(new_off, pa.int32()),
+            ],
+            ["kind", "text", "media_ref", "offset"],
+        )
+        offsets = np.append(starts, total).astype(np.int32)
+        return pa.table(
+            {
+                "doc_id": doc_ids,
+                "spans": pa.ListArray.from_arrays(
+                    pa.array(offsets, pa.int32()), struct
+                ),
+            }
+        )
+
+    if drops.count() <= drop_broadcast_spans:
+        key_chunks = [
+            pc.binary_join_element_wise(
+                t["doc_id"].combine_chunks().cast(pa.string()),
+                t["offset"].combine_chunks().cast(pa.string()),
+                "\x1f",
+            )
+            for t in drops.iter_batches(batch_format="pyarrow", batch_size=None)
+            if t.num_rows
+        ]
+        drop_ref = ray.put(
+            pa.concat_arrays(key_chunks)
+            if key_chunks
+            else pa.array([], pa.string())
+        )
+
+        def rebuild_block(b: pa.Table) -> pa.Table:
+            parent, flat = _flat(b)
+            did_span = b["doc_id"].combine_chunks().take(pa.array(parent))
+            keys = pc.binary_join_element_wise(
+                pc.cast(did_span, pa.string()),
+                pc.cast(flat.field("offset").cast(pa.int64()), pa.string()),
+                "\x1f",
+            )
+            # drop keys come from text spans only; offsets are unique per
+            # doc, so media keys can never false-match
+            keep = pc.invert(
+                pc.is_in(keys, value_set=ray.get(drop_ref))
+            )
+            keep_np = keep.to_numpy(zero_copy_only=False)
+            return _rebuilt_table(
+                b["doc_id"],
+                flat.field("kind").filter(keep),
+                flat.field("text").filter(keep),
+                flat.field("media_ref").filter(keep),
+                parent[keep_np],
+                len(b),
+                int(keep_np.sum()),
+            )
+
+        return inter.map_batches(rebuild_block, batch_format="pyarrow")
+
+    # distributed path: explode ALL spans, mark drops via hash left-join,
+    # partition-grouped per-doc reassembly
+    def explode_all(b: pa.Table) -> pa.Table:
+        parent, flat = _flat(b)
+        return pa.table(
+            {
+                "doc_id": b["doc_id"].combine_chunks().take(pa.array(parent)),
+                "offset": flat.field("offset").cast(pa.int64()),
+                "kind": flat.field("kind"),
+                "text": flat.field("text"),
+                "media_ref": flat.field("media_ref"),
+            }
+        )
+
+    marked_drops = drops.map_batches(
+        lambda b: b.append_column(
+            "__dup", pa.array(np.ones(b.num_rows, np.int8))
+        ),
+        batch_format="pyarrow",
+    )
+    cpus = (
+        int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    )
+    npart = max(2, cpus // 2)
+    joined = inter.map_batches(explode_all, batch_format="pyarrow").join(
+        marked_drops.repartition(npart),
+        join_type="left_outer",
+        num_partitions=npart,
+        on=("doc_id", "offset"),
+    )
+
+    def with_doc_part(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        if ids.dtype.kind == "U":
+            ids = ids.astype(object)
+        part = (pd.util.hash_array(ids, categorize=False) % n_parts).astype(
+            np.int32
+        )
+        return b.append_column("dpart", pa.array(part))
+
+    def rebuild_part(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.string()),
+                    "spans": pa.array([], SPAN_TYPE),
+                }
+            )
+        ids = g["doc_id"].combine_chunks()
+        offs = g["offset"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((offs, ids.to_numpy(zero_copy_only=False)))
+        take = pa.array(order)
+        ids_s = ids.take(take)
+        dup = pc.is_valid(g["__dup"].combine_chunks().take(take)).to_numpy(
+            zero_copy_only=False
+        )
+        # doc ordinals over the sorted rows (all of a doc's rows contiguous)
+        uniq, parent_all = np.unique(
+            ids_s.to_numpy(zero_copy_only=False), return_inverse=True
+        )
+        keep = ~dup
+        keep_pa = pa.array(keep)
+        return _rebuilt_table(
+            pa.array(uniq.astype(object), ids.type),
+            g["kind"].combine_chunks().take(take).filter(keep_pa),
+            g["text"].combine_chunks().take(take).filter(keep_pa),
+            g["media_ref"].combine_chunks().take(take).filter(keep_pa),
+            parent_all[keep],
+            len(uniq),
+            int(keep.sum()),
+        )
+
+    return (
+        joined.map_batches(with_doc_part, batch_format="pyarrow")
+        .groupby("dpart")
+        .map_groups(rebuild_part, batch_format="pyarrow")
+    )
 
 
 def media_manifest(inter):

@@ -1340,6 +1340,41 @@ def test_span_dedup_planted(ray_session):
             assert list(out["n_dropped"]) == [0, 2, 1]
 
 
+def test_span_dedup_structured_composes(docs):
+    """Shape-preserving dedup: offsets renumber densely, downstream
+    interleaved ops compose (token accounting equals the linear
+    span_dedup's kept counts), and the join path equals broadcast."""
+    from high_performance_parallel_search_engine_ray.pipelines import interleave as il
+
+    inter = il.docs_to_interleaved(docs)
+    ded = il.span_dedup_structured(inter)
+    flat = il.explode_spans(ded).to_pandas()
+    for _, g in flat.groupby("doc_id"):
+        assert sorted(g["offset"]) == list(range(len(g)))  # dense renumber
+    # composition: token accounting over the deduped interleaved corpus
+    tc = il.interleaved_token_counts(ded).to_pandas().set_index("doc_id")
+    lin = il.span_dedup(inter).to_pandas().set_index("doc_id")
+    txt = flat[flat["kind"] == "text"]
+    per_doc_tokens = txt.groupby("doc_id")["text"].apply(
+        lambda s: sum(len(t.split()) for t in s)
+    )
+    for d, n in per_doc_tokens.items():
+        assert tc.loc[d, "n_text_tokens"] == n
+    # kept text-span counts match the linear operator
+    kept = txt.groupby("doc_id").size()
+    for d in lin.index:
+        assert kept.get(d, 0) == lin.loc[d, "n_kept"]
+    # forced distributed path returns identical exploded rows
+    a = flat.sort_values(["doc_id", "offset"]).reset_index(drop=True)
+    b = (
+        il.explode_spans(il.span_dedup_structured(inter, drop_broadcast_spans=0))
+        .to_pandas()
+        .sort_values(["doc_id", "offset"])
+        .reset_index(drop=True)
+    )
+    assert a.equals(b)
+
+
 def test_span_dedup_join_path_equals_broadcast(docs):
     """The fully-distributed join path returns rows identical to the
     broadcast path over the synthetic corpus."""
