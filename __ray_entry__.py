@@ -492,6 +492,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 interleave.docs_to_interleaved(_docs(sf))
             )
         ),
+        # DEFLATE redundancy gate (no SQL zlib -> rows-only; planted-
+        # redundancy pytest)
+        "compression_ratios": lambda sf: text.compression_ratios(_docs(sf)),
         # the complete pretraining-data story: curation -> source mixing ->
         # packing -> shard split; per-shard readiness accounting (rows-only:
         # curation's minhash verify is non-SQL; invariants pytest-gated)

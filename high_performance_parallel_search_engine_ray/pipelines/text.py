@@ -851,3 +851,38 @@ def pseudo_shuffle_shards(docs, n_shards: int = 16, id_col: str = "doc_id"):
         .groupby("shard")
         .map_groups(order_shard, batch_format="pandas")
     )
+
+
+# -- compression-ratio quality signal -----------------------------------------
+
+def compression_ratios(docs, id_col: str = "doc_id", text_col: str = "text"):
+    """(doc_id, n_chars, zlib_ratio): DEFLATE size over raw size — the
+    classic redundancy gate (CCNet/Gopher family): machine-generated or
+    highly repetitive text compresses far below prose (~0.3-0.6 for
+    natural language; near 0 for degenerate repetition). Per-doc zlib is
+    inherently per-row CPU work (same idiom as the md5 content hash);
+    everything around it is Arrow. Shuffle-free. Not SQL-expressible ->
+    rows-only at the driver, planted-redundancy pytest."""
+    import zlib
+
+    import numpy as np
+
+    def ratios(b: pa.Table) -> pa.Table:
+        texts = b[text_col].to_pylist()
+        raw = np.array([len(t.encode("utf-8")) for t in texts], np.float64)
+        comp = np.array(
+            [len(zlib.compress(t.encode("utf-8"), 6)) for t in texts],
+            np.float64,
+        )
+        ratio = np.where(raw > 0, comp / np.maximum(raw, 1), 1.0)
+        return pa.table(
+            {
+                id_col: b[id_col],
+                "n_chars": pc.utf8_length(b[text_col]).cast(pa.int64()),
+                "zlib_ratio": pa.array(
+                    round_half_away(ratio, 6), pa.float64()
+                ),
+            }
+        )
+
+    return docs.map_batches(ratios, batch_format="pyarrow")

@@ -79,3 +79,19 @@ def read_manifest(dir_path: str) -> dict | None:
         return None
     with open(p) as f:
         return json.load(f)
+
+
+def write_jsonl_docs(docs_ds, dir_path: str) -> str:
+    """JSONL sink — the LLM-corpus interchange format (one JSON object per
+    line, one file per block; resumable directory layout like every sink
+    here). Returns ``dir_path``."""
+    docs_ds.write_json(dir_path)
+    return dir_path
+
+
+def read_jsonl_docs(dir_path: str, **kwargs):
+    """ray.data JSONL reader over a corpus written by ``write_jsonl_docs``
+    (or any newline-delimited-JSON corpus dump)."""
+    import ray.data as rd
+
+    return rd.read_json(dir_path, **kwargs)

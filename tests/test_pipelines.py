@@ -1140,6 +1140,44 @@ def test_write_train_shards_layout(docs, tmp_path):
         assert pos == list(range(len(g)))
 
 
+def test_compression_ratio_separates_redundancy(ray_session):
+    """Degenerate repetition compresses far below prose-like text; ratios
+    are in (0, 1+] and deterministic."""
+    import pyarrow as pa
+
+    from high_performance_parallel_search_engine_ray.pipelines import text as tx
+
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2], pa.int64()),
+                "text": pa.array(
+                    [
+                        "spam " * 400,
+                        " ".join(f"w{i * 7919 % 1000}x{i}" for i in range(400)),
+                    ]
+                ),
+            }
+        )
+    )
+    out = tx.compression_ratios(docs).to_pandas().set_index("doc_id")
+    assert out.loc[1, "zlib_ratio"] < 0.05
+    assert out.loc[2, "zlib_ratio"] > 0.2
+    assert (out["zlib_ratio"] > 0).all()
+
+
+def test_jsonl_roundtrip(docs, tmp_path):
+    """JSONL sink/reader round-trips the docs table."""
+    from high_performance_parallel_search_engine_ray.sources import io as hio
+
+    out = str(tmp_path / "jsonl")
+    hio.write_jsonl_docs(docs, out)
+    back = hio.read_jsonl_docs(out).to_pandas().sort_values("doc_id")
+    orig = docs.to_pandas().sort_values("doc_id")
+    assert list(back["doc_id"]) == list(orig["doc_id"])
+    assert list(back["text"]) == list(orig["text"])
+
+
 def test_training_pipeline_accounting(ray_session):
     """End-to-end flagship invariants: every shard id in range, token mass
     equals the curated corpus's epoch-weighted whitespace tokens, pack
