@@ -252,6 +252,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
             batch_format="pyarrow",
         )
 
+    def _bm25_served(sf_dir):
+        import os
+
+        idx = "/tmp/hppse_term_index_" + os.path.basename(
+            os.path.normpath(sf_dir)
+        )
+        index.write_term_index(_docs(sf_dir), idx)
+        return rank.bm25_from_index(idx, "hash join", k=10)
+
     def crawl_smoke(sf_dir):
         # Sharded frontier crawl over the deterministic synthetic web
         # (sf_dir-independent; the crawl's own corpus is the input contract).
@@ -495,6 +504,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # DEFLATE redundancy gate (no SQL zlib -> rows-only; planted-
         # redundancy pytest)
         "compression_ratios": lambda sf: text.compression_ratios(_docs(sf)),
+        # BM25 served from the PERSISTED term-partitioned index (build-once
+        # / query-many): same oracle as bm25_hash_join, but the query path
+        # reads only the query terms' postings buckets
+        "bm25_served": _bm25_served,
         # the complete pretraining-data story: curation -> source mixing ->
         # packing -> shard split; per-shard readiness accounting (rows-only:
         # curation's minhash verify is non-SQL; invariants pytest-gated)
@@ -769,6 +782,7 @@ SELECT term, count(*) AS total_tf FROM toks GROUP BY term
 ORDER BY total_tf DESC, term LIMIT 50
 """,
         "bm25_hash_join": _bm25_sql(["hash", "join"]),
+        "bm25_served": _bm25_sql(["hash", "join"]),
         # "joins scans" expands to join/scan via the plural/singular
         # fallback (deterministic on this corpus vocabulary)
         "bm25_expanded": _bm25_sql(["join", "scan"]),

@@ -68,6 +68,7 @@ BENCH_QUERIES = [
     "quality_buckets",
     "pagerank_scores",
     "training_pipeline",
+    "bm25_served",
 ]
 
 

@@ -143,3 +143,64 @@ def build_inverted_index(docs, id_col: str = "doc_id", text_col: str = "text"):
         .groupby("part")
         .map_groups(collect_part, batch_format="pandas")
     )
+
+
+# -- persisted, servable index layout -----------------------------------------
+
+def write_term_index(
+    docs,
+    out_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 64,
+) -> dict:
+    """Persist the inverted index as a SERVABLE on-disk layout — the
+    build-once / query-many deployment shape of the reference
+    (`Serial Version/src/main.c`: build_index then the query loop):
+
+      out_dir/postings/bucket=K/*.parquet   (term, doc_id, tf, dl) rows,
+                                            hash-partitioned by term
+      out_dir/manifest.json                 {n_docs, total_tokens,
+                                             avgdl, n_buckets}
+
+    Query time (`rank.bm25_from_index`) touches only the query terms'
+    bucket directories and pushes a ``term IN (...)`` predicate into the
+    parquet scan — at 100 TB the read is postings-of-q, never the corpus.
+    Corpus stats ride in the manifest so serving needs zero corpus passes.
+    Returns the manifest payload."""
+    import shutil
+
+    import pandas as pd
+
+    from ..sources.io import write_manifest
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    def with_bucket(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        terms = b["term"].to_numpy(zero_copy_only=False)
+        if terms.dtype.kind == "U":
+            terms = terms.astype(object)
+        bucket = (
+            pd.util.hash_array(terms, categorize=False) % n_buckets
+        ).astype(np.int64)
+        return b.append_column("bucket", pa.array(bucket))
+
+    tf = term_doc_tf(docs, id_col, text_col).materialize()
+    n_docs = docs.count()
+    total_tokens = tf.map_batches(
+        lambda b: pa.table({"s": [pc.sum(b["tf"]).as_py() or 0]}),
+        batch_format="pyarrow",
+    ).sum("s") or 0
+    tf.map_batches(with_bucket, batch_format="pyarrow").write_parquet(
+        f"{out_dir}/postings", partition_cols=["bucket"]
+    )
+    payload = {
+        "n_docs": int(n_docs),
+        "total_tokens": int(total_tokens),
+        "avgdl": total_tokens / n_docs if n_docs else 0.0,
+        "n_buckets": int(n_buckets),
+    }
+    write_manifest(out_dir, payload)
+    return payload

@@ -45,14 +45,24 @@ def bm25_topk(
     text_col: str = "text",
     round_to: int | None = 6,
     tf=None,
+    stats: tuple | None = None,
 ):
     """Top-k (doc_id, score) for one query over a (doc_id, text) Dataset.
     Returns a pyarrow Table (small result; schema stable even when empty).
     Pass a precomputed/materialized ``tf`` (term_doc_tf output) to share the
-    tokenize pass across queries (multi-query loops, expanded retries)."""
+    tokenize pass across queries (multi-query loops, expanded retries).
+    Pass ``stats=(n_docs, avgdl)`` to serve from a PERSISTED index
+    (``bm25_from_index``): ``docs`` may then be None and ``tf`` may be
+    pre-pruned to the query terms — no corpus pass runs at all."""
     import ray
 
-    id_type = docs.schema().base_schema.field(id_col).type
+    if tf is None:
+        tf = term_doc_tf(docs, id_col, text_col).materialize()
+    id_type = (
+        docs.schema().base_schema.field(id_col).type
+        if docs is not None
+        else tf.schema().base_schema.field(id_col).type
+    )
     out_schema = pa.schema([(id_col, id_type), ("score", pa.float64())])
 
     qterms = tokenize_query(query)
@@ -60,26 +70,27 @@ def bm25_topk(
         return out_schema.empty_table()
     qset = pa.array(sorted(set(qterms)))
 
-    # ONE tokenize pass: tf is consumed three times below (total_tokens,
-    # df, scoring) and each action would otherwise re-run the whole
-    # tokenize pipeline (measured 3-4x redundant work per query).
-    # materialize() pins the blocks in the OBJECT STORE, not the driver.
-    if tf is None:
-        tf = term_doc_tf(docs, id_col, text_col).materialize()
-
     def only_query_terms(b: pa.Table) -> pa.Table:
         return b.filter(pc.is_in(b["term"], value_set=qset))
 
     # tf_q is tiny (query terms only) and consumed twice (df + scoring).
+    # ONE tokenize pass upstream: tf is consumed up to three times
+    # (total_tokens, df, scoring) and each action would otherwise re-run
+    # the whole tokenize pipeline (measured 3-4x redundant work per
+    # query); materialize() pins blocks in the OBJECT STORE, not the
+    # driver.
     tf_q = tf.map_batches(only_query_terms, batch_format="pyarrow").materialize()
 
-    # Global corpus stats: N docs, total kept tokens. Small aggregates.
-    n_docs = docs.count()
-    total_tokens = tf.map_batches(
-        lambda b: pa.table({"s": [pc.sum(b["tf"]).as_py() or 0]}),
-        batch_format="pyarrow",
-    ).sum("s")
-    avgdl = (total_tokens or 0) / n_docs
+    if stats is None:
+        # Global corpus stats: N docs, total kept tokens. Small aggregates.
+        n_docs = docs.count()
+        total_tokens = tf.map_batches(
+            lambda b: pa.table({"s": [pc.sum(b["tf"]).as_py() or 0]}),
+            batch_format="pyarrow",
+        ).sum("s")
+        avgdl = (total_tokens or 0) / n_docs
+    else:
+        n_docs, avgdl = stats
 
     from ray.data.aggregate import Count
 
@@ -122,6 +133,68 @@ def bm25_topk(
     rows = out.sort(["score", id_col], descending=[True, False]).limit(k).take_all()
     return pa.Table.from_pylist(
         [{id_col: r[id_col], "score": r["score"]} for r in rows], schema=out_schema
+    )
+
+
+def bm25_from_index(
+    index_dir: str,
+    query: str,
+    k: int = 10,
+    id_col: str = "doc_id",
+    round_to: int | None = 6,
+):
+    """BM25 served from a PERSISTED index (`index.write_term_index`
+    layout): reads only the query terms' bucket directories with a
+    ``term IN (...)`` predicate pushed into the parquet scan, takes corpus
+    stats from the manifest — zero corpus passes per query, the serving
+    shape the reference's query loop uses against its in-memory index.
+    Value-identical to ``bm25_topk`` over the same corpus (oracle-checked
+    via the bm25_served entry)."""
+    import pandas as pd
+    import pyarrow.dataset as pads
+    import ray.data as rd
+
+    from ..sources.io import read_manifest
+
+    man = read_manifest(index_dir)
+    if man is None:
+        raise FileNotFoundError(f"no index manifest under {index_dir}")
+    qterms = tokenize_query(query)
+    if not qterms:
+        return pa.table({id_col: pa.array([]), "score": pa.array([], pa.float64())})
+    uniq = sorted(set(qterms))
+    hashes = pd.util.hash_array(np.asarray(uniq, dtype=object), categorize=False)
+    # modulo on the ARRAY: a np.uint64 SCALAR % python-int promotes to
+    # float64 and silently corrupts the bucket (>2^53 hashes)
+    buckets = sorted(set((hashes % man["n_buckets"]).astype(np.int64).tolist()))
+    import glob
+
+    # ray.data's parquet reader rejects directory paths in a list when a
+    # scan filter is attached -> enumerate the partition files explicitly
+    paths = [
+        f
+        for b in buckets
+        for f in sorted(glob.glob(f"{index_dir}/postings/bucket={b}/*.parquet"))
+    ]
+    if not paths:
+        tf_q = None
+    else:
+        tf_q = rd.read_parquet(
+            paths,
+            columns=["term", id_col, "tf", "dl"],
+            filter=pads.field("term").isin(uniq),
+        ).materialize()
+    if tf_q is None or tf_q.count() == 0:
+        id_type = pa.int64()
+        return pa.schema([(id_col, id_type), ("score", pa.float64())]).empty_table()
+    return bm25_topk(
+        None,
+        query,
+        k=k,
+        id_col=id_col,
+        round_to=round_to,
+        tf=tf_q,
+        stats=(man["n_docs"], man["avgdl"]),
     )
 
 

@@ -1208,6 +1208,21 @@ def test_training_pipeline_accounting(ray_session):
     assert int(out["n_packs"].sum()) <= int(np.ceil(want_tokens / 512))
 
 
+def test_bm25_served_equals_fresh(docs, tmp_path):
+    """The persisted-index serving path returns exactly what a fresh
+    corpus-pass BM25 returns, for multiple queries over one build."""
+    from high_performance_parallel_search_engine_ray.pipelines import index as ix
+    from high_performance_parallel_search_engine_ray.pipelines import rank as rk
+
+    idx = str(tmp_path / "idx")
+    man = ix.write_term_index(docs, idx)
+    assert man["n_docs"] == docs.count()
+    for q in ("hash join", "window sort", "nosuchterm"):
+        served = rk.bm25_from_index(idx, q, k=10).to_pandas()
+        fresh = rk.bm25_topk(docs, q, k=10).to_pandas()
+        assert served.equals(fresh), q
+
+
 def test_bm25_pagerank_fusion_endpoints(docs):
     """mix=0 reproduces pure-BM25 candidate order; mix=1 orders the same
     candidate set purely by the PageRank prior."""
