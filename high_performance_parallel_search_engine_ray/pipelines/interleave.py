@@ -355,6 +355,7 @@ def span_dedup(
          reassembly — the same cost policy as ``dedup.dedup_keep_first``.
     Both paths return identical rows; a test forces the join path.
     """
+    import pandas as pd
     import ray
 
     drops = _span_drops(inter, n_parts)
