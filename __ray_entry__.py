@@ -508,6 +508,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # / query-many): same oracle as bm25_hash_join, but the query path
         # reads only the query terms' postings buckets
         "bm25_served": _bm25_served,
+        # result-page excerpts (window around the earliest query-term hit)
+        "search_snippets": lambda sf: rank.snippets(_docs(sf), "hash join"),
+        # co-citation similarity over the synthetic link graph
+        "co_citation": lambda sf: graph.co_citation_pairs(
+            graph.synth_link_graph(_doc_ids(sf))
+        ),
         # the complete pretraining-data story: curation -> source mixing ->
         # packing -> shard split; per-shard readiness accounting (rows-only:
         # curation's minhash verify is non-SQL; invariants pytest-gated)
@@ -783,6 +789,31 @@ ORDER BY total_tf DESC, term LIMIT 50
 """,
         "bm25_hash_join": _bm25_sql(["hash", "join"]),
         "bm25_served": _bm25_sql(["hash", "join"]),
+        "search_snippets": """
+WITH m AS (
+  SELECT doc_id, text,
+         least(
+           CASE WHEN strpos(lower(text), 'hash') > 0
+                THEN strpos(lower(text), 'hash') ELSE 2147483647 END,
+           CASE WHEN strpos(lower(text), 'join') > 0
+                THEN strpos(lower(text), 'join') ELSE 2147483647 END
+         ) AS pos
+  FROM documents
+)
+SELECT doc_id, substr(text, greatest(1, pos - 30), 80) AS snippet
+FROM m WHERE pos < 2147483647
+""",
+        "co_citation": """
+WITH mx AS (SELECT max(doc_id) AS m FROM documents),
+e AS (
+  SELECT doc_id AS src, (doc_id * 31 + 17 * j + 1) % (m + 1) AS dst
+  FROM documents, mx, unnest([0, 1, 2]) AS t(j)
+  WHERE doc_id != (doc_id * 31 + 17 * j + 1) % (m + 1)
+)
+SELECT a.dst AS dst_a, b.dst AS dst_b, count(*) AS n_common
+FROM e a JOIN e b ON a.src = b.src AND a.dst < b.dst
+GROUP BY 1, 2
+""",
         # "joins scans" expands to join/scan via the plural/singular
         # fallback (deterministic on this corpus vocabulary)
         "bm25_expanded": _bm25_sql(["join", "scan"]),

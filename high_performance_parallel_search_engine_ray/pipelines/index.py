@@ -204,3 +204,58 @@ def write_term_index(
     }
     write_manifest(out_dir, payload)
     return payload
+
+
+def append_to_term_index(
+    docs_new,
+    out_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> dict:
+    """Incremental index maintenance: fold a batch of NEW documents into an
+    existing `write_term_index` layout. New postings land as additional
+    parquet files inside the same bucket directories (parquet dirs are
+    append-friendly; serving globs every file) and the manifest stats
+    update additively — no rebuild, no read of existing postings. The
+    caller guarantees the docs are new (re-appending a doc_id would
+    double-count its postings, as in any delta-append index). Returns the
+    updated manifest."""
+    import pandas as pd
+
+    from ..sources.io import read_manifest, write_manifest
+
+    man = read_manifest(out_dir)
+    if man is None:
+        raise FileNotFoundError(f"no index manifest under {out_dir}")
+    n_buckets = int(man["n_buckets"])
+
+    def with_bucket(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        terms = b["term"].to_numpy(zero_copy_only=False)
+        if terms.dtype.kind == "U":
+            terms = terms.astype(object)
+        bucket = (
+            pd.util.hash_array(terms, categorize=False) % n_buckets
+        ).astype(np.int64)
+        return b.append_column("bucket", pa.array(bucket))
+
+    tf = term_doc_tf(docs_new, id_col, text_col).materialize()
+    n_new = docs_new.count()
+    tok_new = tf.map_batches(
+        lambda b: pa.table({"s": [pc.sum(b["tf"]).as_py() or 0]}),
+        batch_format="pyarrow",
+    ).sum("s") or 0
+    tf.map_batches(with_bucket, batch_format="pyarrow").write_parquet(
+        f"{out_dir}/postings", partition_cols=["bucket"]
+    )
+    n_docs = int(man["n_docs"]) + int(n_new)
+    total = int(man["total_tokens"]) + int(tok_new)
+    payload = {
+        "n_docs": n_docs,
+        "total_tokens": total,
+        "avgdl": total / n_docs if n_docs else 0.0,
+        "n_buckets": n_buckets,
+    }
+    write_manifest(out_dir, payload)
+    return payload

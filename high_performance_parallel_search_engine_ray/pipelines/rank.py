@@ -198,6 +198,53 @@ def bm25_from_index(
     )
 
 
+def snippets(
+    docs,
+    query: str,
+    before: int = 30,
+    length: int = 80,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """(doc_id, snippet) for every doc containing a query term: a fixed
+    ``length``-char window starting ``before`` chars left of the earliest
+    query-term occurrence (case-insensitive) — the result-page excerpt a
+    search frontend renders. Vectorized find per term + element-wise min;
+    the final per-row slice is C-level str slicing on matched rows only.
+    SQL mirror: strpos/substr/least/greatest."""
+    import numpy as np
+
+    qterms = sorted(set(tokenize_query(query)))
+    if not qterms:
+        return docs.map_batches(
+            lambda b: pa.table(
+                {id_col: b[id_col].slice(0, 0),
+                 "snippet": pa.array([], pa.string())}
+            ),
+            batch_format="pyarrow",
+        )
+    BIG = np.int64(2**31 - 1)
+
+    def snip(b: pa.Table) -> pa.Table:
+        low = pc.utf8_lower(b[text_col])
+        pos = None
+        for t in qterms:
+            p = pc.find_substring(low, t).to_numpy(zero_copy_only=False).astype(np.int64)
+            p = np.where(p < 0, BIG, p)
+            pos = p if pos is None else np.minimum(pos, p)
+        hit = pos < BIG
+        ids = b[id_col].filter(pa.array(hit))
+        starts = np.maximum(0, pos[hit] - before)
+        texts = b[text_col].to_pylist()
+        out = [
+            texts[i][s : s + length]
+            for i, s in zip(np.nonzero(hit)[0], starts)
+        ]
+        return pa.table({id_col: ids, "snippet": pa.array(out, pa.string())})
+
+    return docs.map_batches(snip, batch_format="pyarrow")
+
+
 def bm25_multi(
     docs,
     queries: list[str],

@@ -1058,12 +1058,15 @@ def test_pagerank_matches_inmemory(docs):
     from high_performance_parallel_search_engine_ray.pipelines import graph as gr
 
     edges = gr.synth_link_graph(docs.repartition(8), out_deg=3)
-    got = gr.pagerank(edges, damping=0.85, iters=10).to_pandas()
     want = _pagerank_inmemory(edges.to_pandas())
-    assert len(got) == len(want)
-    assert abs(got["rank"].sum() - 1.0) < 1e-9  # rank mass conserved
-    for node, rank in zip(got["node"], got["rank"]):
-        assert np.isclose(rank, want[node], rtol=1e-9, atol=1e-12), node
+    # BOTH cost paths: the distributed BSP loop (threshold forced to 0)
+    # and the default bounded-pull numpy path must match the reference
+    for kwargs in ({"inmemory_threshold": 0}, {}):
+        got = gr.pagerank(edges, damping=0.85, iters=10, **kwargs).to_pandas()
+        assert len(got) == len(want)
+        assert abs(got["rank"].sum() - 1.0) < 1e-9  # rank mass conserved
+        for node, rank in zip(got["node"], got["rank"]):
+            assert np.isclose(rank, want[node], rtol=1e-9, atol=1e-12), node
 
 
 def test_pagerank_dangling_and_string_ids(ray_session):
@@ -1206,6 +1209,32 @@ def test_training_pipeline_accounting(ray_session):
     # ids are dense enough that every pack gets at least one doc start;
     # at minimum the count is bounded below by that ceiling
     assert int(out["n_packs"].sum()) <= int(np.ceil(want_tokens / 512))
+
+
+def test_append_to_term_index_equals_full_build(docs, tmp_path):
+    """Delta-append: build on half the corpus, append the other half —
+    serving equals a fresh BM25 over the full corpus (stats and postings
+    both correct)."""
+    from high_performance_parallel_search_engine_ray.pipelines import index as ix
+    from high_performance_parallel_search_engine_ray.pipelines import rank as rk
+
+    import pyarrow.compute as _pc
+
+    def _parity(p):
+        return lambda b: b.filter(
+            _pc.equal(_pc.bit_wise_and(b["doc_id"], 1), p)
+        )
+
+    even = docs.map_batches(_parity(0), batch_format="pyarrow")
+    odd = docs.map_batches(_parity(1), batch_format="pyarrow")
+    idx = str(tmp_path / "idx_inc")
+    ix.write_term_index(even, idx)
+    man = ix.append_to_term_index(odd, idx)
+    assert man["n_docs"] == docs.count()
+    for q in ("hash join", "window sort"):
+        served = rk.bm25_from_index(idx, q, k=10).to_pandas()
+        fresh = rk.bm25_topk(docs, q, k=10).to_pandas()
+        assert served.equals(fresh), q
 
 
 def test_bm25_served_equals_fresh(docs, tmp_path):
