@@ -514,6 +514,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "co_citation": lambda sf: graph.co_citation_pairs(
             graph.synth_link_graph(_doc_ids(sf))
         ),
+        # HITS hubs/authorities (float-iterative -> rows-only; both cost
+        # paths pinned equal in pytest)
+        "hits_scores": lambda sf: graph.hits(
+            graph.synth_link_graph(_doc_ids(sf)), iters=10
+        ),
         # the complete pretraining-data story: curation -> source mixing ->
         # packing -> shard split; per-shard readiness accounting (rows-only:
         # curation's minhash verify is non-SQL; invariants pytest-gated)

@@ -117,6 +117,160 @@ def host_authority(ranks):
     )
 
 
+def hits(edges, iters: int = 10, inmemory_threshold: int = 2_000_000):
+    """(node, hub, authority): Kleinberg's HITS after ``iters`` mutual
+    power iterations with L2 normalization each round — the complement of
+    PageRank for query-time authority (authorities = pointed-to by good
+    hubs; hubs = pointing at good authorities).
+
+    Same cost policy as ``pagerank``: bounded pull + numpy at or below
+    ``inmemory_threshold`` edges; above it the BSP dataflow — per
+    iteration, one (node, float) groupby per direction plus two scalar
+    L2 aggregates; edges never move after the initial materialize."""
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    from .relational import _attach_or_join
+
+    edges = edges.materialize()
+
+    if edges.count() <= inmemory_threshold:
+        edf = edges.to_pandas()
+        nodes_np = np.unique(
+            np.concatenate([edf["src"].to_numpy(), edf["dst"].to_numpy()])
+        )
+        n = len(nodes_np)
+        if n == 0:
+            return ray.data.from_arrow(
+                pa.table(
+                    {
+                        "node": pa.array([]),
+                        "hub": pa.array([], pa.float64()),
+                        "authority": pa.array([], pa.float64()),
+                    }
+                )
+            )
+        pos = {v: i for i, v in enumerate(nodes_np)}
+        src = edf["src"].map(pos).to_numpy()
+        dst = edf["dst"].map(pos).to_numpy()
+        h = np.ones(n)
+        a = np.ones(n)
+        for _ in range(iters):
+            a = np.bincount(dst, weights=h[src], minlength=n)
+            a /= np.linalg.norm(a) or 1.0
+            h = np.bincount(src, weights=a[dst], minlength=n)
+            h /= np.linalg.norm(h) or 1.0
+        id_arr = (
+            pa.array(nodes_np)
+            if nodes_np.dtype.kind != "O"
+            else pa.array(nodes_np.astype(object), pa.string())
+        )
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "node": id_arr,
+                    "hub": pa.array(h, pa.float64()),
+                    "authority": pa.array(a, pa.float64()),
+                }
+            )
+        )
+
+    cpus = (
+        int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    )
+    npart = max(2, cpus // 2)
+
+    def nodes_of(b: pa.Table) -> pa.Table:
+        both = pa.concat_arrays(
+            [b["src"].combine_chunks(), b["dst"].combine_chunks()]
+        )
+        return pa.table({"node": pc.unique(both)})
+
+    nodes = (
+        edges.map_batches(nodes_of, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Count())
+        .drop_columns(["count()"])
+        .materialize()
+    )
+
+    def _norm_of(state, col):
+        sq = state.map_batches(
+            lambda b: pa.table({"s": pc.multiply(b[col], b[col])}),
+            batch_format="pyarrow",
+        ).sum("s")
+        return float(sq or 0.0) ** 0.5 or 1.0
+
+    def _push(state, col, key_out, key_group):
+        """sum state[col] of the join side over edges into key_group."""
+        attached = _attach_or_join(edges, key_out, state, "node", [col], npart)
+        sums = (
+            attached.map_batches(
+                lambda b: pa.table({"node": b[key_group], "v": b[col]}),
+                batch_format="pyarrow",
+            )
+            .groupby("node")
+            .aggregate(Sum("v", alias_name="v"))
+        )
+        zero = nodes.map_batches(
+            lambda b: pa.table(
+                {
+                    "node": b["node"],
+                    "v": pa.array(np.zeros(b.num_rows), pa.float64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        return (
+            sums.union(zero)
+            .groupby("node")
+            .aggregate(Sum("v", alias_name="v"))
+            .materialize()
+        )
+
+    state = nodes.map_batches(
+        lambda b: pa.table(
+            {
+                "node": b["node"],
+                "hub": pa.array(np.ones(b.num_rows), pa.float64()),
+                "authority": pa.array(np.ones(b.num_rows), pa.float64()),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    for _ in range(iters):
+        auth = _push(
+            state.map_batches(
+                lambda b: pa.table({"node": b["node"], "hub": b["hub"]}),
+                batch_format="pyarrow",
+            ),
+            "hub",
+            "src",
+            "dst",
+        )
+        an = _norm_of(auth, "v")
+        auth_n = auth.map_batches(
+            lambda b, _n=an: pa.table(
+                {"node": b["node"], "authority": pc.divide(b["v"], _n)}
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+        hub = _push(auth_n, "authority", "dst", "src")
+        hn = _norm_of(hub, "v")
+        hub_n = hub.map_batches(
+            lambda b, _n=hn: pa.table(
+                {"node": b["node"], "hub": pc.divide(b["v"], _n)}
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+        state = _attach_or_join(
+            hub_n, "node", auth_n, "node", ["authority"], npart
+        ).materialize()
+
+    return state
+
+
 def co_citation_pairs(edges, n_parts: int = 64):
     """(dst_a, dst_b, n_common): page pairs cited by the same source, with
     the number of common citing pages — the classic co-citation similarity

@@ -1094,6 +1094,33 @@ def test_pagerank_dangling_and_string_ids(ray_session):
     assert got["u/c"] > got["u/b"] > got["u/a"]  # c collects the most mass
 
 
+def test_hits_paths_agree(docs):
+    """HITS: the distributed BSP path equals the bounded-pull numpy path
+    (same math, float tolerance for summation order); hub/authority norms
+    are 1."""
+    import numpy as np
+
+    from high_performance_parallel_search_engine_ray.pipelines import graph as gr
+
+    edges = gr.synth_link_graph(docs.repartition(4), out_deg=3)
+    fast = (
+        gr.hits(edges, iters=5).to_pandas().sort_values("node").reset_index(drop=True)
+    )
+    slow = (
+        gr.hits(edges, iters=5, inmemory_threshold=0)
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    assert list(fast["node"]) == list(slow["node"])
+    assert np.allclose(fast["hub"], slow["hub"], rtol=1e-9, atol=1e-12)
+    assert np.allclose(
+        fast["authority"], slow["authority"], rtol=1e-9, atol=1e-12
+    )
+    assert abs(np.linalg.norm(fast["hub"]) - 1.0) < 1e-9
+    assert abs(np.linalg.norm(fast["authority"]) - 1.0) < 1e-9
+
+
 def test_host_authority_aggregation(ray_session):
     """PageRank mass rolls up per host; URL scheme/host parsing matches
     host_of semantics."""
