@@ -924,6 +924,7 @@ def dup_clusters(
     block_prefix: int = 16,
     max_iters: int = 64,
     broadcast_threshold: int | None = None,
+    inmemory_threshold: int = 2_000_000,
 ):
     """(doc_id, cluster_id): connected components over the union of two
     blocking relations — docs sharing a text prefix-16 OR a text suffix-16
@@ -959,6 +960,8 @@ def dup_clusters(
 
     from .relational import _attach_or_join, _join_partitions
 
+    N_PARTS = 64  # bounded partition key — see the minhash N_PARTS note
+
     def block_rows(b: pa.Table) -> pa.Table:
         pre = pc.binary_join_element_wise(
             "P:", pc.utf8_slice_codeunits(b[text_col], 0, block_prefix), ""
@@ -967,28 +970,46 @@ def dup_clusters(
             "S:", pc.utf8_slice_codeunits(b[text_col], -block_prefix), ""
         )
         ids = b[id_col]
+        blk = pa.concat_arrays([c.combine_chunks() for c in (pre, suf)])
+        part = (
+            pd.util.hash_array(
+                blk.to_numpy(zero_copy_only=False).astype(object),
+                categorize=False,
+            )
+            % N_PARTS
+        ).astype(np.int32)
         return pa.table(
             {
-                "blk": pa.chunked_array([pa.concat_arrays(
-                    [c.combine_chunks() for c in (pre, suf)]
-                )]),
+                "blk": blk,
                 id_col: pa.chunked_array([pa.concat_arrays(
                     [ids.combine_chunks()] * 2
                 )]),
+                "part": pa.array(part),
             }
         )
 
-    def star_edges(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
+    def star_edges_part(g: pd.DataFrame) -> pd.DataFrame:
+        """All blocking keys of one partition: block runs via sorted key
+        boundaries, star edges (everyone -> block min) fully vectorized —
+        one pandas call per PARTITION, not per block (the measured
+        1-2 ms/group map_groups tax; same fix as minhash's bucket stage)."""
+        if not len(g):
             return pd.DataFrame({"u": pd.Series([], dtype="int64"),
                                  "v": pd.Series([], dtype="int64")})
-        ids = np.sort(g[id_col].to_numpy())
-        return pd.DataFrame({"u": ids[1:], "v": np.full(len(ids) - 1, ids[0])})
+        g = g.sort_values(["blk", id_col], kind="stable")
+        blk = g["blk"].to_numpy()
+        ids = g[id_col].to_numpy()
+        first = np.ones(len(g), dtype=bool)
+        first[1:] = blk[1:] != blk[:-1]
+        seg = np.cumsum(first) - 1
+        mins = ids[first]  # sorted within block -> first = min id
+        keep = ~first
+        return pd.DataFrame({"u": ids[keep], "v": mins[seg[keep]]})
 
     edges = (
         docs.map_batches(block_rows, batch_format="pyarrow")
-        .groupby("blk")
-        .map_groups(star_edges, batch_format="pandas")
+        .groupby("part")
+        .map_groups(star_edges_part, batch_format="pandas")
         .materialize()
     )
 
@@ -997,6 +1018,47 @@ def dup_clusters(
         batch_format="pyarrow",
     ).materialize()
     n_nodes = labels.count()
+
+    # Cost-based escape (the pagerank lesson, measured there at 235x): each
+    # label-propagation round pays seconds of fixed exchange setup; at or
+    # below the threshold the (id, label) + (u, v) tables are BOUNDED pulls
+    # and an exact union-find computes the same min-label components in
+    # microseconds. broadcast_threshold is the shuffle-path test knob —
+    # when a caller forces it, the distributed loop must actually run.
+    if (
+        broadcast_threshold is None
+        and n_nodes + edges.count() <= inmemory_threshold
+    ):
+        import ray.data as _rd
+
+        id_arrow_type = labels.schema().base_schema.field("id").type
+        ids_np = labels.to_pandas()["id"].to_numpy()
+        nodes = np.sort(ids_np)
+        pos = {v: i for i, v in enumerate(nodes)}
+        parent = np.arange(len(nodes), dtype=np.int64)
+
+        def find(x: int) -> int:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = int(parent[x])
+            return x
+
+        edf = edges.to_pandas()
+        for u, v in zip(edf["u"].map(pos), edf["v"].map(pos)):
+            ru, rv = find(int(u)), find(int(v))
+            if ru != rv:
+                # larger ordinal under smaller -> root == component min id
+                parent[max(ru, rv)] = min(ru, rv)
+        roots = np.array([find(i) for i in range(len(nodes))], np.int64)
+        return _rd.from_arrow(
+            pa.table(
+                {
+                    id_col: pa.array(nodes, id_arrow_type),
+                    "cluster_id": pa.array(nodes[roots], id_arrow_type),
+                }
+            )
+        )
+
     npart = _join_partitions(n_joins=3)
     prev_sum = None
     for _ in range(max_iters):
