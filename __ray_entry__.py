@@ -252,6 +252,40 @@ def queries() -> dict[str, Callable[[str], Any]]:
             batch_format="pyarrow",
         )
 
+    def _crawl_diff(sf_dir):
+        # deterministic "second snapshot": drop doc_id%13==0, modify text
+        # for doc_id%7==0, add doc_id+1000000 for doc_id%11==0 — the SQL
+        # oracle mirrors this closed form with a FULL OUTER JOIN
+        old = _docs(sf_dir)
+
+        def build(b):
+            import numpy as np
+            import pyarrow as pa
+
+            ids = b["doc_id"].to_numpy(zero_copy_only=False)
+            txt = np.asarray(b["text"].to_pylist(), dtype=object)
+            keep = ids % 13 != 0
+            kid = ids[keep]
+            ktxt = txt[keep].copy()
+            mod = kid % 7 == 0
+            ktxt[mod] = np.array([t + " v2" for t in ktxt[mod]], dtype=object)
+            addm = ids % 11 == 0
+            aid = ids[addm] + 1_000_000
+            atxt = np.array([f"new page {i}" for i in ids[addm]], dtype=object)
+            return pa.table(
+                {
+                    "doc_id": pa.array(
+                        np.concatenate([kid, aid]), pa.int64()
+                    ),
+                    "text": pa.array(
+                        list(np.concatenate([ktxt, atxt])), pa.string()
+                    ),
+                }
+            )
+
+        new = old.map_batches(build, batch_format="pyarrow")
+        return dedup.snapshot_diff(old, new)
+
     def _bm25_served(sf_dir):
         import os
 
@@ -519,6 +553,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hits_scores": lambda sf: graph.hits(
             graph.synth_link_graph(_doc_ids(sf)), iters=10
         ),
+        # in-degree authority counts over the synthetic link graph
+        "link_in_degree": lambda sf: graph.in_degree(
+            graph.synth_link_graph(_doc_ids(sf))
+        ),
+        # re-crawl maintenance: diff two snapshots by content hash
+        "crawl_diff": _crawl_diff,
         # the complete pretraining-data story: curation -> source mixing ->
         # packing -> shard split; per-shard readiness accounting (rows-only:
         # curation's minhash verify is non-SQL; invariants pytest-gated)
@@ -807,6 +847,32 @@ WITH m AS (
 )
 SELECT doc_id, substr(text, greatest(1, pos - 30), 80) AS snippet
 FROM m WHERE pos < 2147483647
+""",
+        "link_in_degree": """
+WITH mx AS (SELECT max(doc_id) AS m FROM documents),
+e AS (
+  SELECT doc_id AS src, (doc_id * 31 + 17 * j + 1) % (m + 1) AS dst
+  FROM documents, mx, unnest([0, 1, 2]) AS t(j)
+  WHERE doc_id != (doc_id * 31 + 17 * j + 1) % (m + 1)
+)
+SELECT dst AS node, count(*) AS in_degree FROM e GROUP BY dst
+""",
+        "crawl_diff": """
+WITH old AS (SELECT doc_id, text FROM documents),
+new AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text
+  FROM documents WHERE doc_id % 13 <> 0
+  UNION ALL
+  SELECT doc_id + 1000000, 'new page ' || doc_id
+  FROM documents WHERE doc_id % 11 = 0
+)
+SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+       CASE WHEN o.doc_id IS NULL THEN 'added'
+            WHEN n.doc_id IS NULL THEN 'removed'
+            WHEN o.text <> n.text THEN 'changed'
+            ELSE 'unchanged' END AS status
+FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
 """,
         "co_citation": """
 WITH mx AS (SELECT max(doc_id) AS m FROM documents),

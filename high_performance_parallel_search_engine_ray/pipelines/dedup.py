@@ -1226,3 +1226,78 @@ def dup_substring_counts(
         )
 
     return summed.map_batches(finish, batch_format="pyarrow")
+
+
+def snapshot_diff(
+    old,
+    new,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_parts: int = 64,
+):
+    """(doc_id, status) between two crawl snapshots: ``added`` (only in
+    new), ``removed`` (only in old), ``changed`` (in both, content hash
+    differs), ``unchanged`` — the re-crawl maintenance report that decides
+    what re-enters the pipeline.
+
+    Scale shape: each side maps to (id, md5, side) rows — text never
+    shuffles; classification is a bounded-hash-partition groupby with the
+    per-doc pivot vectorized inside each partition (ids appear at most
+    twice). An id must appear at most once PER SIDE (crawl snapshots are
+    keyed by URL/doc id)."""
+
+    def hashed(side: int):
+        def h(b: pa.Table) -> pa.Table:
+            hs = [
+                hashlib.md5(t.encode("utf-8")).hexdigest()
+                for t in b[text_col].to_pylist()
+            ]
+            ids = b[id_col].to_numpy(zero_copy_only=False)
+            if ids.dtype.kind == "U":
+                ids = ids.astype(object)
+            part = (
+                pd.util.hash_array(ids, categorize=False) % n_parts
+            ).astype(np.int32)
+            return pa.table(
+                {
+                    id_col: b[id_col],
+                    "h": pa.array(hs, pa.string()),
+                    "side": pa.array(
+                        np.full(b.num_rows, side, np.int8)
+                    ),
+                    "part": pa.array(part),
+                }
+            )
+
+        return h
+
+    both = old.map_batches(hashed(0), batch_format="pyarrow").union(
+        new.map_batches(hashed(1), batch_format="pyarrow")
+    )
+
+    def classify(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame(
+                {
+                    id_col: pd.Series([], dtype="int64"),
+                    "status": pd.Series([], dtype=object),
+                }
+            )
+        g = g.sort_values([id_col, "side"], kind="stable")
+        ids = g[id_col].to_numpy()
+        side = g["side"].to_numpy()
+        h = g["h"].to_numpy()
+        first = np.ones(len(g), dtype=bool)
+        first[1:] = ids[1:] != ids[:-1]
+        starts = np.nonzero(first)[0]
+        counts = np.diff(np.append(starts, len(g)))
+        status = np.empty(len(starts), dtype=object)
+        one = counts == 1
+        # singletons: side 0 -> removed, side 1 -> added
+        status[one] = np.where(side[starts[one]] == 0, "removed", "added")
+        two = ~one
+        s2 = starts[two]
+        status[two] = np.where(h[s2] == h[s2 + 1], "unchanged", "changed")
+        return pd.DataFrame({id_col: ids[starts], "status": status})
+
+    return both.groupby("part").map_groups(classify, batch_format="pandas")

@@ -93,6 +93,28 @@ def synth_link_graph(docs, out_deg: int = 3, id_col: str = "doc_id"):
     return docs.map_batches(edges, batch_format="pyarrow")
 
 
+def in_degree(edges):
+    """(node, in_degree): incoming-link counts — the cheapest authority
+    signal and the crawl-priority feature the reference's priority scoring
+    approximates. One (node, count) groupby; partial counts per block keep
+    the shuffle at distinct-node scale."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = (
+            pa.table({"node": b["dst"]})
+            .group_by(["node"])
+            .aggregate([([], "count_all")])
+        )
+        return g.rename_columns(["node", "n"])
+
+    return (
+        edges.map_batches(partial, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Sum("n", alias_name="in_degree"))
+    )
+
+
 def host_authority(ranks):
     """(host, authority, n_pages): PageRank mass aggregated per host — the
     domain-authority table a crawl scheduler feeds back into URL priority

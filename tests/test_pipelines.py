@@ -1094,6 +1094,38 @@ def test_pagerank_dangling_and_string_ids(ray_session):
     assert got["u/c"] > got["u/b"] > got["u/a"]  # c collects the most mass
 
 
+def test_snapshot_diff_statuses(ray_session):
+    """All four statuses on a hand-built pair of snapshots with string
+    ids; multi-block input exercises the partition groupby."""
+    import pyarrow as pa
+
+    from high_performance_parallel_search_engine_ray.pipelines.dedup import (
+        snapshot_diff,
+    )
+
+    old = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(["a", "b", "c"]),
+                "text": pa.array(["one", "two", "three"]),
+            }
+        )
+    ).repartition(3)
+    new = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(["a", "b", "d"]),
+                "text": pa.array(["one", "two CHANGED", "four"]),
+            }
+        )
+    ).repartition(2)
+    out = snapshot_diff(old, new).to_pandas().set_index("doc_id")["status"]
+    assert out["a"] == "unchanged"
+    assert out["b"] == "changed"
+    assert out["c"] == "removed"
+    assert out["d"] == "added"
+
+
 def test_hits_paths_agree(docs):
     """HITS: the distributed BSP path equals the bounded-pull numpy path
     (same math, float tolerance for summation order); hub/authority norms
