@@ -78,6 +78,7 @@ def kmeans_fit(
     vec_col: str = "embedding",
     sample_n: int = 2048,
     tol: float = 1e-4,
+    inmemory_vals: int = 20_000_000,
 ) -> np.ndarray:
     """Spherical k-means (cosine) over the FULL dataset: distributed Lloyd.
 
@@ -97,6 +98,36 @@ def kmeans_fit(
     embeddings = embeddings.materialize()
     cent = _init_centroids(embeddings, k, seed, vec_col, sample_n)
     k_eff = cent.shape[0]
+
+    # Cost-based escape (the pagerank/dup_clusters lesson): each Lloyd
+    # pass pays a full dataset execution; at or below ``inmemory_vals``
+    # matrix floats (~160 MB default) the matrix is pulled ONCE and the
+    # same iterations run as local matmuls — identical math, bounded pull.
+    n_rows = embeddings.count()
+    if n_rows * cent.shape[1] <= inmemory_vals:
+        mats = [
+            list_column_to_matrix(t[vec_col])
+            for t in embeddings.select_columns([vec_col]).iter_batches(
+                batch_format="pyarrow", batch_size=None
+            )
+            if t.num_rows
+        ]
+        m = _normalize(np.vstack(mats)) if mats else np.zeros((0, cent.shape[1]))
+        for _ in range(iters):
+            a = np.argmax(m @ cent.T, axis=1)
+            sums = np.zeros_like(cent)
+            np.add.at(sums, a, m)
+            counts = np.bincount(a, minlength=k_eff)
+            new = cent.copy()
+            for c in range(k_eff):
+                if counts[c] > 0:
+                    v = sums[c] / counts[c]
+                    new[c] = v / max(np.linalg.norm(v), 1e-12)
+            shift = float(np.abs(new - cent).max())
+            cent = new
+            if shift < tol:
+                break
+        return cent
 
     for _ in range(iters):
         cent_ref = ray.put(cent)

@@ -818,9 +818,14 @@ def test_kmeans_matches_inmemory_lloyd(ray_session):
         )
     ds = rd.from_items(rows)
 
-    cent = kmeans_fit(ds, k=3, iters=10, seed=5)
+    # inmemory_vals=0 forces the DISTRIBUTED Lloyd loop (the scale path);
+    # the default cost-based path must land the same centroids (separated
+    # blobs -> same partition whatever the float merge order)
+    cent = kmeans_fit(ds, k=3, iters=10, seed=5, inmemory_vals=0)
     assert cent.shape == (3, 16)
     np.testing.assert_allclose(np.linalg.norm(cent, axis=1), 1.0, rtol=1e-9)
+    cent_fast = kmeans_fit(ds, k=3, iters=10, seed=5)
+    np.testing.assert_allclose(cent_fast, cent, rtol=1e-7, atol=1e-9)
 
     # in-memory reference from the same init
     x = _normalize(np.array([r["embedding"] for r in rows]))
