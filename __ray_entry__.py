@@ -58,6 +58,14 @@ def _doc_ids(sf_dir: str):
     return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
 
 
+def _docs_src(sf_dir: str):
+    import ray.data as rd
+
+    return rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["source", "text"]
+    )
+
+
 def _emb(sf_dir: str):
     import ray.data as rd
 
@@ -559,6 +567,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         # re-crawl maintenance: diff two snapshots by content hash
         "crawl_diff": _crawl_diff,
+        # per-source corpus health rollup (additive integer partials)
+        "source_quality": lambda sf: text.source_quality_stats(_docs_src(sf)),
         # the complete pretraining-data story: curation -> source mixing ->
         # packing -> shard split; per-shard readiness accounting (rows-only:
         # curation's minhash verify is non-SQL; invariants pytest-gated)
@@ -847,6 +857,15 @@ WITH m AS (
 )
 SELECT doc_id, substr(text, greatest(1, pos - 30), 80) AS snippet
 FROM m WHERE pos < 2147483647
+""",
+        "source_quality": """
+SELECT source,
+       count(*) AS n_docs,
+       round(sum(length(text)) * 1.0 / count(*), 6) AS avg_chars,
+       round(sum(len(regexp_extract_all(text, '[A-Za-z]'))) * 1.0
+             / sum(length(text)), 6) AS alpha_ratio
+FROM documents
+GROUP BY source
 """,
         "link_in_degree": """
 WITH mx AS (SELECT max(doc_id) AS m FROM documents),

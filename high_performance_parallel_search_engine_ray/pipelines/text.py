@@ -853,6 +853,75 @@ def pseudo_shuffle_shards(docs, n_shards: int = 16, id_col: str = "doc_id"):
     )
 
 
+def source_quality_stats(
+    docs,
+    source_col: str = "source",
+    text_col: str = "text",
+):
+    """(source, n_docs, avg_chars, alpha_ratio): the per-source corpus
+    health rollup a curation dashboard tracks (which feeds dropping or
+    re-weighting whole sources). Defined over ADDITIVE integer sums
+    (chars, alpha chars) so per-block partials merge exactly: one
+    map_batches partial per block, then a source-keyed groupby over
+    (source, 3 ints) rows — never text."""
+    import numpy as np
+
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                source_col: b[source_col],
+                "chars": pc.utf8_length(b[text_col]).cast(pa.int64()),
+                "alpha": pc.count_substring_regex(
+                    b[text_col], "[A-Za-z]"
+                ).cast(pa.int64()),
+            }
+        )
+        g = t.group_by([source_col]).aggregate(
+            [("chars", "sum"), ("alpha", "sum"), ([], "count_all")]
+        )
+        return g.rename_columns([source_col, "chars", "alpha", "n"])
+
+    agg = (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby(source_col)
+        .aggregate(
+            Sum("chars", alias_name="chars"),
+            Sum("alpha", alias_name="alpha"),
+            Sum("n", alias_name="n_docs"),
+        )
+    )
+
+    def final(b: pa.Table) -> pa.Table:
+        chars = b["chars"].to_numpy(zero_copy_only=False).astype(np.float64)
+        alpha = b["alpha"].to_numpy(zero_copy_only=False).astype(np.float64)
+        n = b["n_docs"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {
+                source_col: b[source_col],
+                "n_docs": b["n_docs"],
+                "avg_chars": pa.array(
+                    round_half_away(chars / np.maximum(n, 1), 6), pa.float64()
+                ),
+                "alpha_ratio": pa.array(
+                    round_half_away(
+                        np.divide(
+                            alpha,
+                            chars,
+                            out=np.zeros_like(alpha),
+                            where=chars > 0,
+                        ),
+                        6,
+                    ),
+                    pa.float64(),
+                ),
+            }
+        )
+
+    return agg.map_batches(final, batch_format="pyarrow")
+
+
 # -- compression-ratio quality signal -----------------------------------------
 
 def compression_ratios(docs, id_col: str = "doc_id", text_col: str = "text"):
