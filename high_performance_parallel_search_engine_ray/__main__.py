@@ -94,11 +94,21 @@ def _docs_dataset(path: str):
 
 
 def cmd_search(args) -> int:
+    if not getattr(args, "index_dir", None) and not args.docs:
+        print("search: provide --docs or --index-dir", file=sys.stderr)
+        return 2
     _ray_init(args.num_cpus)
-    from .pipelines.rank import bm25_topk, bm25_topk_expanded
+    from .pipelines.rank import bm25_from_index, bm25_topk, bm25_topk_expanded
 
-    docs = _docs_dataset(args.docs)
     queries = [args.query] if args.query else [line.strip() for line in sys.stdin if line.strip()]
+    if getattr(args, "index_dir", None):
+        # serve from the persisted term index (build-once / query-many:
+        # the reference's deployment shape — see `index` subcommand)
+        for q in queries:
+            t = bm25_from_index(args.index_dir, q, k=args.k)
+            print(json.dumps({"query": q, "results": t.to_pylist()}))
+        return 0
+    docs = _docs_dataset(args.docs)
     tf = None
     if len(queries) > 1 and not args.expand_terms:
         # stdin batch mode: tokenize once, query many
@@ -111,6 +121,19 @@ def cmd_search(args) -> int:
         else:
             t = bm25_topk(docs, q, k=args.k, tf=tf)
         print(json.dumps({"query": q, "results": t.to_pylist()}))
+    return 0
+
+
+def cmd_index(args) -> int:
+    """Build the persisted servable term index (reference analog: the
+    build_index phase of `Serial Version/src/main.c` before its query
+    loop)."""
+    _ray_init(args.num_cpus)
+    from .pipelines.index import write_term_index
+
+    docs = _docs_dataset(args.docs)
+    man = write_term_index(docs, args.out)
+    print(json.dumps({"index_dir": args.out, **man}))
     return 0
 
 
@@ -282,7 +305,10 @@ def main(argv=None) -> int:
     pw.set_defaults(fn=cmd_crawl)
 
     ps = sub.add_parser("search", help="BM25 search over a docs table or crawl output")
-    ps.add_argument("--docs", required=True)
+    ps.add_argument("--docs", default=None,
+                    help="documents parquet / crawl out_dir (corpus-pass mode)")
+    ps.add_argument("--index-dir", default=None,
+                    help="serve from a persisted `index` layout instead of a corpus pass")
     ps.add_argument("-q", "--query", default=None,
                     help="query string (default: read queries from stdin)")
     ps.add_argument("-k", type=int, default=10)
@@ -290,6 +316,12 @@ def main(argv=None) -> int:
                     help="plural/singular fallback (OpenMP ranking semantics)")
     ps.add_argument("--num-cpus", type=int, default=None)
     ps.set_defaults(fn=cmd_search)
+
+    pix = sub.add_parser("index", help="build the persisted servable term index")
+    pix.add_argument("--docs", required=True)
+    pix.add_argument("--out", required=True)
+    pix.add_argument("--num-cpus", type=int, default=None)
+    pix.set_defaults(fn=cmd_index)
 
     pe = sub.add_parser("evaluate", help="crawl + index + the 5 reference eval queries")
     pe.add_argument("--corpus", default="t1-smoke")

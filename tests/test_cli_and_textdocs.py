@@ -41,6 +41,34 @@ def test_cli_crawl_and_search():
     assert len(res2["results"]) > 0
 
 
+def test_cli_index_and_served_search(tmp_path):
+    """Build the persisted index via the CLI, serve a query from it, and
+    match the corpus-pass search result."""
+    docs = "/root/testdata/sf0.001/documents.parquet"
+    idx = str(tmp_path / "idx")
+    r = subprocess.run(
+        [sys.executable, "-m", "high_performance_parallel_search_engine_ray",
+         "index", "--docs", docs, "--out", idx, "--num-cpus", "4"],
+        capture_output=True, text=True, check=True,
+    )
+    man = json.loads(r.stdout.strip().splitlines()[-1])
+    assert man["n_docs"] > 0 and man["index_dir"] == idx
+    served = subprocess.run(
+        [sys.executable, "-m", "high_performance_parallel_search_engine_ray",
+         "search", "--index-dir", idx, "-q", "hash join", "--num-cpus", "4"],
+        capture_output=True, text=True, check=True,
+    )
+    fresh = subprocess.run(
+        [sys.executable, "-m", "high_performance_parallel_search_engine_ray",
+         "search", "--docs", docs, "-q", "hash join", "--num-cpus", "4"],
+        capture_output=True, text=True, check=True,
+    )
+    a = json.loads(served.stdout.strip().splitlines()[-1])
+    b = json.loads(fresh.stdout.strip().splitlines()[-1])
+    assert a["results"] == b["results"]
+    assert len(a["results"]) > 0
+
+
 def test_textdocs_roundtrip(ray_session, tmp_path):
     """Crawl docs -> reference dataset/ format -> read back: urls and flat
     text survive; the written files carry the reference header."""
