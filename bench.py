@@ -69,6 +69,18 @@ BENCH_QUERIES = [
     "pagerank_scores",
     "training_pipeline",
     "bm25_served",
+    # second round-3 wave
+    "span_dedup_structured",
+    "pack_interleaved",
+    "media_context_pairs",
+    "source_quality",
+    "crawl_diff",
+    "co_citation",
+    "link_in_degree",
+    "search_snippets",
+    "hits_scores",
+    "bm25_pagerank",
+    "compression_ratios",
 ]
 
 

@@ -991,6 +991,28 @@ def test_interleave_multiblock_equals_singleblock(docs):
     assert one.equals(many)
 
 
+def test_span_dedup_structured_idempotent(docs):
+    """Dedup is a fixpoint: a second pass over the deduped interleaved
+    corpus drops nothing."""
+    from high_performance_parallel_search_engine_ray.pipelines import interleave as il
+
+    once = il.span_dedup_structured(il.docs_to_interleaved(docs)).materialize()
+    again = il.span_dedup(once).to_pandas()
+    assert int(again["n_dropped"].sum()) == 0
+
+
+def test_quality_buckets_uneven_ntile(docs):
+    """ntile remainder handling: with k=7 over n docs, bucket sizes differ
+    by at most one and larger buckets come first (SQL ntile contract)."""
+    from high_performance_parallel_search_engine_ray.pipelines import text as tx
+
+    out = tx.quality_buckets(docs, k=7).to_pandas()
+    sizes = out["bucket"].value_counts().sort_index()
+    assert list(sizes.index) == list(range(1, 8))
+    assert sizes.max() - sizes.min() <= 1
+    assert (sizes.diff().dropna() <= 0).all()  # non-increasing
+
+
 def test_quality_buckets_properties(docs):
     """Exact-ntile invariants on a multi-block run: bucket sizes differ by
     at most 1, every head score >= every tail score, and each scored doc
