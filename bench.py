@@ -244,7 +244,7 @@ def run_bench() -> dict:
     timings: dict = {}
     errors: dict[str, str] = {}
     if not os.environ.get("GRAFT_SCALING_CHILD"):
-        # scaling children only need the crawl figure; the 18-query suite
+        # scaling children only need the crawl figure; the full query suite
         # would add ~2 min per child at low CPU counts for nothing
         for name in BENCH_QUERIES:
             # per-query fault isolation: one bad query must never abort the
