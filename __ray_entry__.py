@@ -569,6 +569,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_diff": _crawl_diff,
         # per-source corpus health rollup (additive integer partials)
         "source_quality": lambda sf: text.source_quality_stats(_docs_src(sf)),
+        # exact heavy hitters via two-pass Misra-Gries (bounded driver
+        # state; SQL mirror is the full-vocabulary GROUP BY/HAVING)
+        "frequent_terms": lambda sf: index.frequent_terms(
+            _docs(sf), threshold_frac=0.01, k_capacity=1024
+        ),
         # the complete pretraining-data story: curation -> source mixing ->
         # packing -> shard split; per-shard readiness accounting (rows-only:
         # curation's minhash verify is non-SQL; invariants pytest-gated)
@@ -857,6 +862,14 @@ WITH m AS (
 )
 SELECT doc_id, substr(text, greatest(1, pos - 30), 80) AS snippet
 FROM m WHERE pos < 2147483647
+""",
+        "frequent_terms": "WITH "
+        + _TOKS_CTE
+        + """
+SELECT term, count(*) AS cnt
+FROM toks
+GROUP BY term
+HAVING count(*) > (SELECT count(*) FROM toks) * 0.01
 """,
         "source_quality": """
 SELECT source,

@@ -259,3 +259,97 @@ def append_to_term_index(
     }
     write_manifest(out_dir, payload)
     return payload
+
+
+# -- heavy hitters (frequent terms) -------------------------------------------
+
+def frequent_terms(
+    docs,
+    threshold_frac: float = 0.001,
+    k_capacity: int = 4096,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """(term, cnt): every term whose corpus frequency EXCEEDS
+    ``threshold_frac`` of all kept tokens, with its exact count — the
+    two-pass heavy-hitters pattern:
+
+      1. sketch pass: per-block exact term counts (vectorized Arrow
+         group_by — block-bounded) stream to the driver through a
+         weighted Misra-Gries summary of capacity ``k_capacity``; MG
+         guarantees every term with true count > n/k_capacity survives,
+         so with ``threshold_frac >= 1/k_capacity`` the candidate set
+         provably contains every answer. Driver state is k_capacity
+         entries — never the vocabulary, never a shuffle.
+      2. verify pass: exact counts for the candidates only (broadcast
+         ``is_in`` filter + per-block partials, candidate-bounded merge),
+         then the exact threshold filter.
+
+    The SQL mirror is a plain GROUP BY/HAVING — which at 100 TB is a full
+    vocabulary shuffle; this is the bounded-memory shape. Returns a
+    pyarrow table sorted by (cnt desc, term)."""
+    import ray
+
+    if threshold_frac < 1.0 / k_capacity:
+        raise ValueError(
+            "threshold_frac below 1/k_capacity voids the MG guarantee"
+        )
+
+    def block_counts(b: pa.Table) -> pa.Table:
+        t = tokenize_batch(b, id_col, text_col)
+        g = t.group_by(["term"]).aggregate([([], "count_all")])
+        return g.rename_columns(["term", "c"])
+
+    counts = docs.map_batches(block_counts, batch_format="pyarrow")
+
+    # weighted Misra-Gries over the block summaries (driver-side; bounded)
+    mg: dict = {}
+    total = 0
+    for t in counts.iter_batches(batch_format="pyarrow", batch_size=None):
+        terms = t["term"].to_pylist()
+        cs = t["c"].to_pylist()
+        total += sum(cs)
+        for term, c in zip(terms, cs):
+            if term in mg:
+                mg[term] += c
+            elif len(mg) < k_capacity:
+                mg[term] = c
+            else:
+                # weighted decrement: subtract the smallest of (c, min
+                # counter) from everything including the newcomer
+                dec = min(min(mg.values()), c)
+                mg = {k: v - dec for k, v in mg.items() if v > dec}
+                if c > dec:
+                    mg[term] = c - dec
+    if not mg:
+        return pa.table(
+            {"term": pa.array([], pa.string()), "cnt": pa.array([], pa.int64())}
+        )
+
+    cand = pa.array(sorted(mg.keys()))
+    cand_ref = ray.put(cand)
+
+    def cand_counts(b: pa.Table) -> pa.Table:
+        t = tokenize_batch(b, id_col, text_col)
+        t = t.filter(pc.is_in(t["term"], value_set=ray.get(cand_ref)))
+        g = t.group_by(["term"]).aggregate([([], "count_all")])
+        return g.rename_columns(["term", "c"])
+
+    exact: dict = {}
+    for t in docs.map_batches(cand_counts, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow", batch_size=None
+    ):
+        for term, c in zip(t["term"].to_pylist(), t["c"].to_pylist()):
+            exact[term] = exact.get(term, 0) + c
+
+    cut = total * threshold_frac
+    rows = sorted(
+        ((term, c) for term, c in exact.items() if c > cut),
+        key=lambda x: (-x[1], x[0]),
+    )
+    return pa.table(
+        {
+            "term": pa.array([r[0] for r in rows], pa.string()),
+            "cnt": pa.array([r[1] for r in rows], pa.int64()),
+        }
+    )

@@ -991,6 +991,24 @@ def test_interleave_multiblock_equals_singleblock(docs):
     assert one.equals(many)
 
 
+def test_frequent_terms_mg_guarantee(docs):
+    """With a deliberately tiny MG capacity (heavy decrementing), the
+    two-pass result still equals the exact GROUP BY/HAVING answer — the
+    sketch can only over-candidate, never lose a heavy hitter."""
+    from high_performance_parallel_search_engine_ray.pipelines.index import (
+        frequent_terms,
+        tokenize_batch,
+    )
+
+    got = frequent_terms(docs, threshold_frac=1 / 16, k_capacity=32).to_pandas()
+    toks = docs.map_batches(tokenize_batch, batch_format="pyarrow").to_pandas()
+    vc = toks["term"].value_counts()
+    want = vc[vc > len(toks) / 16].sort_index()
+    assert sorted(got["term"]) == sorted(want.index)
+    for term, cnt in zip(got["term"], got["cnt"]):
+        assert cnt == want[term]
+
+
 def test_span_dedup_structured_idempotent(docs):
     """Dedup is a fixpoint: a second pass over the deduped interleaved
     corpus drops nothing."""
