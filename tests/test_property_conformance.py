@@ -92,3 +92,75 @@ def test_seenset_matches_model_set(tmp_path_factory, ops, cap):
     for i in range(130):
         u = f"https://h{i % 7}.example.org/p/{i}"
         assert (u in restored) == (u in model)
+
+
+# -- interleaved-family properties (fuzzed corpora) ---------------------------
+
+_TEXTS = st.lists(
+    st.text(
+        alphabet=st.characters(blacklist_categories=("Cs",)),
+        max_size=120,
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@settings(max_examples=40, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(_TEXTS)
+def test_interleave_roundtrip_any_text(ray_session, texts):
+    """docs_to_interleaved -> reconstruct_text is BIT-EXACT for arbitrary
+    unicode texts (multi-space runs, tabs, newlines, empty strings):
+    chunking splits on single spaces and rejoins with single spaces, so
+    every byte survives."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from high_performance_parallel_search_engine_ray.pipelines import interleave as il
+
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+    )
+    rec = (
+        il.reconstruct_text(il.docs_to_interleaved(docs))
+        .to_pandas()
+        .astype({"doc_id": int})
+        .sort_values("doc_id")
+    )
+    assert list(rec["text"]) == texts
+
+
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(_TEXTS)
+def test_span_dedup_set_semantics_any_text(ray_session, texts):
+    """Fuzzed corpora: span_dedup keeps each distinct span text exactly
+    once corpus-wide, and per-doc kept+dropped == total text spans."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from high_performance_parallel_search_engine_ray.pipelines import interleave as il
+
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+    )
+    inter = il.docs_to_interleaved(docs).materialize()
+    flat = il.explode_spans(inter).to_pandas()
+    tx = flat[flat["kind"] == "text"]
+    out = il.span_dedup(inter).to_pandas()
+    assert (
+        out.set_index("doc_id")[["n_kept", "n_dropped"]].sum(axis=1).sort_index()
+        == tx.groupby("doc_id").size().sort_index()
+    ).all()
+    assert int(out["n_kept"].sum()) == tx["text"].nunique()
