@@ -486,6 +486,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 interleave.docs_to_interleaved(_docs(sf))
             )
         ),
+        # media payload exact dedup over the fetched media table (stub
+        # payloads are deterministic -> rows-only; planted-dup pytest)
+        "media_payload_dedup": lambda sf: multimodal.media_payload_dedup(
+            multimodal.media_fetch_from_interleaved(
+                interleave.docs_to_interleaved(_docs(sf))
+            )
+        ),
         # the engine story end to end: interleaved input (the crawl's own
         # output shape) -> linear text -> the flagship curation composition.
         # Same stage semantics as curation_pipeline, over reconstructed text

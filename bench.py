@@ -81,6 +81,7 @@ BENCH_QUERIES = [
     "hits_scores",
     "bm25_pagerank",
     "compression_ratios",
+    "frequent_terms",
 ]
 
 

@@ -341,3 +341,36 @@ def media_frame_samples(docs, interval_ms: int = 1000, max_frames: int = 32,
         concurrency=concurrency,
         num_cpus=1,
     )
+
+
+def media_payload_dedup(media):
+    """(payload_hash, keeper_media_id, n_copies) per distinct media payload
+    — the media analog of ``dedup.exact_dedup``: at web scale the same
+    image bytes appear under many URLs (mirrors, CDNs, resized-by-URL
+    params), and a multimodal pipeline decodes each distinct payload once.
+    Shuffle carries (md5, media_id) rows only; payload bytes stay in their
+    blocks."""
+    import hashlib
+
+    from ray.data.aggregate import Count, Min
+
+    def hash_batch(b: pa.Table) -> pa.Table:
+        hs = [
+            hashlib.md5(p).hexdigest()
+            for p in b["payload"].to_pylist()
+        ]
+        return pa.table(
+            {
+                "payload_hash": pa.array(hs, pa.string()),
+                "media_id": b["media_id"],
+            }
+        )
+
+    return (
+        media.map_batches(hash_batch, batch_format="pyarrow")
+        .groupby("payload_hash")
+        .aggregate(
+            Min("media_id", alias_name="keeper_media_id"),
+            Count(alias_name="n_copies"),
+        )
+    )

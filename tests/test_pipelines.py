@@ -1606,6 +1606,38 @@ def test_media_fetch_from_interleaved(docs):
     assert all(len(f) == mm.MediaFeatureStage.FEATURE_DIM for f in feats["features"])
 
 
+def test_media_payload_dedup_planted(ray_session):
+    """Identical payload bytes under different media ids collapse to one
+    keeper (min id) with the right copy count."""
+    import pyarrow as pa
+
+    from high_performance_parallel_search_engine_ray.pipelines.multimodal import (
+        MEDIA_SCHEMA,
+        media_payload_dedup,
+    )
+
+    rows = pa.table(
+        {
+            "media_id": pa.array(["m/b", "m/a", "m/c"]),
+            "media_type": pa.array(["image"] * 3),
+            "payload": pa.array([b"SAME", b"SAME", b"OTHER"], pa.large_binary()),
+            "width": pa.array([-1, -1, -1], pa.int32()),
+            "height": pa.array([-1, -1, -1], pa.int32()),
+            "duration_ms": pa.array([-1, -1, -1], pa.int32()),
+        },
+        schema=MEDIA_SCHEMA,
+    )
+    out = (
+        media_payload_dedup(rd.from_arrow(rows).repartition(3))
+        .to_pandas()
+        .sort_values("n_copies", ascending=False)
+        .reset_index(drop=True)
+    )
+    assert len(out) == 2
+    assert out.loc[0, "keeper_media_id"] == "m/a" and out.loc[0, "n_copies"] == 2
+    assert out.loc[1, "keeper_media_id"] == "m/c" and out.loc[1, "n_copies"] == 1
+
+
 def test_media_fetch_stub_seam():
     import pyarrow as pa
     import pytest as _pytest
