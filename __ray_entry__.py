@@ -581,6 +581,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "frequent_terms": lambda sf: index.frequent_terms(
             _docs(sf), threshold_frac=0.01, k_capacity=1024
         ),
+        # per-source keyword profile (bounded-dimension grouped top-k)
+        "top_terms_per_source": lambda sf: index.top_terms_per_source(
+            _docs_src(sf), k=5
+        ),
         # the complete pretraining-data story: curation -> source mixing ->
         # packing -> shard split; per-shard readiness accounting (rows-only:
         # curation's minhash verify is non-SQL; invariants pytest-gated)
@@ -877,6 +881,25 @@ SELECT term, count(*) AS cnt
 FROM toks
 GROUP BY term
 HAVING count(*) > (SELECT count(*) FROM toks) * 0.01
+""",
+        "top_terms_per_source": f"""
+WITH toks AS (
+  SELECT source, t AS term FROM (
+    SELECT source,
+           unnest(regexp_split_to_array(lower(text), '{_TOKEN_RE_SQL}')) AS t
+    FROM documents
+  )
+  WHERE t <> '' AND length(t) <= 62
+    AND t NOT IN ('the','a','an','in','of')
+),
+c AS (SELECT source, term, count(*) AS cnt FROM toks GROUP BY 1, 2),
+r AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY source ORDER BY cnt DESC, term
+  ) AS rn
+  FROM c
+)
+SELECT source, term, cnt, CAST(rn AS BIGINT) AS rank FROM r WHERE rn <= 5
 """,
         "source_quality": """
 SELECT source,

@@ -353,3 +353,41 @@ def frequent_terms(
             "cnt": pa.array([r[1] for r in rows], pa.int64()),
         }
     )
+
+
+def top_terms_per_source(
+    docs,
+    k: int = 5,
+    source_col: str = "source",
+    text_col: str = "text",
+):
+    """(source, term, cnt, rank): the top-k corpus terms of each source —
+    the per-tenant keyword profile a corpus dashboard shows next to
+    `source_quality`. Tokenization is the shared serial-tokenizer kernel
+    keyed by source; the shuffle carries (source, term, partial count)
+    rows, and the final top-k is one vectorized call per SOURCE (a bounded
+    dimension, so the per-group tax is capped by design). Deterministic
+    tiebreak: (cnt desc, term asc)."""
+    import numpy as np
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    def counts(b: pa.Table) -> pa.Table:
+        t = tokenize_batch(b, id_col=source_col, text_col=text_col)
+        g = t.group_by(["doc_id", "term"]).aggregate([([], "count_all")])
+        return g.rename_columns([source_col, "term", "c"])
+
+    agg = (
+        docs.map_batches(counts, batch_format="pyarrow")
+        .groupby([source_col, "term"])
+        .aggregate(Sum("c", alias_name="cnt"))
+    )
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        idx = np.lexsort((g["term"].to_numpy(), -g["cnt"].to_numpy()))[:k]
+        out = g.iloc[idx][[source_col, "term", "cnt"]].copy()
+        out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
+        return out
+
+    return agg.groupby(source_col).map_groups(topk, batch_format="pandas")

@@ -138,7 +138,7 @@ def test_registry_ordering_contract():
         "quality_buckets", "source_mix_epochs", "pack_interleaved",
         "media_context_pairs", "span_dedup_structured", "bm25_served",
         "search_snippets", "co_citation", "link_in_degree", "crawl_diff",
-        "source_quality", "frequent_terms",
+        "source_quality", "frequent_terms", "top_terms_per_source",
     }
     assert set(entry_mod.oracle_sql()) - overflow_ok <= first50
     for critical in (
