@@ -66,6 +66,14 @@ def _docs_src(sf_dir: str):
     )
 
 
+def _lineitem_price(sf_dir: str):
+    import ray.data as rd
+
+    return rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_extendedprice"]
+    )
+
+
 def _emb(sf_dir: str):
     import ray.data as rd
 
@@ -584,6 +592,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-source keyword profile (bounded-dimension grouped top-k)
         "top_terms_per_source": lambda sf: index.top_terms_per_source(
             _docs_src(sf), k=5
+        ),
+        # mergeable quantile sketch (approximate by construction ->
+        # rows-only; tolerance vs exact is pytest-gated)
+        "price_quantile_sketch": lambda sf: relational.tdigest_quantiles(
+            _lineitem_price(sf), "l_extendedprice"
         ),
         # the complete pretraining-data story: curation -> source mixing ->
         # packing -> shard split; per-shard readiness accounting (rows-only:

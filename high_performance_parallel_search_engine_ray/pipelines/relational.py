@@ -1117,3 +1117,79 @@ def quantity_quantiles(sf_dir: str):
     regardless of fact-table size)."""
     li = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
     return grouped_quantiles_disc(li, "l_returnflag", "l_quantity")
+
+
+# -- t-digest quantile sketch (approximate; mergeable) ------------------------
+
+def _compress_centroids(vals, weights, compression: int):
+    """Greedy size-capped centroid merge: sorted (value, weight) pairs fold
+    left-to-right into at most ``compression`` centroids with uniform
+    weight budget — a t-digest-lite whose accuracy suffices for corpus
+    monitoring (tolerance-tested, not oracle-exact)."""
+    order = np.argsort(vals, kind="stable")
+    vals, weights = vals[order], weights[order]
+    total = float(weights.sum())
+    if total == 0 or len(vals) <= compression:
+        return vals, weights
+    budget = total / compression
+    out_v, out_w = [], []
+    cur_v, cur_w = float(vals[0]), float(weights[0])
+    for v, w in zip(vals[1:], weights[1:]):
+        if cur_w + w <= budget * 1.5:
+            cur_v = (cur_v * cur_w + float(v) * float(w)) / (cur_w + float(w))
+            cur_w += float(w)
+        else:
+            out_v.append(cur_v)
+            out_w.append(cur_w)
+            cur_v, cur_w = float(v), float(w)
+    out_v.append(cur_v)
+    out_w.append(cur_w)
+    return np.asarray(out_v), np.asarray(out_w)
+
+
+def tdigest_quantiles(
+    ds,
+    col: str,
+    qs: tuple = (0.5, 0.9, 0.99),
+    compression: int = 128,
+):
+    """One-row table of approximate quantiles of ``ds[col]`` via a
+    mergeable centroid sketch — the third member of the engine's sketch
+    family (KMV = distinct counts, Misra-Gries = heavy hitters, this =
+    quantiles). Per-block sorted (value, count) centroids cap at
+    ``compression`` entries; the driver merges n_blocks tiny sketches and
+    re-compresses — no sort shuffle ever touches the data, and sketch size
+    is independent of corpus size. Accuracy is tolerance-tested against
+    the exact quantiles (block-partitioning sensitivity is inherent to
+    mergeable digests and documented)."""
+
+    def block_digest(b: pa.Table) -> pa.Table:
+        v = b[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        v = v[~np.isnan(v)]
+        if len(v) == 0:
+            return pa.table(
+                {"v": pa.array([], pa.float64()), "w": pa.array([], pa.float64())}
+            )
+        uniq, counts = np.unique(v, return_counts=True)
+        cv, cw = _compress_centroids(uniq, counts.astype(np.float64), compression)
+        return pa.table({"v": pa.array(cv), "w": pa.array(cw)})
+
+    vals, weights = [], []
+    for t in ds.map_batches(block_digest, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow", batch_size=None
+    ):
+        vals.append(t["v"].to_numpy(zero_copy_only=False))
+        weights.append(t["w"].to_numpy(zero_copy_only=False))
+    v = np.concatenate(vals) if vals else np.array([])
+    w = np.concatenate(weights) if weights else np.array([])
+    if len(v) == 0:
+        return pa.table({f"q{int(q*100)}": pa.array([], pa.float64()) for q in qs})
+    v, w = _compress_centroids(v, w, compression)
+    cum = np.cumsum(w) - w / 2.0
+    cum /= w.sum()
+    out = {}
+    for q in qs:
+        out[f"q{int(q * 100)}"] = pa.array(
+            [float(np.interp(q, cum, v))], pa.float64()
+        )
+    return pa.table(out)

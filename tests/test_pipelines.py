@@ -991,6 +991,27 @@ def test_interleave_multiblock_equals_singleblock(docs):
     assert one.equals(many)
 
 
+def test_tdigest_quantiles_tolerance(ray_session):
+    """Mergeable quantile sketch lands within 2% relative error of the
+    exact quantiles on lineitem quantities, independent of block count."""
+    import numpy as np
+
+    from high_performance_parallel_search_engine_ray.pipelines.relational import (
+        tdigest_quantiles,
+    )
+
+    ds = rd.read_parquet(
+        f"{SF}/lineitem.parquet", columns=["l_extendedprice"]
+    ).repartition(16)
+    got = tdigest_quantiles(ds, "l_extendedprice", qs=(0.5, 0.9, 0.99)).to_pandas()
+    exact = rd.read_parquet(
+        f"{SF}/lineitem.parquet", columns=["l_extendedprice"]
+    ).to_pandas()["l_extendedprice"]
+    for q, cname in ((0.5, "q50"), (0.9, "q90"), (0.99, "q99")):
+        want = float(np.quantile(exact, q))
+        assert abs(got[cname][0] - want) / abs(want) < 0.02, (cname, got[cname][0], want)
+
+
 def test_frequent_terms_mg_guarantee(docs):
     """With a deliberately tiny MG capacity (heavy decrementing), the
     two-pass result still equals the exact GROUP BY/HAVING answer — the
