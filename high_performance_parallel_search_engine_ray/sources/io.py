@@ -95,3 +95,18 @@ def read_jsonl_docs(dir_path: str, **kwargs):
     import ray.data as rd
 
     return rd.read_json(dir_path, **kwargs)
+
+
+def write_csv_docs(docs_ds, dir_path: str) -> str:
+    """CSV sink (one file per block) — the lowest-common-denominator
+    interchange the reference's metrics files use (benchmark.c writes
+    CSV); resumable directory layout like every sink here."""
+    docs_ds.write_csv(dir_path)
+    return dir_path
+
+
+def read_csv_docs(dir_path: str, **kwargs):
+    """ray.data CSV reader over a corpus written by ``write_csv_docs``."""
+    import ray.data as rd
+
+    return rd.read_csv(dir_path, **kwargs)

@@ -1306,6 +1306,19 @@ def test_jsonl_roundtrip(docs, tmp_path):
     assert list(back["text"]) == list(orig["text"])
 
 
+def test_csv_roundtrip(docs, tmp_path):
+    """CSV sink/reader round-trips the docs table (quoting survives the
+    corpus's punctuation)."""
+    from high_performance_parallel_search_engine_ray.sources import io as hio
+
+    out = str(tmp_path / "csv")
+    hio.write_csv_docs(docs, out)
+    back = hio.read_csv_docs(out).to_pandas().sort_values("doc_id")
+    orig = docs.to_pandas().sort_values("doc_id")
+    assert list(back["doc_id"]) == list(orig["doc_id"])
+    assert list(back["text"]) == list(orig["text"])
+
+
 def test_training_pipeline_accounting(ray_session):
     """End-to-end flagship invariants: every shard id in range, token mass
     equals the curated corpus's epoch-weighted whitespace tokens, pack
