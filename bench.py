@@ -82,6 +82,8 @@ BENCH_QUERIES = [
     "bm25_pagerank",
     "compression_ratios",
     "frequent_terms",
+    "top_terms_per_source",
+    "price_quantile_sketch",
 ]
 
 
