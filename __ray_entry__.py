@@ -66,6 +66,25 @@ def _docs_src(sf_dir: str):
     )
 
 
+def _doc_tiers(sf_dir: str):
+    """(doc_id, source) with a deterministic SKEWED pseudo-source (50/30/20
+    by doc_id decile) — the testdata's real sources are uniform, which
+    would make every temperature rate 100; the oracle SQL derives the same
+    tiers with an identical CASE."""
+    import numpy as np
+    import pyarrow as pa
+
+    def tiers(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        m = ids % 10
+        src = np.where(m < 5, "tier0", np.where(m < 8, "tier1", "tier2"))
+        return pa.table(
+            {"doc_id": b["doc_id"], "source": pa.array(src, pa.string())}
+        )
+
+    return _doc_ids(sf_dir).map_batches(tiers, batch_format="pyarrow")
+
+
 def _lineitem_price(sf_dir: str):
     import ray.data as rd
 
@@ -603,6 +622,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # curation's minhash verify is non-SQL; invariants pytest-gated)
         "training_pipeline": lambda sf: curate.training_pipeline(
             _docs(sf), _doc_sources(sf), epochs=_MIX_EPOCHS
+        ),
+        # T5-style temperature sampling: two-pass per-source rates
+        # (alpha=0.5 so the SQL mirror is SQRT), then the deterministic
+        # id-threshold keep; skewed pseudo-source derived from doc_id on
+        # both sides because the testdata's real sources are uniform
+        "temperature_rates": lambda sf: text.temperature_rates(
+            _doc_tiers(sf)
+        ),
+        "temperature_mix": lambda sf: text.temperature_mix(_doc_tiers(sf)),
+        # anchor-text index: what OTHER pages call a page — link-span
+        # explode + the shared tokenizer kernel; (dst, term, count) shuffle
+        "anchor_terms": lambda sf: graph.anchor_terms(
+            graph.synth_anchor_spans(_docs(sf))
         ),
     }
 
@@ -1386,6 +1418,58 @@ SELECT doc_id, mix % 16 AS shard,
            PARTITION BY mix % 16 ORDER BY mix // 16, doc_id
        ) AS BIGINT) - 1 AS train_pos
 FROM m
+""",
+        # temperature sampling: alpha=0.5 keeps the rate formula inside
+        # SQRT, so both sides compute the identical IEEE doubles (glibc
+        # sqrt/pow are correctly rounded); tiers CASE mirrors _doc_tiers
+        "temperature_rates": """
+WITH d AS (
+  SELECT doc_id, CASE WHEN doc_id % 10 < 5 THEN 'tier0'
+                      WHEN doc_id % 10 < 8 THEN 'tier1'
+                      ELSE 'tier2' END AS source
+  FROM documents
+),
+n AS (SELECT source, COUNT(*) AS n_docs FROM d GROUP BY source)
+SELECT source, n_docs,
+       CAST(FLOOR(100 * SQRT((SELECT MIN(n_docs) FROM n)
+                             / CAST(n_docs AS DOUBLE))) AS BIGINT) AS rate
+FROM n
+""",
+        "temperature_mix": """
+WITH d AS (
+  SELECT doc_id, CASE WHEN doc_id % 10 < 5 THEN 'tier0'
+                      WHEN doc_id % 10 < 8 THEN 'tier1'
+                      ELSE 'tier2' END AS source
+  FROM documents
+),
+n AS (SELECT source, COUNT(*) AS c FROM d GROUP BY source),
+r AS (SELECT source,
+             CAST(FLOOR(100 * SQRT((SELECT MIN(c) FROM n)
+                                   / CAST(c AS DOUBLE))) AS BIGINT) AS rate
+      FROM n)
+SELECT d.doc_id, d.source FROM d JOIN r USING (source)
+WHERE d.doc_id % 100 < r.rate
+""",
+        # anchor-text index over synth_anchor_spans (edge rule =
+        # synth_link_graph; anchor = substr(text,1,40); tokenizer CTE =
+        # the shared serial-tokenizer idiom)
+        "anchor_terms": f"""
+WITH nn AS (SELECT CAST(MAX(doc_id)+1 AS BIGINT) AS n FROM documents),
+links AS (
+  SELECT 'doc' || CAST((d.doc_id*31 + 17*t.j + 1) % nn.n AS VARCHAR) AS dst,
+         substr(d.text, 1, 40) AS anchor
+  FROM documents d, nn, generate_series(0, 2) AS t(j)
+  WHERE (d.doc_id*31 + 17*t.j + 1) % nn.n <> d.doc_id
+),
+toks AS (
+  SELECT dst, tt AS term FROM (
+    SELECT dst,
+           unnest(regexp_split_to_array(lower(anchor), '{_TOKEN_RE_SQL}')) AS tt
+    FROM links
+  ) WHERE tt <> '' AND length(tt) <= 62
+    AND tt NOT IN ('the','a','an','in','of')
+)
+SELECT dst, term, COUNT(*) AS n_links FROM toks GROUP BY dst, term
 """,
         # lang_id / fingerprints / minhash / simhash / ann_ivf / media /
         # embedding_kmeans / semdedup_drops / crawl_*: non-SQL-expressible

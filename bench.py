@@ -84,6 +84,8 @@ BENCH_QUERIES = [
     "frequent_terms",
     "top_terms_per_source",
     "price_quantile_sketch",
+    "temperature_mix",
+    "anchor_terms",
 ]
 
 

@@ -93,6 +93,104 @@ def synth_link_graph(docs, out_deg: int = 3, id_col: str = "doc_id"):
     return docs.map_batches(edges, batch_format="pyarrow")
 
 
+def synth_anchor_spans(docs, out_deg: int = 3, anchor_chars: int = 40,
+                       id_col: str = "doc_id", text_col: str = "text"):
+    """Deterministic interleaved docs with LINK spans for the anchor-text
+    contract query (the brief's synthesise-at-small-scale rule): doc i
+    carries out_deg link spans targeting ``doc<(i*31+17j+1) mod N>``
+    (synth_link_graph's edge rule), each with anchor text = the source
+    doc's first `anchor_chars` characters (mirrored by the DuckDB oracle's
+    substr). Self-loops dropped, matching the SQL predicate. Output rows
+    are north-rule interleaved shape, so `anchor_terms` consumes these and
+    real crawl output identically."""
+    from ray.data.aggregate import Max
+
+    from .interleave import SPAN_TYPE
+
+    hi = int(docs.aggregate(Max(id_col))[f"max({id_col})"])
+    n_nodes = hi + 1
+
+    def spans(b: pa.Table) -> pa.Table:
+        ids = b[id_col].combine_chunks().to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        n = len(ids)
+        src = np.repeat(ids, out_deg)
+        j = np.tile(np.arange(out_deg, dtype=np.int64), n)
+        dst = (src * 31 + 17 * j + 1) % n_nodes
+        keep = src != dst
+        per_doc = keep.reshape(n, out_deg).sum(axis=1)
+        offsets = np.zeros(n + 1, dtype=np.int32)
+        np.cumsum(per_doc, out=offsets[1:])
+        anchor = pc.utf8_slice_codeunits(
+            b[text_col].combine_chunks(), 0, anchor_chars
+        )
+        take = pa.array(np.repeat(np.arange(n), out_deg)[keep])
+        struct = pa.StructArray.from_arrays(
+            [
+                pa.array(np.full(int(keep.sum()), "link"), pa.string()),
+                anchor.take(take),
+                pa.array(
+                    np.char.add("doc", dst[keep].astype("U20")), pa.string()
+                ),
+                pa.array(j[keep].astype(np.int32), pa.int32()),
+            ],
+            names=["kind", "text", "media_ref", "offset"],
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    np.char.add("doc", ids.astype("U20")), pa.string()
+                ),
+                "spans": pa.ListArray.from_arrays(
+                    pa.array(offsets, pa.int32()), struct
+                ).cast(SPAN_TYPE),
+            }
+        )
+
+    return docs.map_batches(spans, batch_format="pyarrow")
+
+
+def anchor_terms(inter):
+    """(dst, term, n_links): the anchor-text index — every anchor word the
+    corpus uses when linking TO each target URL, with occurrence counts.
+    The classic external relevance signal (what OTHER pages call a page)
+    that a web-search ranker fuses with BM25's internal signal; the
+    reference crawler extracts exactly these (text, href) pairs
+    (`Serial Version/src/crawler.c` link extraction) and discards the
+    text — this operator keeps it.
+
+    Scale shape: block-local explode of link spans + the shared
+    serial-tokenizer kernel over the (short) anchor strings; the one
+    shuffle carries (dst, term, partial-count) rows — anchor text and
+    spans never leave their block."""
+    from ray.data.aggregate import Sum
+
+    from .index import tokenize_batch
+
+    def partial(b: pa.Table) -> pa.Table:
+        lst = b["spans"].combine_chunks()
+        flat = pc.list_flatten(lst)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        is_link = pc.equal(flat.field("kind"), "link")
+        links = pa.table(
+            {
+                "dst": flat.field("media_ref").filter(is_link),
+                "anchor": flat.field("text").filter(is_link),
+            }
+        )
+        toks = tokenize_batch(links, id_col="dst", text_col="anchor")
+        g = toks.group_by(["doc_id", "term"]).aggregate([([], "count_all")])
+        return g.rename_columns(["dst", "term", "c"])
+
+    return (
+        inter.map_batches(partial, batch_format="pyarrow")
+        .groupby(["dst", "term"])
+        .aggregate(Sum("c", alias_name="n_links"))
+    )
+
+
 def in_degree(edges):
     """(node, in_degree): incoming-link counts — the cheapest authority
     signal and the crawl-priority feature the reference's priority scoring

@@ -500,6 +500,77 @@ def source_mix_epochs(
     return docs.map_batches(rep, batch_format="pyarrow")
 
 
+def temperature_rates(
+    docs,
+    alpha: float = 0.5,
+    mod: int = 100,
+    source_col: str = "source",
+):
+    """(source, n_docs, rate): T5/mT5-style temperature sampling rates.
+    With per-source share p_s, temperature-adjusted weights are
+    p_s^alpha (alpha<1 flattens the mix toward rare sources); sampling
+    cannot up-replicate, so rates normalize against the rarest source:
+    rate_s = floor(mod * (n_min / n_s)^(1-alpha)) — the rarest source
+    keeps everything, head sources get downsampled toward the tempered
+    share. Pass the result to `stratified_sample` (or use
+    `temperature_mix`, which composes the two). Two-pass and exactly
+    reproducible: the count pass shuffles only (source, n) rows; the
+    number of sources is corpus-metadata-scale, so the rate table is
+    computed driver-side (same bounded-dimension policy as
+    `source_quality_stats`). alpha=0.5 keeps the rate formula inside
+    SQRT so the DuckDB oracle reproduces the identical IEEE doubles."""
+    import numpy as np
+
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.select([source_col]).group_by([source_col]).aggregate(
+            [([], "count_all")]
+        )
+        return g.rename_columns([source_col, "n"])
+
+    agg = (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby(source_col)
+        .aggregate(Sum("n", alias_name="n_docs"))
+    )
+    rows = agg.take_all()  # bounded: one row per source
+    srcs = [r[source_col] for r in rows]
+    n = np.array([r["n_docs"] for r in rows], dtype=np.float64)
+    # (n_min / n_s)^(1-alpha); kept as the literal expression so the SQL
+    # mirror (POWER / SQRT on doubles) computes bit-identical values
+    rate = np.floor(mod * (n.min() / n) ** (1.0 - alpha)).astype(np.int64)
+    return pa.table(
+        {
+            source_col: pa.array(srcs, pa.string()),
+            "n_docs": pa.array([int(r["n_docs"]) for r in rows], pa.int64()),
+            "rate": pa.array(rate, pa.int64()),
+        }
+    )
+
+
+def temperature_mix(
+    docs,
+    alpha: float = 0.5,
+    mod: int = 100,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+):
+    """Temperature-rebalanced corpus: `temperature_rates` (two-pass count →
+    driver-side rate table) composed with the deterministic
+    `stratified_sample` keep predicate ``id % mod < rate_s``. The corpus
+    streams through the filter exactly once; only (source, n) rows ever
+    shuffle; retries/resumes reselect the identical rows."""
+    rt = temperature_rates(docs, alpha=alpha, mod=mod, source_col=source_col)
+    rates = {
+        s: int(r)
+        for s, r in zip(rt[source_col].to_pylist(), rt["rate"].to_pylist())
+    }
+    return stratified_sample(
+        docs, rates=rates, mod=mod, id_col=id_col, source_col=source_col
+    )
+
+
 # -- decontamination (benchmark n-gram overlap) -------------------------------
 
 def decontaminate(

@@ -1751,3 +1751,116 @@ def test_pseudo_shuffle_shards_properties(docs):
         list(g["doc_id"]) != sorted(g["doc_id"]) for _, g in a.groupby("shard")
     )
     assert any_shuffled
+
+
+# -- temperature sampling + anchor-text index (wave 3) ------------------------
+
+def test_temperature_mix_flattens_skew(ray_session):
+    """The tempered sample's composition must sit BETWEEN the raw skew and
+    uniform (alpha=0.5 flattens, never inverts), the rarest source keeps
+    everything, and the keep set is deterministic across block layouts
+    (retry/resume reproducibility). repartition(8) forces empty blocks
+    through the count pass (the Ray 2.49 Dataset.unique trap shape)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from high_performance_parallel_search_engine_ray.pipelines.text import (
+        temperature_mix,
+        temperature_rates,
+    )
+
+    ids = np.arange(1000)
+    src = np.where(ids % 10 < 7, "big", np.where(ids % 10 < 9, "mid", "rare"))
+    t = pa.table(
+        {"doc_id": pa.array(ids, pa.int64()), "source": pa.array(src)}
+    )
+    docs = rd.from_arrow(t).repartition(8)
+
+    rates = temperature_rates(docs).to_pandas().set_index("source")["rate"]
+    assert rates["rare"] == 100  # rarest source keeps everything
+    assert rates["rare"] > rates["mid"] > rates["big"]
+
+    out = temperature_mix(docs).to_pandas()
+    mix = out.groupby("source").size() / len(out)
+    raw = {"big": 0.7, "mid": 0.2, "rare": 0.1}
+    for s in ("big", "mid", "rare"):
+        tempered = mix[s]
+        lo, hi = sorted((raw[s], 1 / 3))
+        assert lo - 0.05 <= tempered <= hi + 0.05, (s, tempered)
+
+    again = temperature_mix(rd.from_arrow(t).repartition(3)).to_pandas()
+    key = lambda d: sorted(map(tuple, d[["doc_id", "source"]].to_numpy()))
+    assert key(out) == key(again)
+
+
+def test_anchor_terms_aggregation(ray_session):
+    """anchor_terms aggregates the anchor words of link spans per target
+    URL; text and media spans never contribute. Built by hand because the
+    crawl extractor reproduces the reference's behavior of DISCARDING
+    anchor text (link spans carry text='') — this operator is the signal
+    the reference throws away."""
+    import pyarrow as pa
+
+    from high_performance_parallel_search_engine_ray.pipelines import (
+        graph,
+        interleave as il,
+    )
+
+    def link(text, dst, off):
+        return {"kind": "link", "text": text, "media_ref": dst, "offset": off}
+
+    spans = [
+        {"kind": "text", "text": "body text here", "media_ref": "", "offset": 0},
+        link("Great Widget Review", "http://x.test/t1", 1),
+        link("widget", "http://x.test/t2", 2),
+        {"kind": "media", "text": "pic", "media_ref": "http://x.test/a.jpg", "offset": 3},
+    ]
+    inter = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(["u1", "u2"]),
+                "spans": pa.array([spans, spans], il.SPAN_TYPE),
+            }
+        )
+    ).repartition(4)  # empty blocks through the groupby
+    out = graph.anchor_terms(inter).to_pandas()
+    got = {(r["dst"], r["term"]): r["n_links"] for _, r in out.iterrows()}
+    # both docs carry the same links -> every count is 2
+    assert got[("http://x.test/t1", "widget")] == 2
+    assert got[("http://x.test/t1", "great")] == 2
+    assert got[("http://x.test/t2", "widget")] == 2
+    # body text and media-span text are not anchor text
+    assert not any(t == "body" for (_, t) in got)
+    assert ("http://x.test/a.jpg", "pic") not in got
+
+
+def test_anchor_terms_consume_crawl_spans(ray_session):
+    """Crawl-emitted interleaved docs flow through anchor_terms without
+    error; the reference extractor discards anchor text, so crawl link
+    spans (text='') yield zero term rows rather than a crash."""
+    import pyarrow as pa
+
+    from high_performance_parallel_search_engine_ray.functions.htmltext import (
+        html_to_spans,
+    )
+    from high_performance_parallel_search_engine_ray.pipelines import (
+        graph,
+        interleave as il,
+    )
+
+    html = (
+        "<html><body><p>body text here</p>"
+        "<a href='http://x.test/t1'>Great Widget Review</a></body></html>"
+    )
+    spans = html_to_spans(html, ["http://x.test/t1"])
+    assert any(s["kind"] == "link" for s in spans)
+    inter = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(["u1"]),
+                "spans": pa.array([spans], il.SPAN_TYPE),
+            }
+        )
+    )
+    out = graph.anchor_terms(inter).to_pandas()
+    assert len(out) == 0
