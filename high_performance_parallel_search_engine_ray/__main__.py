@@ -137,6 +137,26 @@ def cmd_index(args) -> int:
     return 0
 
 
+def cmd_compact_index(args) -> int:
+    """Index maintenance: fold `index`/append deltas into one postings file
+    per bucket (see pipelines.index.compact_term_index)."""
+    _ray_init(args.num_cpus)
+    from .pipelines.index import compact_term_index
+
+    stats = compact_term_index(args.index_dir)
+    print(
+        json.dumps(
+            {
+                "index_dir": args.index_dir,
+                "n_buckets": int(len(stats)),
+                "n_compacted": int(stats["compacted"].sum()),
+                "n_files_before": int(stats["n_files_before"].sum()),
+            }
+        )
+    )
+    return 0
+
+
 def cmd_evaluate(args) -> int:
     """End-to-end eval (reference analog: `Serial Version/src/evaluate.c:
     12-109`): crawl the corpus, build the docs table, run the 5 fixed
@@ -322,6 +342,14 @@ def main(argv=None) -> int:
     pix.add_argument("--out", required=True)
     pix.add_argument("--num-cpus", type=int, default=None)
     pix.set_defaults(fn=cmd_index)
+
+    pcx = sub.add_parser(
+        "compact-index",
+        help="merge append-deltas into one postings file per bucket",
+    )
+    pcx.add_argument("--index-dir", required=True)
+    pcx.add_argument("--num-cpus", type=int, default=None)
+    pcx.set_defaults(fn=cmd_compact_index)
 
     pe = sub.add_parser("evaluate", help="crawl + index + the 5 reference eval queries")
     pe.add_argument("--corpus", default="t1-smoke")

@@ -261,6 +261,68 @@ def append_to_term_index(
     return payload
 
 
+def compact_term_index(out_dir: str) -> "pd.DataFrame":
+    """Index maintenance closing the build/append lifecycle: merge each
+    bucket's accumulated delta files (one lands per `append_to_term_index`
+    call and per writer block) back into a single (term, doc_id)-sorted
+    parquet file, so serving reads one file per queried bucket instead of
+    one per append. Buckets are independent — compaction runs as a Ray
+    task pool over bucket directories (each bucket is vocab/n_buckets
+    postings, far below worker heap by construction), and a bucket already
+    at one file is skipped, which is what makes a killed compaction
+    resumable: re-running finishes only the remaining buckets. Within a
+    bucket the new file is written tmp-then-rename and the delta files are
+    removed after the rename — a crash between the two leaves duplicate
+    rows visible, the standard LSM-compaction seam; re-running the
+    compaction is NOT the fix for that (re-run skips 1-file dirs), the
+    marker is the leftover ``compact-tmp`` file. Manifest stats are
+    row-preserving so they don't change. Returns per-bucket
+    (bucket_dir, n_files_before, compacted) accounting."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from ..sources.io import read_manifest
+
+    if read_manifest(out_dir) is None:
+        raise FileNotFoundError(f"no index manifest under {out_dir}")
+    buckets = sorted(glob.glob(f"{out_dir}/postings/bucket=*"))
+
+    def compact_one(b: pa.Table) -> pa.Table:
+        dirs, before, did = [], [], []
+        for d in b["bucket_dir"].to_pylist():
+            files = sorted(glob.glob(f"{d}/*.parquet"))
+            dirs.append(d)
+            before.append(len(files))
+            if len(files) <= 1:
+                did.append(False)
+                continue
+            merged = pa.concat_tables([pq.read_table(f) for f in files])
+            merged = merged.sort_by([("term", "ascending"), ("doc_id", "ascending")])
+            tmp = os.path.join(d, "compact-tmp")
+            pq.write_table(merged, tmp)
+            os.replace(tmp, os.path.join(d, "compacted-0.parquet"))
+            for f in files:
+                if os.path.basename(f) != "compacted-0.parquet":
+                    os.remove(f)
+            did.append(True)
+        return pa.table(
+            {
+                "bucket_dir": pa.array(dirs, pa.string()),
+                "n_files_before": pa.array(before, pa.int64()),
+                "compacted": pa.array(did, pa.bool_()),
+            }
+        )
+
+    return (
+        rd.from_items([{"bucket_dir": d} for d in buckets])
+        .map_batches(compact_one, batch_format="pyarrow")
+        .to_pandas()
+    )
+
+
 # -- heavy hitters (frequent terms) -------------------------------------------
 
 def frequent_terms(

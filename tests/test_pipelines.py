@@ -1375,6 +1375,48 @@ def test_append_to_term_index_equals_full_build(docs, tmp_path):
         assert served.equals(fresh), q
 
 
+def test_compact_term_index_preserves_serving(docs, tmp_path):
+    """Compaction folds append-deltas into one file per bucket without
+    changing what serving returns; re-running is a no-op (the resume
+    property); appending after compaction still works."""
+    import glob
+
+    from high_performance_parallel_search_engine_ray.pipelines import index as ix
+    from high_performance_parallel_search_engine_ray.pipelines import rank as rk
+
+    import pyarrow.compute as _pc
+
+    def _parity(p):
+        return lambda b: b.filter(
+            _pc.equal(_pc.bit_wise_and(b["doc_id"], 1), p)
+        )
+
+    even = docs.map_batches(_parity(0), batch_format="pyarrow")
+    odd = docs.map_batches(_parity(1), batch_format="pyarrow")
+    idx = str(tmp_path / "idx_cmp")
+    ix.write_term_index(even, idx)
+    ix.append_to_term_index(odd, idx)
+    multi = [
+        d
+        for d in glob.glob(f"{idx}/postings/bucket=*")
+        if len(glob.glob(f"{d}/*.parquet")) > 1
+    ]
+    assert multi  # the append actually created deltas to compact
+
+    stats = ix.compact_term_index(idx)
+    assert stats["compacted"].sum() == len(multi)
+    for d in glob.glob(f"{idx}/postings/bucket=*"):
+        assert len(glob.glob(f"{d}/*.parquet")) == 1, d
+    for q in ("hash join", "window sort"):
+        served = rk.bm25_from_index(idx, q, k=10).to_pandas()
+        fresh = rk.bm25_topk(docs, q, k=10).to_pandas()
+        assert served.equals(fresh), q
+
+    again = ix.compact_term_index(idx)  # idempotent: nothing left to merge
+    assert not again["compacted"].any()
+    assert (again["n_files_before"] <= 1).all()
+
+
 def test_bm25_served_equals_fresh(docs, tmp_path):
     """The persisted-index serving path returns exactly what a fresh
     corpus-pass BM25 returns, for multiple queries over one build."""
