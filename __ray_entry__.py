@@ -636,6 +636,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anchor_terms": lambda sf: graph.anchor_terms(
             graph.synth_anchor_spans(_docs(sf))
         ),
+        # maintenance-loop closure: the crawl_diff report -> next round's
+        # frontier admission priorities (removed pages drop out)
+        "recrawl_schedule": lambda sf: dedup.recrawl_schedule(
+            _crawl_diff(sf)
+        ),
     }
 
 
@@ -1470,6 +1475,33 @@ toks AS (
     AND tt NOT IN ('the','a','an','in','of')
 )
 SELECT dst, term, COUNT(*) AS n_links FROM toks GROUP BY dst, term
+""",
+        # the crawl_diff oracle wrapped with the RECRAWL_PRIORITY /
+        # RECRAWL_INTERVAL constants (pipelines/dedup.py); removed pages
+        # leave the schedule
+        "recrawl_schedule": """
+WITH old AS (SELECT doc_id, text FROM documents),
+new AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text
+  FROM documents WHERE doc_id % 13 <> 0
+  UNION ALL
+  SELECT doc_id + 1000000, 'new page ' || doc_id
+  FROM documents WHERE doc_id % 11 = 0
+),
+diff AS (
+  SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+         CASE WHEN o.doc_id IS NULL THEN 'added'
+              WHEN n.doc_id IS NULL THEN 'removed'
+              WHEN o.text <> n.text THEN 'changed'
+              ELSE 'unchanged' END AS status
+  FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+)
+SELECT doc_id, status,
+       CASE status WHEN 'changed' THEN 3 WHEN 'added' THEN 2
+                   ELSE 1 END AS priority,
+       CASE status WHEN 'unchanged' THEN 4 ELSE 1 END AS revisit_after
+FROM diff WHERE status <> 'removed'
 """,
         # lang_id / fingerprints / minhash / simhash / ann_ivf / media /
         # embedding_kmeans / semdedup_drops / crawl_*: non-SQL-expressible

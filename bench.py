@@ -86,6 +86,7 @@ BENCH_QUERIES = [
     "price_quantile_sketch",
     "temperature_mix",
     "anchor_terms",
+    "recrawl_schedule",
 ]
 
 

@@ -1301,3 +1301,105 @@ def snapshot_diff(
         return pd.DataFrame({id_col: ids[starts], "status": status})
 
     return both.groupby("part").map_groups(classify, batch_format="pandas")
+
+
+# -- recrawl scheduling (snapshot diff -> fetch priorities) --------------------
+
+# Change-rate heuristic constants, mirrored literally by the recrawl_schedule
+# oracle SQL: pages observed changing get refetched next round, fresh pages
+# get verified next round, stable pages back off (the doubling-interval
+# idea collapsed to one observation), removed pages leave the frontier.
+RECRAWL_PRIORITY = {"changed": 3, "added": 2, "unchanged": 1}
+RECRAWL_INTERVAL = {"changed": 1, "added": 1, "unchanged": 4}
+
+
+def recrawl_schedule(diff, authority=None, id_col: str = "doc_id"):
+    """(doc_id, status, priority, revisit_after): turn a `snapshot_diff`
+    report into the next crawl round's frontier-admission table — the step
+    that closes the maintenance loop (crawl -> diff -> schedule -> crawl).
+    ``removed`` pages are dropped (nothing to refetch); the rest rank by
+    observed change (changed > added > unchanged) with a per-status
+    revisit interval. Batch-local and shuffle-free: a closed-set
+    `pc.index_in` gather per block.
+
+    With ``authority`` (a (node, in_degree-or-rank) Dataset, e.g.
+    `graph.in_degree` keyed by the same doc ids), an ``auth`` tiebreak
+    column is attached via the cost-based broadcast/shuffle join and the
+    ordering contract becomes (priority desc, auth desc) — high-authority
+    pages refresh first within a change class; missing ids get auth 0."""
+    statuses = pa.array(list(RECRAWL_PRIORITY.keys()), pa.string())
+    prio = np.array(list(RECRAWL_PRIORITY.values()), dtype=np.int64)
+    ival = np.array(list(RECRAWL_INTERVAL.values()), dtype=np.int64)
+
+    def sched(b: pa.Table) -> pa.Table:
+        idx = pc.index_in(b["status"], value_set=statuses)
+        keep = pc.is_valid(idx)  # 'removed' is not in the map -> dropped
+        kept = b.filter(keep)
+        ix = (
+            pc.index_in(kept["status"], value_set=statuses)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        return pa.table(
+            {
+                id_col: kept[id_col],
+                "status": kept["status"],
+                "priority": pa.array(prio[ix], pa.int64()),
+                "revisit_after": pa.array(ival[ix], pa.int64()),
+            }
+        )
+
+    out = diff.map_batches(sched, batch_format="pyarrow")
+    if authority is None:
+        return out
+
+    import ray
+
+    from .relational import BROADCAST_THRESHOLD, _join_partitions
+
+    acols = [c for c in authority.schema().names if c != "node"]
+    if len(acols) != 1:
+        raise ValueError("authority must have exactly (node, <score>) columns")
+
+    def rekey(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                id_col: b["node"],
+                "auth": b[acols[0]].cast(pa.float64()),
+            }
+        )
+
+    auth = authority.map_batches(rekey, batch_format="pyarrow").materialize()
+    if auth.count() <= BROADCAST_THRESHOLD:
+        pdf = auth.to_pandas()
+        keys = pdf[id_col].to_numpy()
+        order = np.argsort(keys, kind="stable")
+        keys, vals = keys[order], pdf["auth"].to_numpy()[order]
+        ref = ray.put((keys, vals))
+
+        def attach(b: pa.Table) -> pa.Table:
+            k, v = ray.get(ref)
+            bk = b[id_col].to_numpy(zero_copy_only=False)
+            idx = np.searchsorted(k, bk)
+            idx_c = np.minimum(idx, max(len(k) - 1, 0))
+            valid = (k[idx_c] == bk) if len(k) else np.zeros(len(bk), bool)
+            a = np.where(valid, v[idx_c], 0.0)  # missing ids: auth 0
+            return b.append_column("auth", pa.array(a, pa.float64()))
+
+        return out.map_batches(attach, batch_format="pyarrow")
+
+    joined = out.join(
+        auth,
+        join_type="left_outer",
+        num_partitions=_join_partitions(1),
+        on=(id_col,),
+        right_on=(id_col,),
+    )
+
+    def fill0(b: pa.Table) -> pa.Table:
+        i = b.schema.get_field_index("auth")
+        return b.set_column(
+            i, "auth", pc.coalesce(b["auth"], pa.scalar(0.0, pa.float64()))
+        )
+
+    return joined.map_batches(fill0, batch_format="pyarrow")

@@ -1906,3 +1906,56 @@ def test_anchor_terms_consume_crawl_spans(ray_session):
     )
     out = graph.anchor_terms(inter).to_pandas()
     assert len(out) == 0
+
+
+def test_recrawl_schedule_authority_paths(ray_session, monkeypatch):
+    """The authority tiebreak attaches via broadcast below the threshold
+    and via left_outer hash join above it — identical output either way;
+    ids absent from the authority table get auth 0, removed pages leave
+    the schedule entirely."""
+    import numpy as np
+    import pyarrow as pa
+
+    from high_performance_parallel_search_engine_ray.pipelines import (
+        dedup,
+        relational,
+    )
+
+    diff = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+                "status": pa.array(
+                    ["changed", "added", "unchanged", "removed", "changed"]
+                ),
+            }
+        )
+    ).repartition(4)
+    auth = rd.from_arrow(
+        pa.table(
+            {
+                "node": pa.array([1, 3, 99], pa.int64()),
+                "in_degree": pa.array([7, 2, 5], pa.int64()),
+            }
+        )
+    )
+
+    def run():
+        return (
+            dedup.recrawl_schedule(diff, authority=auth)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+
+    broadcast = run()
+    monkeypatch.setattr(relational, "BROADCAST_THRESHOLD", 0)
+    joined = run()
+    assert broadcast.equals(joined[broadcast.columns])
+    assert list(broadcast["doc_id"]) == [1, 2, 3, 5]  # 4 (removed) dropped
+    assert list(broadcast["auth"]) == [7.0, 0.0, 2.0, 0.0]
+    # ordering contract: priority desc, auth desc
+    ordered = broadcast.sort_values(
+        ["priority", "auth"], ascending=False
+    )
+    assert list(ordered["doc_id"]) == [1, 5, 2, 3]
