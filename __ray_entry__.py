@@ -641,6 +641,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "recrawl_schedule": lambda sf: dedup.recrawl_schedule(
             _crawl_diff(sf)
         ),
+        # deterministic holdout carving on the LCG mix (decorrelated from
+        # id order; disjoint by construction)
+        "train_val_test_split": lambda sf: text.train_val_test_split(
+            _doc_ids(sf)
+        ),
     }
 
 
@@ -1502,6 +1507,18 @@ SELECT doc_id, status,
                    ELSE 1 END AS priority,
        CASE status WHEN 'unchanged' THEN 4 ELSE 1 END AS revisit_after
 FROM diff WHERE status <> 'removed'
+""",
+        # the pseudo_shuffle_shards LCG mix thresholded at 90/95
+        "train_val_test_split": """
+SELECT doc_id,
+       CASE WHEN r < 90 THEN 'train'
+            WHEN r < 95 THEN 'val'
+            ELSE 'test' END AS split
+FROM (
+  SELECT doc_id,
+         ((doc_id * 2654435761 + 1013904223) % 4294967296) % 100 AS r
+  FROM documents
+)
 """,
         # lang_id / fingerprints / minhash / simhash / ann_ivf / media /
         # embedding_kmeans / semdedup_drops / crawl_*: non-SQL-expressible

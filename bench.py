@@ -87,6 +87,7 @@ BENCH_QUERIES = [
     "temperature_mix",
     "anchor_terms",
     "recrawl_schedule",
+    "train_val_test_split",
 ]
 
 

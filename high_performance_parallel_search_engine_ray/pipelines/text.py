@@ -867,6 +867,42 @@ def write_train_shards(
 
 # -- pseudo-shuffle shard split (training output layout) ---------------------
 
+def train_val_test_split(
+    docs,
+    train_pct: int = 90,
+    val_pct: int = 5,
+    id_col: str = "doc_id",
+):
+    """(doc_id, split): deterministic train/val/test assignment — the
+    holdout-carving step every training corpus needs before packing.
+    Uses `pseudo_shuffle_shards`' 32-bit LCG mix (not the raw id) so the
+    split is decorrelated from crawl/id order, then thresholds
+    ``mix % 100``: [0, train_pct) -> train, [train_pct, train_pct+val_pct)
+    -> val, rest -> test. Batch-local, shuffle-free, retry-reproducible,
+    and disjoint by construction — the id-keyed analog of the
+    `stratified_sample` predicate, mirrored literally by the SQL oracle.
+    Same int64-exactness bound as pseudo_shuffle_shards (doc_id < ~3.4e9;
+    swap in splitmix64 beyond)."""
+    import numpy as np
+
+    t_hi, v_hi = int(train_pct), int(train_pct) + int(val_pct)
+
+    def assign(b: pa.Table) -> pa.Table:
+        ids = b[id_col].combine_chunks().to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        r = ((ids * 2654435761 + 1013904223) % (2**32)) % 100
+        split = np.where(r < t_hi, "train", np.where(r < v_hi, "val", "test"))
+        return pa.table(
+            {
+                id_col: pa.array(ids, pa.int64()),
+                "split": pa.array(split, pa.string()),
+            }
+        )
+
+    return docs.map_batches(assign, batch_format="pyarrow")
+
+
 def pseudo_shuffle_shards(docs, n_shards: int = 16, id_col: str = "doc_id"):
     """(doc_id, shard, train_pos): deterministic global-shuffle-equivalent.
 
