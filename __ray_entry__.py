@@ -646,6 +646,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "train_val_test_split": lambda sf: text.train_val_test_split(
             _doc_ids(sf)
         ),
+        # the bloom-gated decontamination scale path: must EQUAL the exact
+        # operator (verify join kills every bloom false positive), so it
+        # shares decontaminate's oracle
+        "decontaminate_bloom": lambda sf: text.decontaminate_bloom(
+            _docs(sf), n=4
+        ),
     }
 
 
@@ -670,7 +676,7 @@ _SAMPLE_RATES = {
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    sqls = {
         "pricing_summary": """
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 2)                          AS sum_qty,
@@ -1525,6 +1531,10 @@ FROM (
         # (heuristic, probabilistic-but-seeded, stateful iterative, or
         # stubbed-decode) -> driver rows-only check.
     }
+    # the bloom-gated scale path is contract-equal to the exact operator
+    # (its verify join removes every bloom false positive)
+    sqls["decontaminate_bloom"] = sqls["decontaminate"]
+    return sqls
 
 
 def _bm25_sql(terms: list[str]) -> str:

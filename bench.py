@@ -88,6 +88,7 @@ BENCH_QUERIES = [
     "anchor_terms",
     "recrawl_schedule",
     "train_val_test_split",
+    "decontaminate_bloom",
 ]
 
 

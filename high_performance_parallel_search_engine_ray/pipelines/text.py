@@ -573,6 +573,29 @@ def temperature_mix(
 
 # -- decontamination (benchmark n-gram overlap) -------------------------------
 
+def _word_ngrams(b: pa.Table, n: int, text_col: str) -> tuple:
+    """(parents, gram_series) of word-n-grams for a batch — the shared
+    gram kernel of `decontaminate` and `decontaminate_bloom`."""
+    import numpy as np
+    import pandas as pd
+
+    toks = pc.split_pattern_regex(b[text_col], r"\s+")
+    flat = pc.list_flatten(toks)
+    parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+    keep = pc.greater(pc.utf8_length(flat), 0).to_numpy(zero_copy_only=False)
+    words = flat.to_pandas().to_numpy()[keep]
+    parents = parents[keep]
+    if len(words) < n:
+        return np.array([], dtype=np.int64), pd.Series([], dtype=object)
+    valid = parents[: -(n - 1)] == parents[n - 1 :]
+    gp = parents[: -(n - 1)][valid]
+    g = pd.Series(words[: -(n - 1)][valid])
+    for k in range(1, n):
+        end = -(n - 1 - k) or None
+        g = g + " " + pd.Series(words[k:end][valid])
+    return gp, g
+
+
 def decontaminate(
     docs,
     eval_mod: int = 97,
@@ -587,28 +610,14 @@ def decontaminate(
     into the corpus. Shape: the eval slice's distinct grams are small by
     construction (benchmarks are), so they broadcast once via ray.put and
     the screen itself is an embarrassingly parallel is_in over each
-    training doc's grams — no shuffle touches the corpus."""
+    training doc's grams — no shuffle touches the corpus. For eval sets
+    too large to broadcast as strings, see `decontaminate_bloom`."""
     import numpy as np
     import pandas as pd
     import ray
 
     def grams_of(b: pa.Table) -> tuple:
-        """(parents, gram_series) of word-n-grams for a batch."""
-        toks = pc.split_pattern_regex(b[text_col], r"\s+")
-        flat = pc.list_flatten(toks)
-        parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
-        keep = pc.greater(pc.utf8_length(flat), 0).to_numpy(zero_copy_only=False)
-        words = flat.to_pandas().to_numpy()[keep]
-        parents = parents[keep]
-        if len(words) < n:
-            return np.array([], dtype=np.int64), pd.Series([], dtype=object)
-        valid = parents[: -(n - 1)] == parents[n - 1 :]
-        gp = parents[: -(n - 1)][valid]
-        g = pd.Series(words[: -(n - 1)][valid])
-        for k in range(1, n):
-            end = -(n - 1 - k) or None
-            g = g + " " + pd.Series(words[k:end][valid])
-        return gp, g
+        return _word_ngrams(b, n, text_col)
 
     def eval_grams(b: pa.Table) -> pa.Table:
         ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -651,6 +660,115 @@ def decontaminate(
         return out.filter(pc.greater(out["n_shared_ngrams"], 0))
 
     return docs.map_batches(screen, batch_format="pyarrow")
+
+
+def decontaminate_bloom(
+    docs,
+    eval_mod: int = 97,
+    n: int = 8,
+    fp_rate: float = 0.01,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """The SCALE path of `decontaminate`, for held-out sets too large to
+    broadcast as exact gram strings (a multi-benchmark suite at 100 TB):
+
+      1. eval gram HASHES (vectorized 64-bit) are deduped by one
+         eval-side-only groupby and streamed into a bloom filter on the
+         driver — the broadcast is the fixed-size filter (~10 bits/gram at
+         1% fp), not the grams;
+      2. the corpus screen is an embarrassingly parallel vectorized bloom
+         probe per batch emitting candidate (doc_id, gram_hash)
+         OCCURRENCES — true hits plus ~fp_rate of the corpus grams;
+      3. candidates hash-join the exact eval hash set (both sides are
+         now tiny/pruned), killing every false positive, then a per-doc
+         count rebuilds n_shared_ngrams.
+
+    Output equals `decontaminate` exactly, modulo 64-bit gram-hash
+    collisions (the standard hashed-decontamination trade; a pytest pins
+    equality at test scale). The corpus never shuffles — only candidate
+    hash rows do."""
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from ray.data.aggregate import Count
+
+    from ..state.bloom import CountingBloomFilter
+    from .relational import _join_partitions
+
+    def _hashes(g: pd.Series) -> np.ndarray:
+        return pd.util.hash_array(g.to_numpy(object), categorize=False)
+
+    def eval_hashes(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        eb = b.filter(pa.array(ids % eval_mod == 0))
+        if eb.num_rows == 0:
+            return pa.table({"gram_hash": pa.array([], pa.int64())})
+        _, g = _word_ngrams(eb, n, text_col)
+        return pa.table(
+            {
+                "gram_hash": pa.array(
+                    np.unique(_hashes(g)).view(np.int64), pa.int64()
+                )
+            }
+        )
+
+    # one eval-side shuffle (eval-gram scale, not corpus scale) makes the
+    # hash set globally unique, so the verify join cannot double-count
+    eset = (
+        docs.map_batches(eval_hashes, batch_format="pyarrow")
+        .groupby("gram_hash")
+        .aggregate(Count())
+        .drop_columns(["count()"])
+        .materialize()
+    )
+    n_eval = eset.count()
+    bloom = CountingBloomFilter(capacity=max(n_eval, 1), fp_rate=fp_rate)
+    for batch in eset.iter_batches(batch_format="pyarrow"):
+        bloom.add_many(
+            batch["gram_hash"].to_numpy(zero_copy_only=False).view(np.uint64)
+        )
+    bloom_ref = ray.put(bloom.to_state())
+
+    def screen(b: pa.Table) -> pa.Table:
+        ids_all = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        train = b.filter(pa.array(ids_all % eval_mod != 0))
+        empty = pa.table(
+            {
+                id_col: pa.array([], b[id_col].type),
+                "gram_hash": pa.array([], pa.int64()),
+            }
+        )
+        if train.num_rows == 0:
+            return empty
+        gp, g = _word_ngrams(train, n, text_col)
+        if not len(gp):
+            return empty
+        hs = _hashes(g)
+        bf = CountingBloomFilter.from_state(ray.get(bloom_ref))
+        hit = bf.might_contain_many(hs.astype(np.uint64))
+        return pa.table(
+            {
+                id_col: train[id_col].combine_chunks().take(
+                    pa.array(gp[hit])
+                ),
+                "gram_hash": pa.array(hs[hit].view(np.int64), pa.int64()),
+            }
+        )
+
+    candidates = docs.map_batches(screen, batch_format="pyarrow")
+    verified = candidates.join(
+        eset,
+        join_type="inner",
+        num_partitions=_join_partitions(1),
+        on=("gram_hash",),
+        right_on=("gram_hash",),
+    )
+    return (
+        verified.groupby(id_col)
+        .aggregate(Count(alias_name="n_shared_ngrams"))
+    )
 
 
 # -- deterministic stratified sampling (source mixing) -----------------------

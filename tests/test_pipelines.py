@@ -1959,3 +1959,32 @@ def test_recrawl_schedule_authority_paths(ray_session, monkeypatch):
         ["priority", "auth"], ascending=False
     )
     assert list(ordered["doc_id"]) == [1, 5, 2, 3]
+
+
+def test_decontaminate_bloom_equals_exact(docs):
+    """The bloom-gated scale path must return exactly what the exact
+    broadcast screen returns — including at fp_rate=0.5, where roughly
+    half of all corpus grams pass the bloom and the verify join has to
+    kill every false positive."""
+    from high_performance_parallel_search_engine_ray.pipelines.text import (
+        decontaminate,
+        decontaminate_bloom,
+    )
+
+    exact = (
+        decontaminate(docs, n=4)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert len(exact) > 0  # the fixture corpus actually has contamination
+    for fp in (0.01, 0.5):
+        bloom = (
+            decontaminate_bloom(docs, n=4, fp_rate=fp)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert exact.equals(
+            bloom[exact.columns].astype(exact.dtypes.to_dict())
+        ), fp

@@ -139,6 +139,8 @@ def test_registry_ordering_contract():
         "media_context_pairs", "span_dedup_structured", "bm25_served",
         "search_snippets", "co_citation", "link_in_degree", "crawl_diff",
         "source_quality", "frequent_terms", "top_terms_per_source",
+        "temperature_rates", "temperature_mix", "anchor_terms",
+        "recrawl_schedule", "train_val_test_split", "decontaminate_bloom",
     }
     assert set(entry_mod.oracle_sql()) - overflow_ok <= first50
     for critical in (
