@@ -652,6 +652,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate_bloom": lambda sf: text.decontaminate_bloom(
             _docs(sf), n=4
         ),
+        # fixed-stride token-window chunking (long-doc training prep):
+        # overlapping 64-token windows every 32 tokens, shuffle-free
+        "chunk_windows": lambda sf: text.chunk_token_windows(
+            _docs(sf), window=64, stride=32
+        ),
     }
 
 
@@ -1534,6 +1539,21 @@ FROM (
     # the bloom-gated scale path is contract-equal to the exact operator
     # (its verify join removes every bloom false positive)
     sqls["decontaminate_bloom"] = sqls["decontaminate"]
+    # fixed-stride token windows: window k of doc covers \S+ tokens
+    # [32k, 32k+64), emitted while 32k < n_tokens; 0-token docs emit none
+    sqls["chunk_windows"] = r"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(text, '\S+') AS toks,
+         len(regexp_extract_all(text, '\S+')) AS n
+  FROM documents
+), g AS (
+  SELECT doc_id, toks, n, unnest(range(0, n, 32)) AS s FROM t WHERE n > 0
+)
+SELECT doc_id, CAST(s / 32 AS BIGINT) AS chunk_id,
+       CAST(least(64, n - s) AS BIGINT) AS n_tokens,
+       array_to_string(toks[s + 1 : least(s + 64, n)], ' ') AS chunk_text
+FROM g
+"""
     return sqls
 
 

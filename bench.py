@@ -89,6 +89,7 @@ BENCH_QUERIES = [
     "recrawl_schedule",
     "train_val_test_split",
     "decontaminate_bloom",
+    "chunk_windows",
 ]
 
 

@@ -948,6 +948,77 @@ def pack_interleaved(inter, budget: int = 2048, n_parts: int = 64):
     )
 
 
+def chunk_token_windows(
+    docs,
+    window: int = 256,
+    stride: int = 128,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """(doc_id, chunk_id, n_tokens, chunk_text): fixed-stride token-window
+    chunking — the long-document training prep that slices each doc's
+    whitespace-token sequence into windows of up to ``window`` tokens
+    starting every ``stride`` tokens (stride < window overlaps, stride ==
+    window tiles). Window k covers tokens [k*stride, k*stride+window) and
+    windows are emitted while k*stride < n_tokens, so every token lands in
+    at least one chunk and tail chunks may be short; 0-token docs emit no
+    chunks. ``chunk_text`` is the window's tokens joined by a single space
+    (whitespace-collapsing, same token alphabet as ``token_count_table``'s
+    ``n_ws_tokens``).
+
+    Fully vectorized and shuffle-free: per batch, split -> flat word array
+    -> numpy repeat/arange window index construction -> one ``take`` + one
+    ``binary_join``. No per-row Python; 100-TB shape is a pure map."""
+    import numpy as np
+
+    W, S = int(window), int(stride)
+    if W <= 0 or S <= 0:
+        raise ValueError("window and stride must be positive")
+
+    def chunk(b: pa.Table) -> pa.Table:
+        ids = b[id_col].combine_chunks()
+        txt = pc.utf8_trim_whitespace(pc.fill_null(b[text_col].combine_chunks(), ""))
+        words = pc.split_pattern_regex(txt, r"\s+")
+        flat_words = pc.list_flatten(words)
+        if isinstance(flat_words, pa.ChunkedArray):
+            flat_words = flat_words.combine_chunks()
+        # actual list layout lengths (empty text splits to [""] — length 1)
+        wl = pc.list_value_length(words).to_numpy(zero_copy_only=False).astype(np.int64)
+        word_starts = np.zeros(len(wl) + 1, np.int64)
+        np.cumsum(wl, out=word_starts[1:])
+        # token counts under the \S+ contract (0 for empty/ws-only text)
+        wc = (
+            pc.count_substring_regex(txt, r"\S+")
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        n_chunks = np.where(wc > 0, (wc + S - 1) // S, 0)
+        total = int(n_chunks.sum())
+        first_chunk = np.cumsum(n_chunks) - n_chunks
+        doc_of_chunk = np.repeat(np.arange(len(wc)), n_chunks)
+        chunk_rank = np.arange(total) - first_chunk[doc_of_chunk]
+        rel_start = chunk_rank * S
+        lens = np.minimum(W, wc[doc_of_chunk] - rel_start)
+        total_pos = int(lens.sum())
+        first_pos = np.cumsum(lens) - lens
+        pos_rank = np.arange(total_pos) - np.repeat(first_pos, lens)
+        tok_idx = np.repeat(word_starts[doc_of_chunk] + rel_start, lens) + pos_rank
+        chunk_list = pa.ListArray.from_arrays(
+            pa.array(np.append(first_pos, total_pos).astype(np.int32), pa.int32()),
+            flat_words.take(pa.array(tok_idx, pa.int64())),
+        )
+        return pa.table(
+            {
+                id_col: ids.take(pa.array(doc_of_chunk, pa.int64())),
+                "chunk_id": pa.array(chunk_rank, pa.int64()),
+                "n_tokens": pa.array(lens, pa.int64()),
+                "chunk_text": pc.binary_join(chunk_list, " ").cast(pa.string()),
+            }
+        )
+
+    return docs.map_batches(chunk, batch_format="pyarrow")
+
+
 def write_train_shards(
     docs,
     out_dir: str,

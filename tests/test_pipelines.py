@@ -1988,3 +1988,61 @@ def test_decontaminate_bloom_equals_exact(docs):
         assert exact.equals(
             bloom[exact.columns].astype(exact.dtypes.to_dict())
         ), fp
+
+
+def test_chunk_token_windows_matches_serial(ray_session):
+    """Vectorized window construction == the serial per-doc slicer, across
+    empty/ws-only docs, a 1-token doc, exact-multiple and short-tail
+    lengths, with stride<window overlap — forced through empty blocks
+    (repartition(8)) to pin the multi-block path."""
+    import pyarrow as pa
+
+    from high_performance_parallel_search_engine_ray.pipelines.text import (
+        chunk_token_windows,
+    )
+
+    docs = [
+        (0, "a b c d e f g"),
+        (1, ""),
+        (2, "   \t \n "),
+        (3, "one"),
+        (4, "  x  y\nz "),
+        (5, " ".join(f"t{i}" for i in range(8))),  # exact multiple of stride
+        (6, " ".join(f"u{i}" for i in range(9))),  # short tail window
+    ]
+    ds = rd.from_arrow(
+        pa.table(
+            {"doc_id": [d[0] for d in docs], "text": [d[1] for d in docs]}
+        )
+    ).repartition(8)
+    out = chunk_token_windows(ds, window=4, stride=2).take_all()
+    out.sort(key=lambda r: (r["doc_id"], r["chunk_id"]))
+
+    def serial(did, text, W=4, S=2):
+        toks = text.split()
+        k = 0
+        while k * S < len(toks):
+            w = toks[k * S : k * S + W]
+            yield {
+                "doc_id": did,
+                "chunk_id": k,
+                "n_tokens": len(w),
+                "chunk_text": " ".join(w),
+            }
+            k += 1
+
+    exp = sorted(
+        (r for d in docs for r in serial(*d)),
+        key=lambda r: (r["doc_id"], r["chunk_id"]),
+    )
+    assert out == exp
+    # every token is covered: tiling strides reassemble the original
+    tiled = chunk_token_windows(ds, window=3, stride=3).take_all()
+    tiled.sort(key=lambda r: (r["doc_id"], r["chunk_id"]))
+    rebuilt = {}
+    for r in tiled:
+        rebuilt[r["doc_id"]] = (
+            rebuilt.get(r["doc_id"], "") + " " + r["chunk_text"]
+        ).strip()
+    for did, text in docs:
+        assert rebuilt.get(did, "") == " ".join(text.split())
