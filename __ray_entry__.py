@@ -657,6 +657,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_windows": lambda sf: text.chunk_token_windows(
             _docs(sf), window=64, stride=32
         ),
+        # word2vec-style phrase mining: top-k adjacent-pair PMI over the
+        # kept-token sequence; (term,n)/(w1,w2,n) shuffles only
+        "phrase_pmi": lambda sf: index.phrase_pmi(_docs(sf)),
     }
 
 
@@ -1553,6 +1556,33 @@ SELECT doc_id, CAST(s / 32 AS BIGINT) AS chunk_id,
        CAST(least(64, n - s) AS BIGINT) AS n_tokens,
        array_to_string(toks[s + 1 : least(s + 64, n)], ' ') AS chunk_text
 FROM g
+"""
+    # adjacent-pair PMI over the kept-token sequence (list_filter mirrors
+    # the tokenizer's length/stopword gate with order preserved)
+    sqls["phrase_pmi"] = f"""
+WITH kept AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '{_TOKEN_RE_SQL}'),
+                     x -> x <> '' AND length(x) <= 62
+                          AND x NOT IN ('the','a','an','in','of')) AS a
+  FROM documents
+),
+uni AS (
+  SELECT t AS term, count(*) AS n_term
+  FROM (SELECT unnest(a) AS t FROM kept) GROUP BY 1
+),
+tot AS (SELECT CAST(sum(n_term) AS DOUBLE) AS n FROM uni),
+pos AS (SELECT a, unnest(range(1, len(a))) AS i FROM kept WHERE len(a) > 1),
+big AS (
+  SELECT a[i] AS w1, a[i + 1] AS w2, count(*) AS n_ab
+  FROM pos GROUP BY 1, 2 HAVING count(*) >= 3
+)
+SELECT b.w1, b.w2, b.n_ab,
+       round(ln(b.n_ab * tot.n / (ua.n_term * ub.n_term)), 6) AS pmi
+FROM big b, tot
+JOIN uni ua ON ua.term = b.w1
+JOIN uni ub ON ub.term = b.w2
+ORDER BY pmi DESC, w1, w2 LIMIT 50
 """
     return sqls
 

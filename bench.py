@@ -90,6 +90,7 @@ BENCH_QUERIES = [
     "train_val_test_split",
     "decontaminate_bloom",
     "chunk_windows",
+    "phrase_pmi",
 ]
 
 

@@ -453,3 +453,114 @@ def top_terms_per_source(
         return out
 
     return agg.groupby(source_col).map_groups(topk, batch_format="pandas")
+
+
+def phrase_pmi(
+    docs,
+    min_count: int = 3,
+    k: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """(w1, w2, n_ab, pmi): word2vec-style phrase mining — the top-k
+    adjacent token pairs by pointwise mutual information
+    ``pmi = ln(n_ab * N / (n_w1 * n_w2))`` (N = total kept tokens), among
+    pairs seen at least ``min_count`` times. Adjacency is over the KEPT
+    token sequence (the shared serial-tokenizer kernel: lowercase, split,
+    length/stopword filter — order preserved), so both sides of a dropped
+    stopword become adjacent, matching the oracle's list_filter semantics.
+
+    Shape: per-block bigram/unigram partial counts (one slice-compare +
+    Arrow group_by each, no per-row Python) -> (w1,w2,n)/(term,n) shuffles
+    -> min_count gate -> unigram counts attached via the cost-based
+    broadcast/shuffle join (vocab-scale safe) -> vectorized pmi -> global
+    sort + limit(k). At 100 TB the min_count gate is the boundedness knob
+    (scale it as a rate, or front it with the `frequent_terms` Misra-Gries
+    sketch); nothing here materializes the vocabulary on the driver.
+    Deterministic tiebreak: (pmi desc, w1 asc, w2 asc); pmi rounded 6dp."""
+    import numpy as np
+
+    from ray.data.aggregate import Sum
+
+    from ..functions.rounding import round_half_away
+    from .relational import _attach_or_join, _join_partitions
+
+    big_schema = pa.schema(
+        [("w1", pa.string()), ("w2", pa.string()), ("n", pa.int64())]
+    )
+
+    def bigram_partials(b: pa.Table) -> pa.Table:
+        tok = tokenize_batch(b, id_col, text_col)
+        n = tok.num_rows
+        if n < 2:
+            return big_schema.empty_table()
+        ids = tok["doc_id"].combine_chunks()
+        terms = tok["term"].combine_chunks()
+        same = pc.equal(ids.slice(0, n - 1), ids.slice(1, n))
+        t = pa.table(
+            {
+                "w1": pc.filter(terms.slice(0, n - 1), same),
+                "w2": pc.filter(terms.slice(1, n), same),
+            }
+        )
+        g = t.group_by(["w1", "w2"]).aggregate([([], "count_all")])
+        return g.rename_columns(["w1", "w2", "n"]).cast(big_schema)
+
+    def uni_partials(b: pa.Table) -> pa.Table:
+        g = (
+            tokenize_batch(b, id_col, text_col)
+            .group_by(["term"])
+            .aggregate([([], "count_all")])
+        )
+        return g.rename_columns(["term", "n"])
+
+    uni = (
+        docs.map_batches(uni_partials, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("n", alias_name="n_term"))
+        .materialize()
+    )
+    total = float(uni.aggregate(Sum("n_term"))["sum(n_term)"])
+
+    big = (
+        docs.map_batches(bigram_partials, batch_format="pyarrow")
+        .groupby(["w1", "w2"])
+        .aggregate(Sum("n", alias_name="n_ab"))
+        .map_batches(
+            lambda b: b.filter(pc.greater_equal(b["n_ab"], min_count)),
+            batch_format="pyarrow",
+        )
+    )
+
+    npart = _join_partitions(n_joins=2)
+    with_a = _attach_or_join(
+        big, "w1", uni, "term", ["n_term"], npart, launder_fact=True
+    ).map_batches(
+        lambda b: b.rename_columns(
+            ["n_a" if c == "n_term" else c for c in b.column_names]
+        ),
+        batch_format="pyarrow",
+    )
+    with_b = _attach_or_join(
+        with_a, "w2", uni, "term", ["n_term"], npart, launder_fact=True
+    )
+
+    def score(b: pa.Table) -> pa.Table:
+        n_ab = b["n_ab"].to_numpy(zero_copy_only=False).astype(np.float64)
+        n_a = b["n_a"].to_numpy(zero_copy_only=False).astype(np.float64)
+        n_b = b["n_term"].to_numpy(zero_copy_only=False).astype(np.float64)
+        pmi = round_half_away(np.log(n_ab * total / (n_a * n_b)), 6)
+        return pa.table(
+            {
+                "w1": b["w1"],
+                "w2": b["w2"],
+                "n_ab": b["n_ab"],
+                "pmi": pa.array(pmi, pa.float64()),
+            }
+        )
+
+    return (
+        with_b.map_batches(score, batch_format="pyarrow")
+        .sort(["pmi", "w1", "w2"], descending=[True, False, False])
+        .limit(k)
+    )

@@ -2046,3 +2046,51 @@ def test_chunk_token_windows_matches_serial(ray_session):
         ).strip()
     for did, text in docs:
         assert rebuilt.get(did, "") == " ".join(text.split())
+
+
+def test_phrase_pmi_adjacency_and_gate(ray_session):
+    """PMI phrase mining: adjacency is over the KEPT token sequence (both
+    sides of a dropped stopword become adjacent), pairs never cross doc
+    boundaries, the min_count gate holds, and pmi matches a hand rollup."""
+    import math
+
+    import pyarrow as pa
+
+    from high_performance_parallel_search_engine_ray.pipelines.index import (
+        phrase_pmi,
+    )
+
+    # "new" + "york" adjacent 3x; "san the francisco" -> stopword dropped,
+    # so (san, francisco) is adjacent 3x too; (york, san) occurs 3x WITHIN
+    # docs — doc0 ends with york and doc1 starts with san, so a
+    # boundary-ignoring implementation would count 4
+    docs = [
+        (0, "new york san the francisco new york"),
+        (1, "san the francisco york san"),
+        (2, "new york san of francisco"),
+    ]
+    ds = rd.from_arrow(
+        pa.table(
+            {"doc_id": [d[0] for d in docs], "text": [d[1] for d in docs]}
+        )
+    ).repartition(8)
+    out = phrase_pmi(ds, min_count=3, k=10).take_all()
+    pairs = {(r["w1"], r["w2"]): r for r in out}
+    assert ("new", "york") in pairs and pairs[("new", "york")]["n_ab"] == 3
+    assert ("san", "francisco") in pairs
+    assert pairs[("san", "francisco")]["n_ab"] == 3
+    # doc-boundary pairs never count: 3 within-doc occurrences, not 4
+    assert pairs[("york", "san")]["n_ab"] == 3
+    # (francisco, new): 1 within doc0 < min_count -> gated out
+    assert ("francisco", "new") not in pairs
+    # hand-check pmi: N kept tokens, unigram counts from the kept stream
+    toks = [
+        t
+        for _, x in docs
+        for t in x.lower().split()
+        if t not in ("the", "a", "an", "in", "of")
+    ]
+    n = len(toks)
+    c = {t: toks.count(t) for t in set(toks)}
+    exp = round(math.log(3 * n / (c["new"] * c["york"])), 6)
+    assert pairs[("new", "york")]["pmi"] == exp
