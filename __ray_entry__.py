@@ -660,6 +660,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # word2vec-style phrase mining: top-k adjacent-pair PMI over the
         # kept-token sequence; (term,n)/(w1,w2,n) shuffles only
         "phrase_pmi": lambda sf: index.phrase_pmi(_docs(sf)),
+        # fixed-width price histogram: per-block bincount partials,
+        # constant-size (bin, n) exchange
+        "price_histogram": lambda sf: relational.price_histogram(sf),
+        # tokenizer-prep vocabulary: top-V terms with contiguous rank ids
+        "vocab_build": lambda sf: index.build_vocab(_docs(sf), size=1000),
     }
 
 
@@ -1583,6 +1588,26 @@ FROM big b, tot
 JOIN uni ua ON ua.term = b.w1
 JOIN uni ub ON ub.term = b.w2
 ORDER BY pmi DESC, w1, w2 LIMIT 50
+"""
+    # fixed-width histogram: same double-arithmetic order as the numpy
+    # kernel ((x - lo) * nbins / span, clamped to the edge bins)
+    sqls["price_histogram"] = """
+WITH idx AS (
+  SELECT least(greatest(CAST(floor((l_extendedprice - 0.0) * 20 / 120000.0)
+                             AS BIGINT), 0), 19) AS bin
+  FROM lineitem
+)
+SELECT bin, 0.0 + bin * 120000.0 / 20 AS lo_edge,
+       0.0 + (bin + 1.0) * 120000.0 / 20 AS hi_edge,
+       count(*) AS n
+FROM idx GROUP BY bin ORDER BY bin
+"""
+    sqls["vocab_build"] = f"""
+WITH {_TOKS_CTE},
+uni AS (SELECT term, count(*) AS n_term FROM toks GROUP BY 1)
+SELECT term, n_term,
+       row_number() OVER (ORDER BY n_term DESC, term) - 1 AS vocab_id
+FROM uni ORDER BY n_term DESC, term LIMIT 1000
 """
     return sqls
 

@@ -91,6 +91,8 @@ BENCH_QUERIES = [
     "decontaminate_bloom",
     "chunk_windows",
     "phrase_pmi",
+    "price_histogram",
+    "vocab_build",
 ]
 
 

@@ -564,3 +564,47 @@ def phrase_pmi(
         .sort(["pmi", "w1", "w2"], descending=[True, False, False])
         .limit(k)
     )
+
+
+def build_vocab(
+    docs,
+    size: int = 1000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """(term, n_term, vocab_id): tokenizer-prep vocabulary — the top
+    ``size`` kept terms by corpus count with contiguous rank ids
+    (deterministic tiebreak: count desc, term asc; vocab_id 0-based in
+    that order). Distributed shape: per-block term-count partials ->
+    (term, n) groupby -> distributed sort + limit(size); only the
+    size-bounded result is pulled to assign ids (the vocabulary OUTPUT is
+    driver-bounded by contract, the corpus vocabulary never is).
+    Returns a pandas DataFrame of at most ``size`` rows."""
+    import numpy as np
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    def partials(b: pa.Table) -> pa.Table:
+        g = (
+            tokenize_batch(b, id_col, text_col)
+            .group_by(["term"])
+            .aggregate([([], "count_all")])
+        )
+        return g.rename_columns(["term", "n"])
+
+    top = (
+        docs.map_batches(partials, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("n", alias_name="n_term"))
+        .sort(["n_term", "term"], descending=[True, False])
+        .limit(size)
+        .to_pandas()
+    )
+    # re-sort driver-side (block order after limit is already sorted; this
+    # is belt-and-braces for id assignment determinism)
+    top = top.sort_values(
+        ["n_term", "term"], ascending=[False, True], kind="stable"
+    ).reset_index(drop=True)
+    top["vocab_id"] = np.arange(len(top), dtype=np.int64)
+    return top[["term", "n_term", "vocab_id"]]

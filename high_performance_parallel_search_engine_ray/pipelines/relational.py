@@ -1193,3 +1193,56 @@ def tdigest_quantiles(
             [float(np.interp(q, cum, v))], pa.float64()
         )
     return pa.table(out)
+
+
+def price_histogram(
+    sf_dir: str,
+    nbins: int = 20,
+    lo: float = 0.0,
+    hi: float = 120000.0,
+):
+    """(bin, lo_edge, hi_edge, n): fixed-width histogram of
+    lineitem.l_extendedprice — per-block np.bincount partials over the
+    clamped bin index (out-of-range values land in the edge bins), then a
+    tiny (bin, n) groupby-sum; only non-empty bins are emitted. The shuffle
+    carries at most ``nbins`` rows per block — histogramming at 100 TB is
+    a pure map plus a constant-size exchange. Bin math is plain double
+    arithmetic in the same operation order as the SQL mirror."""
+    from ray.data.aggregate import Sum
+
+    span = float(hi) - float(lo)
+
+    def partial(b: pa.Table) -> pa.Table:
+        x = b["l_extendedprice"].to_numpy(zero_copy_only=False)
+        idx = np.floor((x - lo) * nbins / span).astype(np.int64)
+        np.clip(idx, 0, nbins - 1, out=idx)
+        counts = np.bincount(idx, minlength=nbins)
+        nz = np.nonzero(counts)[0]
+        return pa.table(
+            {
+                "bin": pa.array(nz, pa.int64()),
+                "n": pa.array(counts[nz], pa.int64()),
+            }
+        )
+
+    agg = (
+        _read(sf_dir, "lineitem", ["l_extendedprice"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("bin")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def edges(b: pa.Table) -> pa.Table:
+        bins = b["bin"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {
+                "bin": b["bin"],
+                "lo_edge": pa.array(lo + bins * span / nbins, pa.float64()),
+                "hi_edge": pa.array(
+                    lo + (bins + 1.0) * span / nbins, pa.float64()
+                ),
+                "n": b["n"],
+            }
+        )
+
+    return agg.map_batches(edges, batch_format="pyarrow").sort("bin")

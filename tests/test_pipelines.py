@@ -2094,3 +2094,59 @@ def test_phrase_pmi_adjacency_and_gate(ray_session):
     c = {t: toks.count(t) for t in set(toks)}
     exp = round(math.log(3 * n / (c["new"] * c["york"])), 6)
     assert pairs[("new", "york")]["pmi"] == exp
+
+
+def test_price_histogram_clamps_and_merges(ray_session, tmp_path):
+    """Out-of-range values clamp into the edge bins, empty bins are
+    omitted, and per-block partials merge exactly across many blocks."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from high_performance_parallel_search_engine_ray.pipelines.relational import (
+        price_histogram,
+    )
+
+    vals = [-5.0, 0.0, 9.99, 10.0, 55.0, 99.9, 100.0, 250.0]
+    pq.write_table(
+        pa.table({"l_extendedprice": pa.array(vals, pa.float64())}),
+        str(tmp_path / "lineitem.parquet"),
+    )
+    out = (
+        price_histogram(str(tmp_path), nbins=10, lo=0.0, hi=100.0)
+        .to_pandas()
+        .set_index("bin")
+    )
+    # -5 clamps to bin 0; 100 and 250 clamp to bin 9
+    assert out.loc[0, "n"] == 3  # -5.0, 0.0, 9.99
+    assert out.loc[1, "n"] == 1  # 10.0
+    assert out.loc[5, "n"] == 1  # 55.0
+    assert out.loc[9, "n"] == 3  # 99.9, 100.0, 250.0
+    assert set(out.index) == {0, 1, 5, 9}  # empty bins omitted
+    assert out.loc[5, "lo_edge"] == 50.0 and out.loc[5, "hi_edge"] == 60.0
+    assert int(out["n"].sum()) == len(vals)
+
+
+def test_build_vocab_rank_and_tiebreak(ray_session):
+    """vocab_id is the (count desc, term asc) rank; the size cap keeps the
+    top terms; multi-block partials sum exactly."""
+    import pyarrow as pa
+
+    from high_performance_parallel_search_engine_ray.pipelines.index import (
+        build_vocab,
+    )
+
+    docs = [
+        (0, "apple banana apple cherry"),
+        (1, "banana apple date cherry banana"),
+        (2, "elder apple banana"),
+    ]
+    ds = rd.from_arrow(
+        pa.table(
+            {"doc_id": [d[0] for d in docs], "text": [d[1] for d in docs]}
+        )
+    ).repartition(8)
+    v = build_vocab(ds, size=3)
+    assert list(v["term"]) == ["apple", "banana", "cherry"]
+    assert list(v["n_term"]) == [4, 4, 2]  # apple before banana: term asc tie
+    assert list(v["vocab_id"]) == [0, 1, 2]
