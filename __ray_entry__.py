@@ -66,6 +66,14 @@ def _docs_src(sf_dir: str):
     )
 
 
+def rd_read_docs_full(sf_dir: str):
+    import ray.data as rd
+
+    return rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "text"]
+    )
+
+
 def _doc_tiers(sf_dir: str):
     """(doc_id, source) with a deterministic SKEWED pseudo-source (50/30/20
     by doc_id decile) — the testdata's real sources are uniform, which
@@ -665,6 +673,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "price_histogram": lambda sf: relational.price_histogram(sf),
         # tokenizer-prep vocabulary: top-V terms with contiguous rank ids
         "vocab_build": lambda sf: index.build_vocab(_docs(sf), size=1000),
+        # DSIR importance resampling: hashed-unigram bag-of-words
+        # target/source models (constant-size broadcast), per-doc log
+        # importance weight, distributed top-k
+        "dsir_weights": lambda sf: text.dsir_weights(
+            rd_read_docs_full(sf), target_source="src0"
+        ),
     }
 
 
@@ -1608,6 +1622,42 @@ uni AS (SELECT term, count(*) AS n_term FROM toks GROUP BY 1)
 SELECT term, n_term,
        row_number() OVER (ORDER BY n_term DESC, term) - 1 AS vocab_id
 FROM uni ORDER BY n_term DESC, term LIMIT 1000
+"""
+    # DSIR: the char-fold bucket hash (acc = (acc*31 + codepoint) % B,
+    # seeded with the first codepoint, final mod) is shared verbatim with
+    # text.dsir_weights._bucket_of
+    sqls["dsir_weights"] = f"""
+WITH tk AS (
+  SELECT doc_id, source, t AS term FROM (
+    SELECT doc_id, source,
+           unnest(regexp_split_to_array(lower(text), '{_TOKEN_RE_SQL}')) AS t
+    FROM documents
+  )
+  WHERE t <> '' AND length(t) <= 62
+    AND t NOT IN ('the','a','an','in','of')
+),
+tb AS (
+  SELECT doc_id, source,
+         list_reduce(list_transform(string_split(term, ''), c -> ascii(c)),
+                     (a, b) -> (a * 31 + b) % 64) % 64 AS bucket
+  FROM tk
+),
+bc AS (
+  SELECT bucket, count(*) AS c_src,
+         sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS c_tgt
+  FROM tb GROUP BY 1
+),
+tot AS (SELECT sum(c_src) AS ts, sum(c_tgt) AS tt FROM bc),
+delta AS (
+  SELECT bucket,
+         ln((c_tgt + 1.0) / (tt + 64)) - ln((c_src + 1.0) / (ts + 64)) AS d
+  FROM bc, tot
+)
+SELECT tb.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       round(sum(delta.d), 6) AS logw
+FROM tb JOIN delta USING (bucket)
+GROUP BY tb.doc_id
+ORDER BY logw DESC, doc_id LIMIT 100
 """
     return sqls
 

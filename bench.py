@@ -93,6 +93,7 @@ BENCH_QUERIES = [
     "phrase_pmi",
     "price_histogram",
     "vocab_build",
+    "dsir_weights",
 ]
 
 

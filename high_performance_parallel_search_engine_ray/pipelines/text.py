@@ -1251,3 +1251,107 @@ def compression_ratios(docs, id_col: str = "doc_id", text_col: str = "text"):
         )
 
     return docs.map_batches(ratios, batch_format="pyarrow")
+
+
+def dsir_weights(
+    docs,
+    target_source: str = "src0",
+    n_buckets: int = 64,
+    k: int = 100,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+):
+    """(doc_id, n_tokens, logw): DSIR-style importance resampling (Xie et
+    al. 2023, "Data Selection for Language Models via Importance
+    Resampling") — rank raw documents by how much they look like a target
+    domain under hashed-unigram bag-of-words models. The top-``k`` docs by
+    ``logw = sum_tokens[ ln p_tgt(bucket) - ln p_src(bucket) ]`` (add-1
+    smoothing over ``n_buckets`` hashed buckets; target = docs whose
+    ``source_col`` equals ``target_source``, source = the whole corpus).
+
+    Two passes, both 100-TB-shaped:
+      1. fit: per-block (bucket, c_src, c_tgt) partials (token -> bucket
+         via a char-fold hash computed once per block-unique term) -> a
+         ``n_buckets``-bounded groupby -> the CONSTANT-size delta table is
+         broadcast once via ray.put;
+      2. score: embarrassingly parallel per-doc bincount dot, then a
+         distributed sort + limit(k).
+    The char-fold hash (acc = (acc*31 + codepoint) % n_buckets, seeded
+    with the first codepoint, final mod) is chosen to be expressible in
+    the DuckDB oracle via list_reduce/list_transform. logw rounded 6dp;
+    docs with zero kept tokens emit no row. Deterministic tiebreak:
+    (logw desc, doc_id asc)."""
+    import numpy as np
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..functions.rounding import round_half_away
+    from .index import tokenize_batch
+
+    B = int(n_buckets)
+
+    def _bucket_of(uniq_terms) -> "np.ndarray":
+        out = np.empty(len(uniq_terms), np.int64)
+        for i, t in enumerate(uniq_terms):
+            acc = ord(t[0])
+            for ch in t[1:]:
+                acc = (acc * 31 + ord(ch)) % B
+            out[i] = acc % B
+        return out
+
+    def bucket_counts(b: pa.Table) -> pa.Table:
+        t = tokenize_batch(b, id_col=source_col, text_col=text_col)
+        terms = t["term"].to_numpy(zero_copy_only=False)
+        srcs = t["doc_id"].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(terms, return_inverse=True)
+        bk = _bucket_of(uniq)[inv] if len(uniq) else np.empty(0, np.int64)
+        c_src = np.bincount(bk, minlength=B)
+        c_tgt = np.bincount(bk[srcs == target_source], minlength=B)
+        nz = np.nonzero(c_src)[0]
+        return pa.table(
+            {
+                "bucket": pa.array(nz, pa.int64()),
+                "c_src": pa.array(c_src[nz], pa.int64()),
+                "c_tgt": pa.array(c_tgt[nz], pa.int64()),
+            }
+        )
+
+    rows = (
+        docs.map_batches(bucket_counts, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Sum("c_src", alias_name="src"), Sum("c_tgt", alias_name="tgt"))
+        .take_all()  # n_buckets-bounded pull (constant size)
+    )
+    src = np.zeros(B, np.float64)
+    tgt = np.zeros(B, np.float64)
+    for r in rows:
+        src[int(r["bucket"])] = float(r["src"])
+        tgt[int(r["bucket"])] = float(r["tgt"])
+    ts, tt = src.sum(), tgt.sum()
+    delta = np.log((tgt + 1.0) / (tt + B)) - np.log((src + 1.0) / (ts + B))
+    delta_ref = ray.put(delta)
+
+    def score(b: pa.Table) -> pa.Table:
+        t = tokenize_batch(b, id_col, text_col)
+        terms = t["term"].to_numpy(zero_copy_only=False)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(terms, return_inverse=True)
+        bk = _bucket_of(uniq)[inv] if len(uniq) else np.empty(0, np.int64)
+        d = ray.get(delta_ref)[bk]
+        uids, dinv = np.unique(ids, return_inverse=True)
+        n_tok = np.bincount(dinv)
+        sums = np.bincount(dinv, weights=d)
+        return pa.table(
+            {
+                id_col: pa.array(uids, b[id_col].type),
+                "n_tokens": pa.array(n_tok.astype(np.int64), pa.int64()),
+                "logw": pa.array(round_half_away(sums, 6), pa.float64()),
+            }
+        )
+
+    return (
+        docs.map_batches(score, batch_format="pyarrow")
+        .sort(["logw", id_col], descending=[True, False])
+        .limit(k)
+    )

@@ -2150,3 +2150,82 @@ def test_build_vocab_rank_and_tiebreak(ray_session):
     assert list(v["term"]) == ["apple", "banana", "cherry"]
     assert list(v["n_term"]) == [4, 4, 2]  # apple before banana: term asc tie
     assert list(v["vocab_id"]) == [0, 1, 2]
+
+
+def test_dsir_weights_ranks_target_like_docs(ray_session):
+    """DSIR importance weights: docs sharing the target domain's vocabulary
+    must outrank off-domain docs; zero-kept-token docs emit no row; the
+    weight equals a hand-rolled hashed-BoW computation."""
+    import math
+
+    import numpy as np
+    import pyarrow as pa
+
+    from high_performance_parallel_search_engine_ray.pipelines.text import (
+        dsir_weights,
+    )
+
+    target_text = "quantum entanglement qubit decoherence superposition"
+    rows = (
+        [
+            {"doc_id": i, "source": "src0", "text": target_text}
+            for i in range(5)
+        ]
+        + [
+            {
+                "doc_id": 10 + i,
+                "source": "web",
+                "text": "quantum qubit entanglement physics",
+            }
+            for i in range(2)
+        ]
+        + [
+            {
+                "doc_id": 20 + i,
+                "source": "web",
+                "text": "football soccer basketball tennis golf",
+            }
+            for i in range(5)
+        ]
+        + [{"doc_id": 30, "source": "web", "text": "the of in"}]  # 0 kept
+    )
+    ds = rd.from_items(rows).repartition(8)
+    out = dsir_weights(ds, target_source="src0", n_buckets=64, k=50).take_all()
+    by_id = {r["doc_id"]: r for r in out}
+    assert 30 not in by_id  # zero kept tokens -> no row
+    # on-domain web docs must outrank every off-domain doc
+    assert min(by_id[10]["logw"], by_id[11]["logw"]) > max(
+        by_id[i]["logw"] for i in range(20, 25)
+    )
+
+    # hand-roll the same model for one doc
+    B = 64
+    stop = ("the", "a", "an", "in", "of")
+
+    def toks(s):
+        import re
+
+        return [
+            t
+            for t in re.split(r"[ \t\n\r.,;:!?\"()\[\]{}<>]+", s.lower())
+            if t and len(t) <= 62 and t not in stop
+        ]
+
+    def bucket(t):
+        acc = ord(t[0])
+        for ch in t[1:]:
+            acc = (acc * 31 + ord(ch)) % B
+        return acc % B
+
+    src = np.zeros(B)
+    tgt = np.zeros(B)
+    for r in rows:
+        for t in toks(r["text"]):
+            src[bucket(t)] += 1
+            if r["source"] == "src0":
+                tgt[bucket(t)] += 1
+    delta = np.log((tgt + 1) / (tgt.sum() + B)) - np.log(
+        (src + 1) / (src.sum() + B)
+    )
+    want = round(sum(delta[bucket(t)] for t in toks(rows[0]["text"])), 6)
+    assert math.isclose(by_id[0]["logw"], want, abs_tol=1e-6)
