@@ -679,6 +679,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir_weights": lambda sf: text.dsir_weights(
             rd_read_docs_full(sf), target_source="src0"
         ),
+        # Gopher/Dolma-style document quality gate flags (per-rule booleans
+        # + pass_all), pure per-batch kernels
+        "gopher_gates": lambda sf: text.gopher_gates(_docs(sf)),
+        # tokenizer deployment: encode docs against a size-20 vocab (small
+        # on purpose so OOV -> -1 is exercised); exploded contract view
+        "encode_vocab": lambda sf: index.encode_tokens_exploded(
+            _docs(sf), size=20
+        ),
     }
 
 
@@ -1658,6 +1666,58 @@ SELECT tb.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
 FROM tb JOIN delta USING (bucket)
 GROUP BY tb.doc_id
 ORDER BY logw DESC, doc_id LIMIT 100
+"""
+    # Gopher-style gates: identical double-op order and the 6dp-rounded
+    # alpha ratio shared with quality_scores
+    sqls["gopher_gates"] = r"""
+WITH m AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '\S+')) AS wc,
+         CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE) AS nonws,
+         round(CASE WHEN length(text) = 0 THEN 0.0
+               ELSE CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                         AS DOUBLE) / length(text) END, 6) AS alpha6,
+         coalesce(list_max(list_transform(regexp_extract_all(text, '\S+'),
+                                          x -> length(x))), 0) AS maxlen
+  FROM documents
+)
+SELECT doc_id, CAST(wc AS BIGINT) AS n_ws_tokens,
+       wc >= 30 AND wc <= 100000 AS word_count_ok,
+       wc > 0 AND nonws / wc >= 3.0 AND nonws / wc <= 4.6 AS mean_word_len_ok,
+       alpha6 >= 0.82 AS alpha_ok,
+       wc > 0 AND maxlen <= 7 AS max_word_len_ok,
+       (wc >= 30 AND wc <= 100000)
+         AND (wc > 0 AND nonws / wc >= 3.0 AND nonws / wc <= 4.6)
+         AND alpha6 >= 0.82
+         AND (wc > 0 AND maxlen <= 7) AS pass_all
+FROM m
+"""
+    # encode against the top-20 vocabulary; kept-token order via the
+    # pre-filter subscript, OOV -> -1
+    sqls["encode_vocab"] = f"""
+WITH w0 AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(text), '{_TOKEN_RE_SQL}')) AS t,
+         generate_subscripts(
+           regexp_split_to_array(lower(text), '{_TOKEN_RE_SQL}'), 1) AS p
+  FROM documents
+),
+kept AS (
+  SELECT doc_id, t,
+         row_number() OVER (PARTITION BY doc_id ORDER BY p) - 1 AS pos
+  FROM w0
+  WHERE t <> '' AND length(t) <= 62
+    AND t NOT IN ('the','a','an','in','of')
+),
+uni AS (SELECT t AS term, count(*) AS n_term FROM kept GROUP BY 1),
+vocab AS (
+  SELECT term,
+         row_number() OVER (ORDER BY n_term DESC, term) - 1 AS vocab_id
+  FROM uni ORDER BY n_term DESC, term LIMIT 20
+)
+SELECT k.doc_id, CAST(k.pos AS BIGINT) AS pos,
+       CAST(coalesce(v.vocab_id, -1) AS BIGINT) AS token_id
+FROM kept k LEFT JOIN vocab v ON v.term = k.t
 """
     return sqls
 

@@ -94,6 +94,8 @@ BENCH_QUERIES = [
     "price_histogram",
     "vocab_build",
     "dsir_weights",
+    "gopher_gates",
+    "encode_vocab",
 ]
 
 

@@ -608,3 +608,91 @@ def build_vocab(
     ).reset_index(drop=True)
     top["vocab_id"] = np.arange(len(top), dtype=np.int64)
     return top[["term", "n_term", "vocab_id"]]
+
+
+def encode_with_vocab(
+    docs,
+    size: int = 1000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """(doc_id, token_ids: list<int64>): the tokenizer deployment op —
+    encode every document's kept-token sequence into vocab ids from
+    ``build_vocab(docs, size)``; out-of-vocabulary tokens encode as -1.
+    Every doc emits a row (zero-kept-token docs get an empty list).
+
+    Scale shape: the vocabulary is size-bounded by contract, broadcast
+    once via ray.put as sorted arrays; encoding is an embarrassingly
+    parallel per-batch pass (split -> flatten -> searchsorted -> list
+    reassembly from bincount offsets), no shuffle."""
+    import numpy as np
+    import ray
+
+    vocab = build_vocab(docs, size=size, id_col=id_col, text_col=text_col)
+    terms = vocab["term"].to_numpy()
+    vids = vocab["vocab_id"].to_numpy().astype(np.int64)
+    order = np.argsort(terms)
+    vref = ray.put((terms[order], vids[order]))
+
+    def enc(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        lower = pc.utf8_lower(b[text_col])
+        words = pc.split_pattern_regex(lower, SERIAL_TOKEN_SPLIT_RE)
+        flat = pc.list_flatten(words)
+        parents = pc.list_parent_indices(words).to_numpy(zero_copy_only=False)
+        ln = pc.utf8_length(flat)
+        mask = pc.and_(
+            pc.and_(pc.greater(ln, 0), pc.less_equal(ln, MAX_TERM_LEN)),
+            pc.invert(pc.is_in(flat, value_set=_STOP_ARR)),
+        )
+        mask_np = mask.to_numpy(zero_copy_only=False)
+        toks = pc.filter(flat, mask).to_numpy(zero_copy_only=False)
+        parents = parents[mask_np]
+        terms_s, ids_s = ray.get(vref)
+        if len(terms_s):
+            pos = np.clip(
+                np.searchsorted(terms_s, toks), 0, len(terms_s) - 1
+            )
+            tok_ids = np.where(terms_s[pos] == toks, ids_s[pos], -1)
+        else:
+            tok_ids = np.full(len(toks), -1, np.int64)
+        counts = np.bincount(parents, minlength=n)
+        offsets = np.append(0, np.cumsum(counts)).astype(np.int32)
+        lst = pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()),
+            pa.array(tok_ids.astype(np.int64), pa.int64()),
+        )
+        return pa.table({id_col: b[id_col], "token_ids": lst})
+
+    return docs.map_batches(enc, batch_format="pyarrow")
+
+
+def encode_tokens_exploded(docs, size: int = 1000, id_col: str = "doc_id"):
+    """(doc_id, pos, token_id): the exploded row form of
+    ``encode_with_vocab`` (pos = 0-based position in the kept-token
+    sequence) — the SQL-comparable contract view; zero-token docs emit no
+    rows. Block-local explode, no shuffle."""
+    import numpy as np
+
+    enc = encode_with_vocab(docs, size=size, id_col=id_col)
+
+    def explode(b: pa.Table) -> pa.Table:
+        lst = b["token_ids"].combine_chunks()
+        flat = pc.list_flatten(lst).to_numpy(zero_copy_only=False)
+        counts = pc.list_value_length(lst).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        parent = np.repeat(np.arange(len(counts)), counts)
+        starts = np.cumsum(counts) - counts
+        pos = np.arange(len(flat)) - starts[parent]
+        return pa.table(
+            {
+                id_col: b[id_col].combine_chunks().take(
+                    pa.array(parent, pa.int64())
+                ),
+                "pos": pa.array(pos.astype(np.int64), pa.int64()),
+                "token_id": pa.array(flat.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return enc.map_batches(explode, batch_format="pyarrow")

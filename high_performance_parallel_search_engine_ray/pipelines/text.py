@@ -1355,3 +1355,87 @@ def dsir_weights(
         .sort(["logw", id_col], descending=[True, False])
         .limit(k)
     )
+
+
+def gopher_gates(
+    docs,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 30,
+    max_words: int = 100_000,
+    mean_len_lo: float = 3.0,
+    mean_len_hi: float = 4.6,
+    alpha_min: float = 0.82,
+    max_word_len: int = 7,
+):
+    """(doc_id, n_ws_tokens, word_count_ok, mean_word_len_ok, alpha_ok,
+    max_word_len_ok, pass_all): Gopher/Dolma-style repetition-free quality
+    gate flags — the standard document-level curation rules (word-count
+    band, mean-word-length band, alphabetic-character floor, max-token-
+    length ceiling), each emitted as its own boolean so downstream
+    pipelines can report per-rule rejection rates, plus the AND. Pure
+    per-batch Arrow/numpy kernels (regex counts + one flatten/segment-max),
+    shuffle-free; zero-token docs fail every token-derived gate. Ratio
+    arithmetic uses the same double-op order as the SQL mirror; the alpha
+    ratio is rounded 6dp before comparison (shared definition with
+    ``quality_scores``)."""
+    import numpy as np
+
+    def gates(b: pa.Table) -> pa.Table:
+        txt = b[text_col]
+        n = b.num_rows
+        wc = pc.count_substring_regex(txt, r"\S+").to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        nonws = pc.utf8_length(
+            pc.replace_substring_regex(txt, r"\s", "")
+        ).to_numpy(zero_copy_only=False).astype(np.float64)
+        nchars = pc.utf8_length(txt).to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        nalpha = pc.count_substring_regex(txt, "[A-Za-z]").to_numpy(
+            zero_copy_only=False
+        ).astype(np.float64)
+        alpha6 = np.asarray(
+            round_half_away(
+                np.divide(
+                    nalpha, nchars, out=np.zeros(n), where=nchars > 0
+                ),
+                6,
+            )
+        )
+        # per-doc max token length: flatten + segment max
+        words = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(pc.fill_null(txt, "")), r"\s+"
+        )
+        flat_len = pc.utf8_length(pc.list_flatten(words)).to_numpy(
+            zero_copy_only=False
+        )
+        parents = pc.list_parent_indices(words).to_numpy(
+            zero_copy_only=False
+        )
+        maxlen = np.zeros(n, np.int64)
+        np.maximum.at(maxlen, parents, flat_len)
+
+        mean = np.divide(
+            nonws, wc, out=np.zeros(n), where=wc > 0
+        )
+        word_ok = (wc >= min_words) & (wc <= max_words)
+        mean_ok = (wc > 0) & (mean >= mean_len_lo) & (mean <= mean_len_hi)
+        alpha_ok = alpha6 >= alpha_min
+        maxlen_ok = (wc > 0) & (maxlen <= max_word_len)
+        return pa.table(
+            {
+                id_col: b[id_col],
+                "n_ws_tokens": pa.array(wc, pa.int64()),
+                "word_count_ok": pa.array(word_ok),
+                "mean_word_len_ok": pa.array(mean_ok),
+                "alpha_ok": pa.array(alpha_ok),
+                "max_word_len_ok": pa.array(maxlen_ok),
+                "pass_all": pa.array(
+                    word_ok & mean_ok & alpha_ok & maxlen_ok
+                ),
+            }
+        )
+
+    return docs.map_batches(gates, batch_format="pyarrow")

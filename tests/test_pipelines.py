@@ -2229,3 +2229,86 @@ def test_dsir_weights_ranks_target_like_docs(ray_session):
     )
     want = round(sum(delta[bucket(t)] for t in toks(rows[0]["text"])), 6)
     assert math.isclose(by_id[0]["logw"], want, abs_tol=1e-6)
+
+
+def test_gopher_gates_flags(ray_session):
+    """Per-rule booleans: zero-token docs fail every token-derived gate,
+    boundary values sit on the documented side, pass_all is the AND."""
+    import pyarrow as pa
+
+    from high_performance_parallel_search_engine_ray.pipelines.text import (
+        gopher_gates,
+    )
+
+    # wc=40, mean=(150+30)/40=4.5, alpha=180/219≈0.8219>=0.82, maxlen=5
+    good = " ".join(["abcde"] * 30 + ["abc"] * 10)
+    rows = [
+        (0, good),
+        (1, ""),  # zero tokens
+        (2, " ".join(["supercalifragilistic"] * 40)),  # maxlen + mean fail
+        (3, " ".join(["12 34"] * 20)),  # alpha 0 -> alpha_ok false
+        (4, " ".join(["word"] * 29)),  # wc=29 < 30 boundary
+        (5, " ".join(["word"] * 30)),  # wc=30 boundary passes
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in gopher_gates(
+            rd.from_arrow(
+                pa.table(
+                    {
+                        "doc_id": [x[0] for x in rows],
+                        "text": [x[1] for x in rows],
+                    }
+                )
+            ).repartition(4)
+        ).take_all()
+    }
+    assert out[0]["pass_all"] is True or out[0]["pass_all"] == True  # noqa: E712
+    assert out[1]["n_ws_tokens"] == 0
+    assert not out[1]["word_count_ok"] and not out[1]["mean_word_len_ok"]
+    assert not out[1]["max_word_len_ok"] and not out[1]["pass_all"]
+    assert not out[2]["mean_word_len_ok"] and not out[2]["max_word_len_ok"]
+    assert not out[3]["alpha_ok"]
+    assert not out[4]["word_count_ok"] and out[5]["word_count_ok"]
+    for r in out.values():
+        assert r["pass_all"] == (
+            r["word_count_ok"]
+            and r["mean_word_len_ok"]
+            and r["alpha_ok"]
+            and r["max_word_len_ok"]
+        )
+
+
+def test_encode_with_vocab_oov_and_order(ray_session):
+    """Encoding: ids follow the (count desc, term asc) vocab ranks, OOV
+    encodes -1, zero-token docs emit an empty list, and the exploded view
+    numbers kept-token positions 0-based."""
+    import pyarrow as pa
+
+    from high_performance_parallel_search_engine_ray.pipelines.index import (
+        encode_tokens_exploded,
+        encode_with_vocab,
+    )
+
+    docs = [
+        (0, "apple banana apple cherry"),
+        (1, "banana apple date"),
+        (2, "the of"),  # all stopwords -> empty
+    ]
+    ds = rd.from_arrow(
+        pa.table(
+            {"doc_id": [d[0] for d in docs], "text": [d[1] for d in docs]}
+        )
+    ).repartition(4)
+    # counts: apple 3, banana 2, cherry 1, date 1 -> vocab(3): apple=0,
+    # banana=1, cherry=2; date is OOV
+    enc = {r["doc_id"]: r["token_ids"] for r in encode_with_vocab(ds, size=3).take_all()}
+    assert list(enc[0]) == [0, 1, 0, 2]
+    assert list(enc[1]) == [1, 0, -1]
+    assert list(enc[2]) == []
+    ex = encode_tokens_exploded(ds, size=3).take_all()
+    ex.sort(key=lambda r: (r["doc_id"], r["pos"]))
+    assert [(r["doc_id"], r["pos"], r["token_id"]) for r in ex] == [
+        (0, 0, 0), (0, 1, 1), (0, 2, 0), (0, 3, 2),
+        (1, 0, 1), (1, 1, 0), (1, 2, -1),
+    ]
