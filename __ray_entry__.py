@@ -687,6 +687,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "encode_vocab": lambda sf: index.encode_tokens_exploded(
             _docs(sf), size=20
         ),
+        # sentence segmentation on [.!?]+ with 0-based kept ordinals
+        "split_sentences": lambda sf: text.split_sentences(_docs(sf)),
     }
 
 
@@ -1718,6 +1720,21 @@ vocab AS (
 SELECT k.doc_id, CAST(k.pos AS BIGINT) AS pos,
        CAST(coalesce(v.vocab_id, -1) AS BIGINT) AS token_id
 FROM kept k LEFT JOIN vocab v ON v.term = k.t
+"""
+    # sentence split on [.!?]+; trim set matches the engine's utf8_trim
+    sqls["split_sentences"] = """
+WITH s AS (
+  SELECT doc_id,
+         trim(unnest(regexp_split_to_array(text, '[.!?]+')),
+              ' ' || chr(9) || chr(10) || chr(13)) AS sentence,
+         generate_subscripts(regexp_split_to_array(text, '[.!?]+'), 1) AS p
+  FROM documents
+)
+SELECT doc_id,
+       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY p) - 1
+            AS BIGINT) AS sent_id,
+       sentence
+FROM s WHERE sentence <> ''
 """
     return sqls
 

@@ -96,6 +96,7 @@ BENCH_QUERIES = [
     "dsir_weights",
     "gopher_gates",
     "encode_vocab",
+    "split_sentences",
 ]
 
 

@@ -1439,3 +1439,41 @@ def gopher_gates(
         )
 
     return docs.map_batches(gates, batch_format="pyarrow")
+
+
+def split_sentences(docs, id_col: str = "doc_id", text_col: str = "text"):
+    """(doc_id, sent_id, sentence): sentence segmentation — split on runs
+    of sentence-final punctuation ``[.!?]+`` (punctuation consumed),
+    whitespace-trim each segment, drop empties; ``sent_id`` is the 0-based
+    ordinal among the doc's kept sentences. Fully vectorized per batch
+    (split -> flatten -> trim -> mask -> bincount renumber), shuffle-free;
+    punctuation-free docs yield one sentence, empty docs yield none."""
+    import numpy as np
+
+    def split(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        segs = pc.split_pattern_regex(
+            pc.fill_null(b[text_col], ""), r"[.!?]+"
+        )
+        # explicit trim set (not Unicode-whitespace) so the SQL mirror's
+        # trim(x, ' \t\n\r') is character-identical
+        flat = pc.utf8_trim(pc.list_flatten(segs), characters=" \t\n\r")
+        parents = pc.list_parent_indices(segs).to_numpy(zero_copy_only=False)
+        mask = pc.greater(pc.utf8_length(flat), 0)
+        mask_np = mask.to_numpy(zero_copy_only=False)
+        kept = pc.filter(flat, mask)
+        parents = parents[mask_np]
+        counts = np.bincount(parents, minlength=n)
+        starts = np.cumsum(counts) - counts
+        sent_id = np.arange(len(parents)) - starts[parents]
+        return pa.table(
+            {
+                id_col: b[id_col].combine_chunks().take(
+                    pa.array(parents, pa.int64())
+                ),
+                "sent_id": pa.array(sent_id.astype(np.int64), pa.int64()),
+                "sentence": kept.cast(pa.string()),
+            }
+        )
+
+    return docs.map_batches(split, batch_format="pyarrow")

@@ -2312,3 +2312,38 @@ def test_encode_with_vocab_oov_and_order(ray_session):
         (0, 0, 0), (0, 1, 1), (0, 2, 0), (0, 3, 2),
         (1, 0, 1), (1, 1, 0), (1, 2, -1),
     ]
+
+
+def test_split_sentences_segmentation(ray_session):
+    """Sentence split: punctuation runs collapse, segments trim, empties
+    drop, sent_id renumbers kept sentences 0-based, empty docs emit none."""
+    import pyarrow as pa
+
+    from high_performance_parallel_search_engine_ray.pipelines.text import (
+        split_sentences,
+    )
+
+    docs = [
+        (0, "First one. Second!! Third?  . Fourth"),
+        (1, "no punctuation here"),
+        (2, ""),
+        (3, "...!!!"),
+        (4, "tab\ttrim.\n newline trim \n"),
+    ]
+    ds = rd.from_arrow(
+        pa.table(
+            {"doc_id": [d[0] for d in docs], "text": [d[1] for d in docs]}
+        )
+    ).repartition(4)
+    out = split_sentences(ds).take_all()
+    out.sort(key=lambda r: (r["doc_id"], r["sent_id"]))
+    got = [(r["doc_id"], r["sent_id"], r["sentence"]) for r in out]
+    assert got == [
+        (0, 0, "First one"),
+        (0, 1, "Second"),
+        (0, 2, "Third"),
+        (0, 3, "Fourth"),
+        (1, 0, "no punctuation here"),
+        (4, 0, "tab\ttrim"),
+        (4, 1, "newline trim"),
+    ]
