@@ -689,6 +689,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         # sentence segmentation on [.!?]+ with 0-based kept ordinals
         "split_sentences": lambda sf: text.split_sentences(_docs(sf)),
+        # BPE tokenizer training (driver-side merge loop over the
+        # vocab-bounded word-count table, like real BPE trainers) + the
+        # broadcast encode pass; iterative -> rows-only driver check
+        "bpe_stats": lambda sf: index.bpe_encode(
+            _docs(sf), index.train_bpe(_docs(sf), n_merges=50)[0]
+        ),
     }
 
 

@@ -97,6 +97,7 @@ BENCH_QUERIES = [
     "gopher_gates",
     "encode_vocab",
     "split_sentences",
+    "bpe_stats",
 ]
 
 

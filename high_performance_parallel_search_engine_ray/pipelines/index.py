@@ -696,3 +696,141 @@ def encode_tokens_exploded(docs, size: int = 1000, id_col: str = "doc_id"):
         )
 
     return enc.map_batches(explode, batch_format="pyarrow")
+
+
+def train_bpe(
+    docs,
+    n_merges: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Train a byte-pair-encoding merge list over the corpus's kept-token
+    stream. Returns ``(merges, word_counts)`` where ``merges`` is an
+    ordered list of (left, right) symbol pairs and ``word_counts`` the
+    {word: count} table it was trained on.
+
+    Like real BPE trainers (GPT-2, HuggingFace), training runs on the
+    WORD-FREQUENCY table, not the corpus: the distributed work is the
+    (term, n) partial-count shuffle (the same vocab-bounded pull as
+    ``unigram_logprob``'s model fit); the merge loop is driver-side over
+    that bounded dict. Deterministic: the most frequent symbol pair wins,
+    ties broken by the lexicographically smallest (left, right)."""
+
+    from ray.data.aggregate import Sum
+
+    def partials(b: pa.Table) -> pa.Table:
+        g = (
+            tokenize_batch(b, id_col, text_col)
+            .group_by(["term"])
+            .aggregate([([], "count_all")])
+        )
+        return g.rename_columns(["term", "n"])
+
+    rows = (
+        docs.map_batches(partials, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("n", alias_name="cnt"))
+        .take_all()  # vocab-bounded pull (see docstring)
+    )
+    word_counts = {r["term"]: int(r["cnt"]) for r in rows}
+    symbols = {w: tuple(w) for w in word_counts}
+
+    merges: list[tuple[str, str]] = []
+    for _ in range(int(n_merges)):
+        pair_counts: dict[tuple[str, str], int] = {}
+        for w, syms in symbols.items():
+            c = word_counts[w]
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                pair_counts[p] = pair_counts.get(p, 0) + c
+        if not pair_counts:
+            break
+        # deterministic argmax: max count, then lexicographically smallest
+        top = max(pair_counts.values())
+        best = min(p for p, c in pair_counts.items() if c == top)
+        merges.append(best)
+        joined = best[0] + best[1]
+        new_symbols = {}
+        for w, syms in symbols.items():
+            out = []
+            i = 0
+            while i < len(syms):
+                if (
+                    i < len(syms) - 1
+                    and syms[i] == best[0]
+                    and syms[i + 1] == best[1]
+                ):
+                    out.append(joined)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_symbols[w] = tuple(out)
+        symbols = new_symbols
+    return merges, word_counts
+
+
+def bpe_encode(
+    docs,
+    merges: list,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """(doc_id, n_kept_tokens, n_bpe_symbols): apply an ordered BPE merge
+    list to every document's kept-token stream and report the resulting
+    symbol count — the real token-budget accounting a trained tokenizer
+    gives (whitespace counts overestimate; chars underestimate). The merge
+    list is broadcast once via ray.put; each batch encodes only its
+    block-unique words (cached dict per batch), then distributes counts
+    back through the inverse index — no shuffle."""
+    import numpy as np
+    import ray
+
+    merges_ref = ray.put(list(merges))
+
+    def apply_merges(word: str, mlist) -> int:
+        syms = list(word)
+        for left, right in mlist:
+            i = 0
+            out = []
+            while i < len(syms):
+                if (
+                    i < len(syms) - 1
+                    and syms[i] == left
+                    and syms[i + 1] == right
+                ):
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+            if len(syms) == 1:
+                break
+        return len(syms)
+
+    def enc(b: pa.Table) -> pa.Table:
+        t = tokenize_batch(b, id_col, text_col)
+        terms = t["term"].to_numpy(zero_copy_only=False)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        mlist = ray.get(merges_ref)
+        uniq, inv = np.unique(terms, return_inverse=True)
+        n_syms = np.array(
+            [apply_merges(w, mlist) for w in uniq], np.int64
+        )
+        per_tok = n_syms[inv] if len(uniq) else np.empty(0, np.int64)
+        uids, dinv = np.unique(ids, return_inverse=True)
+        return pa.table(
+            {
+                id_col: pa.array(uids, b[id_col].type),
+                "n_kept_tokens": pa.array(
+                    np.bincount(dinv).astype(np.int64), pa.int64()
+                ),
+                "n_bpe_symbols": pa.array(
+                    np.bincount(dinv, weights=per_tok).astype(np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return docs.map_batches(enc, batch_format="pyarrow")

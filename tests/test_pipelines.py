@@ -2347,3 +2347,97 @@ def test_split_sentences_segmentation(ray_session):
         (4, 0, "tab\ttrim"),
         (4, 1, "newline trim"),
     ]
+
+
+def test_bpe_train_and_encode(ray_session):
+    """BPE: merges match a serial reference trainer on the same word-count
+    table (deterministic tiebreak), and encoding compresses exactly as the
+    reference does per doc."""
+    import pyarrow as pa
+
+    from high_performance_parallel_search_engine_ray.pipelines.index import (
+        bpe_encode,
+        train_bpe,
+    )
+
+    docs = [
+        (0, "low lower lowest low low"),
+        (1, "new newer newest new"),
+        (2, "low new lower newer"),
+    ]
+    ds = rd.from_arrow(
+        pa.table(
+            {"doc_id": [d[0] for d in docs], "text": [d[1] for d in docs]}
+        )
+    ).repartition(4)
+    merges, wc = train_bpe(ds, n_merges=6)
+
+    # serial reference on the same corpus
+    stop = ("the", "a", "an", "in", "of")
+    words = [
+        t for _, x in docs for t in x.lower().split() if t not in stop
+    ]
+    ref_wc = {w: words.count(w) for w in set(words)}
+    assert wc == ref_wc
+
+    def ref_train(word_counts, n):
+        symbols = {w: tuple(w) for w in word_counts}
+        out = []
+        for _ in range(n):
+            pc_ = {}
+            for w, syms in symbols.items():
+                for i in range(len(syms) - 1):
+                    p = (syms[i], syms[i + 1])
+                    pc_[p] = pc_.get(p, 0) + word_counts[w]
+            if not pc_:
+                break
+            top = max(pc_.values())
+            best = min(p for p, c in pc_.items() if c == top)
+            out.append(best)
+            j = best[0] + best[1]
+            symbols = {
+                w: tuple(
+                    _merge_syms(list(s), best, j)
+                )
+                for w, s in symbols.items()
+            }
+        return out
+
+    def _merge_syms(syms, best, joined):
+        res, i = [], 0
+        while i < len(syms):
+            if (
+                i < len(syms) - 1
+                and syms[i] == best[0]
+                and syms[i + 1] == best[1]
+            ):
+                res.append(joined)
+                i += 2
+            else:
+                res.append(syms[i])
+                i += 1
+        return res
+
+    assert merges == ref_train(ref_wc, 6)
+    assert len(merges) == 6
+
+    enc = {
+        r["doc_id"]: r for r in bpe_encode(ds, merges).take_all()
+    }
+
+    def ref_encode(word, mlist):
+        syms = list(word)
+        for left, right in mlist:
+            syms = _merge_syms(syms, (left, right), left + right)
+        return len(syms)
+
+    for did, text in docs:
+        toks = [t for t in text.lower().split() if t not in stop]
+        assert enc[did]["n_kept_tokens"] == len(toks)
+        assert enc[did]["n_bpe_symbols"] == sum(
+            ref_encode(t, merges) for t in toks
+        )
+    # merges actually compress: fewer symbols than characters
+    assert enc[0]["n_bpe_symbols"] < sum(
+        len(t) for t in "low lower lowest low low".split()
+    )
