@@ -695,6 +695,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_stats": lambda sf: index.bpe_encode(
             _docs(sf), index.train_bpe(_docs(sf), n_merges=50)[0]
         ),
+        # count-min sketch point estimates next to exact counts
+        # (probabilistic-but-seeded -> rows-only driver check)
+        "cms_term_counts": lambda sf: relational.cms_term_counts(_docs(sf)),
     }
 
 

@@ -98,6 +98,7 @@ BENCH_QUERIES = [
     "encode_vocab",
     "split_sentences",
     "bpe_stats",
+    "cms_term_counts",
 ]
 
 

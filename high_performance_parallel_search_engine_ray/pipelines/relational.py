@@ -1246,3 +1246,96 @@ def price_histogram(
         )
 
     return agg.map_batches(edges, batch_format="pyarrow").sort("bin")
+
+
+def cms_term_counts(
+    docs,
+    query_terms: list[str] | None = None,
+    width: int = 2048,
+    depth: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """(term, est, true_cnt): count-min-sketch point estimates for
+    ``query_terms`` (default: a fixed probe list), next to the exact
+    counts so callers can see the one-sided error (CMS guarantees
+    est >= true; overestimate bounded by e*N/width w.h.p.). Completes the
+    mergeable-sketch family (KMV distinct, Misra-Gries heavy hitters,
+    t-digest quantiles).
+
+    Scale shape: each block folds its kept tokens into a depth x width
+    int64 counter grid (vectorized np.add.at over row-hashed buckets);
+    grids are CONSTANT-size and merge by addition on the driver — the
+    vocabulary never shuffles and never lands on the driver. The exact
+    verification counts use a candidate-bounded is_in filter (probe-list
+    sized), the same pattern as frequent_terms' verify pass."""
+    from ..functions.hashing import token_hashes
+    from .index import tokenize_batch
+
+    if query_terms is None:
+        query_terms = ["hash", "table", "scan", "merge", "row"]
+    qt = sorted(set(query_terms))
+
+    # depth independent row hashes: re-mix the engine-standard token hash
+    # with odd multipliers (uint64 array arithmetic — never scalar mod)
+    mults = (
+        np.array(
+            [0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9,
+             0x27D4EB2F165667C5, 0x85EBCA77C2B2AE63, 0xFF51AFD7ED558CCD,
+             0xC4CEB9FE1A85EC53, 0x9E3779B185EBCA87],
+            np.uint64,
+        )[: depth]
+    )
+
+    def grid_of(b: pa.Table) -> pa.Table:
+        t = tokenize_batch(b, id_col, text_col)
+        toks = t["term"].to_numpy(zero_copy_only=False)
+        uniq, counts = np.unique(toks, return_counts=True)
+        grid = np.zeros((depth, width), np.int64)
+        if len(uniq):
+            h = token_hashes(list(uniq)).astype(np.uint64)
+            for d in range(depth):
+                idx = ((h * mults[d]) >> np.uint64(16)) % np.uint64(width)
+                np.add.at(grid[d], idx.astype(np.int64), counts)
+        return pa.table({"grid": pa.array([grid.ravel()],
+                                          pa.list_(pa.int64()))})
+
+    grids = docs.map_batches(grid_of, batch_format="pyarrow").take_all()
+    total = np.zeros(depth * width, np.int64)
+    for g in grids:  # constant-size merge: one row per block
+        total += np.asarray(g["grid"], np.int64)
+    grid = total.reshape(depth, width)
+
+    qh = token_hashes(qt).astype(np.uint64)
+    est = np.full(len(qt), np.iinfo(np.int64).max, np.int64)
+    for d in range(depth):
+        idx = ((qh * mults[d]) >> np.uint64(16)) % np.uint64(width)
+        est = np.minimum(est, grid[d][idx.astype(np.int64)])
+
+    # exact candidate-bounded verify (probe-list sized is_in filter)
+    probe = pa.array(qt)
+
+    def exact_partial(b: pa.Table) -> pa.Table:
+        t = tokenize_batch(b, id_col, text_col)
+        kept = t.filter(pc.is_in(t["term"], value_set=probe))
+        g = kept.group_by("term").aggregate([([], "count_all")])
+        return g.rename_columns(["term", "c"])
+
+    from ray.data.aggregate import Sum
+
+    true_rows = {
+        r["term"]: int(r["cnt"])
+        for r in docs.map_batches(exact_partial, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("c", alias_name="cnt"))
+        .take_all()
+    }
+    return pa.table(
+        {
+            "term": pa.array(qt, pa.string()),
+            "est": pa.array(est, pa.int64()),
+            "true_cnt": pa.array(
+                [true_rows.get(t, 0) for t in qt], pa.int64()
+            ),
+        }
+    )

@@ -2441,3 +2441,38 @@ def test_bpe_train_and_encode(ray_session):
     assert enc[0]["n_bpe_symbols"] < sum(
         len(t) for t in "low lower lowest low low".split()
     )
+
+
+def test_cms_term_counts_bounds(ray_session):
+    """Count-min sketch: estimates are one-sided (est >= true) and exact
+    for terms whose buckets don't collide at this width; absent probe
+    terms report true_cnt 0."""
+    import pyarrow as pa
+
+    from high_performance_parallel_search_engine_ray.pipelines.relational import (
+        cms_term_counts,
+    )
+
+    docs = [
+        (0, "alpha beta alpha gamma alpha"),
+        (1, "beta gamma beta delta"),
+        (2, "alpha beta"),
+    ]
+    ds = rd.from_arrow(
+        pa.table(
+            {"doc_id": [d[0] for d in docs], "text": [d[1] for d in docs]}
+        )
+    ).repartition(4)
+    out = cms_term_counts(
+        ds, query_terms=["alpha", "beta", "gamma", "zzz_missing"],
+        width=1024, depth=4,
+    ).to_pandas().set_index("term")
+    assert out.loc["alpha", "true_cnt"] == 4
+    assert out.loc["beta", "true_cnt"] == 4
+    assert out.loc["gamma", "true_cnt"] == 2
+    assert out.loc["zzz_missing", "true_cnt"] == 0
+    assert (out["est"] >= out["true_cnt"]).all()
+    # 4 distinct terms in 1024 buckets x 4 rows: no collisions -> exact
+    # (the min over depth rows kills any single-row collision anyway)
+    assert (out.loc[["alpha", "beta", "gamma"], "est"]
+            == out.loc[["alpha", "beta", "gamma"], "true_cnt"]).all()
