@@ -698,6 +698,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # count-min sketch point estimates next to exact counts
         # (probabilistic-but-seeded -> rows-only driver check)
         "cms_term_counts": lambda sf: relational.cms_term_counts(_docs(sf)),
+        # MMC4/OBELICS-style multimodal training serialization: spans in
+        # offset order, media spans -> placeholder token
+        "render_training": lambda sf: interleave.render_for_training(
+            interleave.docs_to_interleaved(_docs(sf))
+        ),
+        # conjunctive boolean retrieval (AND of all query terms)
+        "boolean_and": lambda sf: rank.boolean_and_search(
+            _docs(sf), ["hash", "table", "scan"]
+        ),
     }
 
 
@@ -1744,6 +1753,20 @@ SELECT doc_id,
             AS BIGINT) AS sent_id,
        sentence
 FROM s WHERE sentence <> ''
+"""
+    # closed form over the synthesiser contract: text spans reconstruct the
+    # doc text; doc_id % 3 == 0 docs carry one trailing media span
+    sqls["render_training"] = """
+SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+       CASE WHEN doc_id % 3 = 0 THEN text || ' <image>' ELSE text END
+         AS rendered
+FROM documents
+"""
+    sqls["boolean_and"] = f"""
+WITH {_TOKS_CTE}
+SELECT doc_id, CAST(count(DISTINCT term) AS BIGINT) AS n_matched
+FROM toks WHERE term IN ('hash', 'scan', 'table')
+GROUP BY doc_id HAVING count(DISTINCT term) = 3
 """
     return sqls
 

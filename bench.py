@@ -99,6 +99,8 @@ BENCH_QUERIES = [
     "split_sentences",
     "bpe_stats",
     "cms_term_counts",
+    "render_training",
+    "boolean_and",
 ]
 
 

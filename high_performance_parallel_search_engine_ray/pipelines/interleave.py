@@ -755,3 +755,52 @@ def media_manifest(inter):
 
     partials = inter.map_batches(partial, batch_format="pyarrow")
     return partials.groupby("media_ref").aggregate(Sum("n", alias_name="n_docs"))
+
+
+def render_for_training(inter, media_token: str = "<image>"):
+    """Interleaved -> (doc_id, rendered): the MMC4/OBELICS-style training
+    serialization — spans in offset order, text spans verbatim, media
+    spans replaced by the ``media_token`` placeholder (it marks where the
+    vision embedding sequence splices in), link spans DROPPED (anchors
+    aren't training text), all joined by single spaces. Block-local (a
+    doc's spans live in one row), fully vectorized: one if_else + one
+    filtered list reassembly + one binary_join per batch."""
+    import numpy as np
+
+    def render(b: pa.Table) -> pa.Table:
+        lst = b["spans"].combine_chunks()
+        flat = pc.list_flatten(lst)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        if pa.types.is_null(flat.type):
+            # degenerate block: every row has zero spans (the list item
+            # type degrades to null) -> all docs render empty
+            return pa.table(
+                {
+                    "doc_id": b["doc_id"],
+                    "rendered": pa.array([""] * b.num_rows, pa.string()),
+                }
+            )
+        parent = pc.list_parent_indices(lst).to_numpy(zero_copy_only=False)
+        kind = flat.field("kind")
+        piece = pc.if_else(
+            pc.equal(kind, "media"),
+            pa.scalar(media_token, pa.string()),
+            flat.field("text").cast(pa.string()),
+        )
+        keep = pc.invert(pc.equal(kind, "link"))
+        keep_np = keep.to_numpy(zero_copy_only=False)
+        piece = pc.filter(piece, keep)
+        if isinstance(piece, pa.ChunkedArray):
+            piece = piece.combine_chunks()
+        kparent = parent[keep_np]
+        counts = np.bincount(kparent, minlength=b.num_rows)
+        offsets = np.append(
+            np.cumsum(counts) - counts, len(piece)
+        ).astype(np.int32)
+        out = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), piece)
+        return pa.table(
+            {"doc_id": b["doc_id"], "rendered": pc.binary_join(out, " ")}
+        )
+
+    return inter.map_batches(render, batch_format="pyarrow")

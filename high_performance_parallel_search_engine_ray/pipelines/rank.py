@@ -499,3 +499,36 @@ def tfidf_topk(
         .groupby("part")
         .map_groups(topk_part, batch_format="pandas")
     )
+
+
+def boolean_and_search(docs, terms: list[str]):
+    """(doc_id, n_matched): conjunctive boolean retrieval — documents whose
+    kept-token set contains EVERY query term (the classic AND query next
+    to BM25's ranked OR). Zero shuffles: each document lives wholly inside
+    its batch, so the distinct-query-term count per doc is block-local
+    (tokenize -> is_in filter -> block group_by distinct -> per-doc count
+    == n_terms)."""
+    import numpy as np
+
+    from .index import tokenize_batch
+
+    want = sorted(set(terms))
+    n_want = len(want)
+    probe = pa.array(want)
+
+    def match(b: pa.Table) -> pa.Table:
+        t = tokenize_batch(b)
+        kept = t.filter(pc.is_in(t["term"], value_set=probe))
+        # distinct (doc, term) then count per doc — block-local is global
+        # because docs never span batches
+        d = kept.group_by(["doc_id", "term"]).aggregate([])
+        g = d.group_by("doc_id").aggregate([([], "count_all")])
+        g = g.rename_columns(["doc_id", "n_matched"])
+        return g.filter(pc.equal(g["n_matched"], n_want)).cast(
+            pa.schema(
+                [("doc_id", g.schema.field("doc_id").type),
+                 ("n_matched", pa.int64())]
+            )
+        )
+
+    return docs.map_batches(match, batch_format="pyarrow")

@@ -2476,3 +2476,78 @@ def test_cms_term_counts_bounds(ray_session):
     # (the min over depth rows kills any single-row collision anyway)
     assert (out.loc[["alpha", "beta", "gamma"], "est"]
             == out.loc[["alpha", "beta", "gamma"], "true_cnt"]).all()
+
+
+def test_render_for_training_interleaving(ray_session):
+    """Rendering preserves span order and splices the media placeholder at
+    the media span's position — including mid-document media (which the
+    synthesiser never produces) and consuming real crawl-shaped spans."""
+    import pyarrow as pa
+
+    from high_performance_parallel_search_engine_ray.pipelines.interleave import (
+        render_for_training,
+    )
+
+    def span(kind, text, ref, off):
+        return {"kind": kind, "text": text, "media_ref": ref, "offset": off}
+
+    rows = [
+        {
+            "doc_id": "a",
+            "spans": [
+                span("text", "intro words", "", 0),
+                span("media", "", "media/x.jpg", 1),
+                span("link", "anchor text", "http://x/y", 2),
+                span("text", "after image", "", 3),
+            ],
+        },
+        {"doc_id": "b", "spans": [span("text", "only text", "", 0)]},
+        {"doc_id": "c", "spans": [span("media", "", "media/y.jpg", 0)]},
+        {"doc_id": "d", "spans": []},
+    ]
+    out = {
+        r["doc_id"]: r["rendered"]
+        for r in render_for_training(
+            rd.from_items(rows).repartition(4)
+        ).take_all()
+    }
+    # link span dropped, media span placeholdered, order preserved
+    assert out["a"] == "intro words <image> after image"
+    assert out["b"] == "only text"
+    assert out["c"] == "<image>"
+    assert out["d"] == ""
+    # custom placeholder
+    out2 = {
+        r["doc_id"]: r["rendered"]
+        for r in render_for_training(
+            rd.from_items(rows), media_token="<|img|>"
+        ).take_all()
+    }
+    assert out2["a"] == "intro words <|img|> after image"
+
+
+def test_boolean_and_search_conjunction(ray_session):
+    """AND retrieval: only docs containing EVERY query term match;
+    repeated terms don't double-count; stopword/case folding follows the
+    shared tokenizer."""
+    import pyarrow as pa
+
+    from high_performance_parallel_search_engine_ray.pipelines.rank import (
+        boolean_and_search,
+    )
+
+    docs = [
+        (0, "Hash table scan"),          # all three
+        (1, "hash hash hash table"),     # missing scan
+        (2, "scan of the HASH: table"),  # all three (case/punct folded)
+        (3, "table scan"),               # missing hash
+        (4, ""),
+    ]
+    ds = rd.from_arrow(
+        pa.table(
+            {"doc_id": [d[0] for d in docs], "text": [d[1] for d in docs]}
+        )
+    ).repartition(4)
+    out = boolean_and_search(ds, ["hash", "table", "scan"]).take_all()
+    assert sorted(r["doc_id"] for r in out) == [0, 2]
+    assert all(r["n_matched"] == 3 for r in out)
