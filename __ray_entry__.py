@@ -707,6 +707,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "boolean_and": lambda sf: rank.boolean_and_search(
             _docs(sf), ["hash", "table", "scan"]
         ),
+        # RAG retrieval prep end to end: chunk -> hashed-BoW embed ->
+        # cosine top-k (integer count vectors make the cosine exactly
+        # SQL-mirrorable: dot and norm^2 are exact integers)
+        "rag_search": lambda sf: ann.rag_chunk_search(
+            _docs(sf), query="hash table scan merge"
+        ),
     }
 
 
@@ -1767,6 +1773,57 @@ WITH {_TOKS_CTE}
 SELECT doc_id, CAST(count(DISTINCT term) AS BIGINT) AS n_matched
 FROM toks WHERE term IN ('hash', 'scan', 'table')
 GROUP BY doc_id HAVING count(DISTINCT term) = 3
+"""
+    # RAG chunk retrieval: hashed-count embeddings keep dot and norm^2 on
+    # the integer lattice, so the cosine is bit-reproducible in SQL; the
+    # query vector and its norm are inlined literals computed with the
+    # same char-fold
+    _RAG_DIMS = 64
+
+    def _fold(tok: str) -> int:
+        acc = ord(tok[0])
+        for ch in tok[1:]:
+            acc = (acc * 31 + ord(ch)) % _RAG_DIMS
+        return acc % _RAG_DIMS
+
+    _qcounts: dict[int, int] = {}
+    for _t in "hash table scan merge".split():
+        _qcounts[_fold(_t)] = _qcounts.get(_fold(_t), 0) + 1
+    _qnorm = float(sum(v * v for v in _qcounts.values())) ** 0.5
+    _vals = ", ".join(f"({b}, {c})" for b, c in sorted(_qcounts.items()))
+    sqls["rag_search"] = f"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks,
+         len(regexp_extract_all(text, '\\S+')) AS n
+  FROM documents
+), g AS (
+  SELECT doc_id, toks, n, unnest(range(0, n, 32)) AS s FROM t WHERE n > 0
+), chunks AS (
+  SELECT doc_id, CAST(s / 32 AS BIGINT) AS chunk_id,
+         array_to_string(toks[s + 1 : least(s + 32, n)], ' ') AS chunk_text
+  FROM g
+), tok AS (
+  SELECT doc_id, chunk_id,
+         unnest(string_split(lower(chunk_text), ' ')) AS w
+  FROM chunks
+), tb AS (
+  SELECT doc_id, chunk_id,
+         list_reduce(list_transform(string_split(w, ''), c -> ascii(c)),
+                     (a, b) -> (a * 31 + b) % {_RAG_DIMS}) % {_RAG_DIMS}
+           AS bucket
+  FROM tok
+), cc AS (
+  SELECT doc_id, chunk_id, bucket, count(*) AS c FROM tb GROUP BY 1, 2, 3
+), qv(bucket, qc) AS (VALUES {_vals}),
+dots AS (
+  SELECT cc.doc_id, cc.chunk_id,
+         sum(cc.c * coalesce(qv.qc, 0)) AS dot,
+         sum(cc.c * cc.c) AS ss
+  FROM cc LEFT JOIN qv ON qv.bucket = cc.bucket
+  GROUP BY 1, 2
+)
+SELECT doc_id, chunk_id, round(dot / (sqrt(ss) * {_qnorm!r}), 6) AS score
+FROM dots ORDER BY score DESC, doc_id, chunk_id LIMIT 10
 """
     return sqls
 

@@ -101,6 +101,7 @@ BENCH_QUERIES = [
     "cms_term_counts",
     "render_training",
     "boolean_and",
+    "rag_search",
 ]
 
 

@@ -225,3 +225,107 @@ def ivf_topk(
         return g
 
     return local.groupby("query_idx").map_groups(merge, batch_format="pandas")
+
+
+def _fold_bucket(tok: str, dims: int) -> int:
+    """Char-fold hash shared with text.dsir_weights and the DuckDB
+    list_reduce mirror: acc = (acc*31 + codepoint) % dims, seeded with the
+    first codepoint, final mod."""
+    acc = ord(tok[0])
+    for ch in tok[1:]:
+        acc = (acc * 31 + ord(ch)) % dims
+    return acc % dims
+
+
+def hashed_chunk_embeddings(chunks, dims: int = 64):
+    """(doc_id, chunk_id, vec: list<double>): deterministic hashed
+    bag-of-words embeddings over chunk rows (``text.chunk_token_windows``
+    output) — the training-free featurizer that makes the chunk→embed→
+    retrieve RAG prep fully oracle-checkable. Each chunk's lowercased
+    space-split tokens fold into ``dims`` buckets; the vector is the raw
+    bucket-count histogram. Per-batch vectorized (unique-token hash cache
+    + np.add.at scatter), shuffle-free."""
+    import pyarrow.compute as pc
+
+    def embed(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        words = pc.split_pattern(pc.utf8_lower(b["chunk_text"]), " ")
+        flat = pc.list_flatten(words)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        parents = pc.list_parent_indices(words).to_numpy(zero_copy_only=False)
+        toks = flat.to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(toks, return_inverse=True)
+        bk = (
+            np.array([_fold_bucket(t, dims) for t in uniq], np.int64)[inv]
+            if len(uniq)
+            else np.empty(0, np.int64)
+        )
+        mat = np.zeros((n, dims), np.float64)
+        np.add.at(mat, (parents, bk), 1.0)
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "chunk_id": b["chunk_id"],
+                "vec": pa.array(list(mat), pa.list_(pa.float64())),
+            }
+        )
+
+    return chunks.map_batches(embed, batch_format="pyarrow")
+
+
+def rag_chunk_search(
+    docs,
+    query: str,
+    window: int = 32,
+    stride: int = 32,
+    dims: int = 64,
+    k: int = 10,
+):
+    """(doc_id, chunk_id, score): the RAG retrieval prep, end to end —
+    fixed-stride chunking -> hashed-BoW chunk embeddings -> cosine top-k
+    against the query's embedding. Composition of
+    ``text.chunk_token_windows`` + ``hashed_chunk_embeddings`` + a
+    broadcast-query scoring map; the only non-map stage is the final
+    distributed sort + limit(k). Deterministic tiebreak: (score desc,
+    doc_id, chunk_id); score rounded 6dp."""
+    from ..functions.rounding import round_half_away as _r6
+    from .text import chunk_token_windows
+
+    qtoks = [t for t in query.lower().split() if t]
+    qv = np.zeros(dims, np.float64)
+    for t in qtoks:
+        qv[_fold_bucket(t, dims)] += 1.0
+    qnorm = float(np.sqrt((qv * qv).sum()))
+    if qnorm == 0.0:
+        raise ValueError("query has no tokens")
+
+    emb = hashed_chunk_embeddings(
+        chunk_token_windows(docs, window=window, stride=stride), dims=dims
+    )
+
+    import ray
+
+    qref = ray.put(qv)
+
+    def score(b: pa.Table) -> pa.Table:
+        q = ray.get(qref)
+        mat = np.asarray(
+            b["vec"].combine_chunks().flatten(), np.float64
+        ).reshape(b.num_rows, dims) if b.num_rows else np.zeros((0, dims))
+        dot = mat @ q
+        ss = (mat * mat).sum(axis=1)
+        sc = _r6(dot / (np.sqrt(ss) * qnorm), 6)
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "chunk_id": b["chunk_id"],
+                "score": pa.array(sc, pa.float64()),
+            }
+        )
+
+    return (
+        emb.map_batches(score, batch_format="pyarrow")
+        .sort(["score", "doc_id", "chunk_id"], descending=[True, False, False])
+        .limit(k)
+    )

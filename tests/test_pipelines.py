@@ -2551,3 +2551,47 @@ def test_boolean_and_search_conjunction(ray_session):
     out = boolean_and_search(ds, ["hash", "table", "scan"]).take_all()
     assert sorted(r["doc_id"] for r in out) == [0, 2]
     assert all(r["n_matched"] == 3 for r in out)
+
+
+def test_rag_chunk_search_retrieval(ray_session):
+    """RAG prep: the chunk containing the query's vocabulary must rank
+    first with cosine 1.0 for an exact-match chunk; scores are one per
+    chunk and ordered; embeddings are integer count histograms."""
+    import numpy as np
+    import pyarrow as pa
+
+    from high_performance_parallel_search_engine_ray.pipelines.ann import (
+        hashed_chunk_embeddings,
+        rag_chunk_search,
+    )
+    from high_performance_parallel_search_engine_ray.pipelines.text import (
+        chunk_token_windows,
+    )
+
+    docs = [
+        (0, "alpha beta gamma delta"),           # exact query chunk
+        (1, "alpha beta unrelated filler words"),
+        (2, "totally different content here now"),
+    ]
+    ds = rd.from_arrow(
+        pa.table(
+            {"doc_id": [d[0] for d in docs], "text": [d[1] for d in docs]}
+        )
+    ).repartition(4)
+    out = rag_chunk_search(
+        ds, query="alpha beta gamma delta", window=32, stride=32, k=3
+    ).take_all()
+    assert out[0]["doc_id"] == 0 and out[0]["score"] == 1.0
+    assert out[1]["doc_id"] == 1  # partial overlap ranks second
+    assert out[2]["doc_id"] == 2
+    assert out[0]["score"] > out[1]["score"] > out[2]["score"]
+
+    # embeddings: integer counts summing to the token count
+    emb = hashed_chunk_embeddings(
+        chunk_token_windows(ds, window=32, stride=32), dims=64
+    ).take_all()
+    for r in emb:
+        v = np.asarray(r["vec"])
+        assert (v == v.astype(np.int64)).all()
+    tot = {r["doc_id"]: int(np.asarray(r["vec"]).sum()) for r in emb}
+    assert tot == {0: 4, 1: 5, 2: 5}

@@ -143,7 +143,7 @@ def test_registry_ordering_contract():
         "recrawl_schedule", "train_val_test_split", "decontaminate_bloom",
         "chunk_windows", "phrase_pmi", "price_histogram", "vocab_build",
         "dsir_weights", "gopher_gates", "encode_vocab", "split_sentences",
-        "render_training", "boolean_and",
+        "render_training", "boolean_and", "rag_search",
     }
     assert set(entry_mod.oracle_sql()) - overflow_ok <= first50
     for critical in (
