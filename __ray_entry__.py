@@ -713,6 +713,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rag_search": lambda sf: ann.rag_chunk_search(
             _docs(sf), query="hash table scan merge"
         ),
+        # canonical selection for case/whitespace variants: keep the
+        # richest original per normalized-text group
+        "dedup_keep_richest": lambda sf: dedup.dedup_keep_richest(
+            _docs(sf)
+        ),
+        # duplicate-leakage governance report: exact-dup pairs per
+        # unordered source pair
+        "cross_source_dups": lambda sf: dedup.cross_source_dups(
+            rd_read_docs_full(sf)
+        ),
     }
 
 
@@ -1824,6 +1834,26 @@ dots AS (
 )
 SELECT doc_id, chunk_id, round(dot / (sqrt(ss) * {_qnorm!r}), 6) AS score
 FROM dots ORDER BY score DESC, doc_id, chunk_id LIMIT 10
+"""
+    # richest-original canonical selection per normalized-text group
+    sqls["dedup_keep_richest"] = r"""
+WITH r AS (
+  SELECT doc_id, text,
+         row_number() OVER (
+           PARTITION BY trim(regexp_replace(lower(text), '\s+', ' ', 'g'))
+           ORDER BY length(text) DESC, doc_id
+         ) AS rn
+  FROM documents
+)
+SELECT doc_id, text FROM r WHERE rn = 1
+"""
+    sqls["cross_source_dups"] = """
+SELECT least(a.source, b.source) AS source_a,
+       greatest(a.source, b.source) AS source_b,
+       count(*) AS n_pairs
+FROM documents a JOIN documents b
+  ON a.text = b.text AND a.doc_id < b.doc_id
+GROUP BY 1, 2
 """
     return sqls
 

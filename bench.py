@@ -102,6 +102,8 @@ BENCH_QUERIES = [
     "render_training",
     "boolean_and",
     "rag_search",
+    "dedup_keep_richest",
+    "cross_source_dups",
 ]
 
 

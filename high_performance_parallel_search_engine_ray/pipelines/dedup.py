@@ -1403,3 +1403,193 @@ def recrawl_schedule(diff, authority=None, id_col: str = "doc_id"):
         )
 
     return joined.map_batches(fill0, batch_format="pyarrow")
+
+
+def dedup_keep_richest(
+    docs,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    drop_broadcast_ids: int = 2_000_000,
+):
+    """Exact dedup over NORMALIZED text (lowercase, collapse whitespace
+    runs, trim — `text.normalize_text_table`'s definition), keeping the
+    RICHEST original of each variant group: max raw char length, then min
+    id. This is the canonical-selection policy for case/whitespace mirror
+    variants, where keep-first would arbitrarily keep a stripped copy and
+    drop the best-formatted one. (For EXACT duplicate groups the two
+    policies coincide — members are identical — which is why this operator
+    normalizes first.)
+
+    Dataflow mirrors ``dedup_keep_first``: (md5(norm), id, n_chars) rows
+    -> bounded hash-partition groupby -> per-partition vectorized
+    keeper selection -> cost-based drop application (broadcast is_in at or
+    below ``drop_broadcast_ids``, keeper-table hash semi-join above; both
+    paths identical, the join path is forced in a test)."""
+    import ray
+
+    N_PARTS = 64
+
+    def hash_rows(b: pa.Table) -> pa.Table:
+        norm = pc.utf8_trim_whitespace(
+            pc.replace_substring_regex(
+                pc.utf8_lower(pc.fill_null(b[text_col], "")), r"\s+", " "
+            )
+        )
+        hs = [
+            hashlib.md5(t.encode("utf-8")).hexdigest()
+            for t in norm.to_pylist()
+        ]
+        part = (
+            pd.util.hash_array(np.asarray(hs, dtype=object)) % N_PARTS
+        ).astype(np.int32)
+        return pa.table(
+            {
+                "h": pa.array(hs),
+                id_col: b[id_col],
+                "nch": pc.utf8_length(
+                    pc.fill_null(b[text_col], "")
+                ).cast(pa.int64()),
+                "part": pa.array(part),
+            }
+        )
+
+    def flags_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["h", "nch", id_col], ascending=[True, False, True],
+            kind="stable",
+        )
+        h = g["h"].to_numpy()
+        keep = np.ones(len(g), dtype=bool)
+        keep[1:] = h[1:] != h[:-1]  # first (richest, then min-id) per run
+        out = g[[id_col]].copy()
+        out["keep"] = keep
+        return out
+
+    flags = (
+        docs.map_batches(hash_rows, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(flags_part, batch_format="pandas")
+        .materialize()
+    )
+    drops = flags.map_batches(
+        lambda b: b.filter(pc.invert(b["keep"])).select([id_col]),
+        batch_format="pyarrow",
+    ).materialize()
+    if drops.count() <= drop_broadcast_ids:
+        id_type = docs.schema().base_schema.field(id_col).type
+        chunks = [
+            t[id_col].combine_chunks().cast(id_type)
+            for t in drops.iter_batches(batch_format="pyarrow", batch_size=None)
+            if t.num_rows
+        ]
+        drop_ref = ray.put(
+            pa.concat_arrays(chunks) if chunks else pa.array([], id_type)
+        )
+        return docs.map_batches(
+            lambda b: b.filter(
+                pc.invert(pc.is_in(b[id_col], value_set=ray.get(drop_ref)))
+            ),
+            batch_format="pyarrow",
+        )
+    keepers = flags.map_batches(
+        lambda b: b.filter(b["keep"]).select([id_col]).rename_columns(
+            ["__keep_id"]
+        ),
+        batch_format="pyarrow",
+    )
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    npart = max(2, cpus // 2)
+    return docs.join(
+        keepers.repartition(npart), join_type="inner", num_partitions=npart,
+        on=(id_col,), right_on=("__keep_id",),
+    )
+
+
+def cross_source_dups(
+    docs,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    max_group: int = 256,
+):
+    """(source_a, source_b, n_pairs): the duplicate-LEAKAGE report — for
+    every unordered source pair, how many exact-duplicate document pairs
+    span the two sources (source_a < source_b lexicographically; same-
+    source duplicate pairs report with source_a == source_b). The table a
+    data-governance review reads to find mirrored feeds before training.
+
+    Dataflow: (md5, id, source) rows -> bounded hash-partition groupby ->
+    per-partition vectorized within-group pair expansion (groups truncated
+    at ``max_group`` smallest ids — all-pairs inside one content hash is
+    quadratic only in the duplicate multiplicity) -> per-partition
+    (source_a, source_b, n) partials -> bounded driver merge (the result
+    is capped by n_sources^2, a bounded dimension — and the fixed output
+    schema survives the zero-duplicates case, where an empty distributed
+    groupby would lose its schema). Text never shuffles; ids only travel
+    inside their hash partition."""
+    N_PARTS = 64
+
+    def hash_rows(b: pa.Table) -> pa.Table:
+        hs = [
+            hashlib.md5(t.encode("utf-8")).hexdigest()
+            for t in b[text_col].to_pylist()
+        ]
+        part = (
+            pd.util.hash_array(np.asarray(hs, dtype=object)) % N_PARTS
+        ).astype(np.int32)
+        return pa.table(
+            {
+                "h": pa.array(hs),
+                id_col: b[id_col],
+                source_col: b[source_col],
+                "part": pa.array(part),
+            }
+        )
+
+    def pairs_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["h", id_col], kind="stable")
+        h = g["h"].to_numpy()
+        src = g[source_col].to_numpy()
+        starts = np.flatnonzero(np.r_[True, h[1:] != h[:-1]])
+        ends = np.r_[starts[1:], len(h)]
+        pa_, pb_ = [], []
+        for s, e in zip(starts, ends):
+            m = min(e - s, max_group)
+            if m < 2:
+                continue
+            grp = np.sort(src[s : s + m])
+            ia, ib = np.triu_indices(m, k=1)
+            pa_.append(grp[ia])
+            pb_.append(grp[ib])
+        if not pa_:
+            return pd.DataFrame(
+                {"source_a": pd.Series([], dtype=object),
+                 "source_b": pd.Series([], dtype=object),
+                 "n": pd.Series([], dtype=np.int64)}
+            )
+        a = np.concatenate(pa_)
+        b_ = np.concatenate(pb_)
+        out = pd.DataFrame({"source_a": a, "source_b": b_})
+        out = out.groupby(["source_a", "source_b"], as_index=False).size()
+        out.columns = ["source_a", "source_b", "n"]
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    partials = (
+        docs.map_batches(hash_rows, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(pairs_part, batch_format="pandas")
+        .take_all()  # n_sources^2-bounded
+    )
+    agg: dict[tuple[str, str], int] = {}
+    for r in partials:
+        k = (r["source_a"], r["source_b"])
+        agg[k] = agg.get(k, 0) + int(r["n"])
+    keys = sorted(agg)
+    return pa.table(
+        {
+            "source_a": pa.array([k[0] for k in keys], pa.string()),
+            "source_b": pa.array([k[1] for k in keys], pa.string()),
+            "n_pairs": pa.array([agg[k] for k in keys], pa.int64()),
+        }
+    )

@@ -2595,3 +2595,72 @@ def test_rag_chunk_search_retrieval(ray_session):
         assert (v == v.astype(np.int64)).all()
     tot = {r["doc_id"]: int(np.asarray(r["vec"]).sum()) for r in emb}
     assert tot == {0: 4, 1: 5, 2: 5}
+
+
+def test_dedup_keep_richest_variant_collapse(ray_session):
+    """Case/whitespace variants collapse to one group; the richest (max
+    raw chars, then min id) original survives; distinct texts untouched;
+    the forced join path returns the identical result."""
+    import pyarrow as pa
+
+    from high_performance_parallel_search_engine_ray.pipelines.dedup import (
+        dedup_keep_richest,
+    )
+
+    docs = [
+        (0, "Hello   World"),   # 13 chars <- richest of the group
+        (1, "hello world"),     # 11 chars
+        (2, "HELLO\tWORLD"),    # 11 chars, id 2 > 1
+        (3, "something else"),
+        (4, "  hello world  "), # 15 chars -> actually richest!
+    ]
+    ds = rd.from_arrow(
+        pa.table(
+            {"doc_id": [d[0] for d in docs], "text": [d[1] for d in docs]}
+        )
+    ).repartition(4)
+    kept = sorted(
+        r["doc_id"] for r in dedup_keep_richest(ds).take_all()
+    )
+    assert kept == [3, 4]
+    forced = sorted(
+        r["doc_id"]
+        for r in dedup_keep_richest(ds, drop_broadcast_ids=0).take_all()
+    )
+    assert forced == kept
+
+
+def test_cross_source_dups_leakage_report(ray_session):
+    """Duplicate-leakage report: unordered source pairs, same-source pairs
+    allowed, counts accumulate across distinct content groups, and a
+    dup-free corpus reports an EMPTY table with a stable schema."""
+    import pyarrow as pa
+
+    from high_performance_parallel_search_engine_ray.pipelines.dedup import (
+        cross_source_dups,
+    )
+
+    rows = [
+        # group "X": sources web, web, books -> pairs (books,web)x2,(web,web)x1
+        {"doc_id": 0, "source": "web", "text": "X"},
+        {"doc_id": 1, "source": "web", "text": "X"},
+        {"doc_id": 2, "source": "books", "text": "X"},
+        # group "Y": sources books, web -> (books,web)x1 (accumulates)
+        {"doc_id": 3, "source": "books", "text": "Y"},
+        {"doc_id": 4, "source": "web", "text": "Y"},
+        # singleton
+        {"doc_id": 5, "source": "web", "text": "Z"},
+    ]
+    out = cross_source_dups(rd.from_items(rows).repartition(4)).to_pandas()
+    got = {
+        (r.source_a, r.source_b): r.n_pairs for r in out.itertuples()
+    }
+    assert got == {("books", "web"): 3, ("web", "web"): 1}
+
+    empty = cross_source_dups(
+        rd.from_items(
+            [{"doc_id": i, "source": "s", "text": f"t{i}"} for i in range(4)]
+        )
+    ).to_pandas()
+    assert list(empty.columns) == ["source_a", "source_b", "n_pairs"]
+    assert len(empty) == 0
