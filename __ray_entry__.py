@@ -66,6 +66,30 @@ def _docs_src(sf_dir: str):
     )
 
 
+def _incremental_dedup(sf_dir: str):
+    """Even docs write a MinHash signature store; odd docs dedup against
+    it — the crawl-round-N+1 incremental shape. Fresh store dir per call
+    (the result is deterministic; the path is scratch)."""
+    import tempfile
+
+    import pyarrow.compute as pc
+
+    from high_performance_parallel_search_engine_ray.pipelines import dedup
+
+    docs = _docs(sf_dir)
+    even = docs.map_batches(
+        lambda b: b.filter(pc.equal(pc.bit_wise_and(b["doc_id"], 1), 0)),
+        batch_format="pyarrow",
+    )
+    odd = docs.map_batches(
+        lambda b: b.filter(pc.equal(pc.bit_wise_and(b["doc_id"], 1), 1)),
+        batch_format="pyarrow",
+    )
+    store = tempfile.mkdtemp(prefix="hppse_mh_store_", dir="/tmp")
+    dedup.write_minhash_store(even, store)
+    return dedup.dedup_against_store(odd, store, est_threshold=0.5)
+
+
 def rd_read_docs_full(sf_dir: str):
     import ray.data as rd
 
@@ -723,6 +747,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cross_source_dups": lambda sf: dedup.cross_source_dups(
             rd_read_docs_full(sf)
         ),
+        # incremental near-dup dedup against a persisted signature store
+        # (even docs -> store; odd docs dedup against it); stateful IO ->
+        # rows-only driver check
+        "incremental_dedup": lambda sf: _incremental_dedup(sf),
     }
 
 

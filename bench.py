@@ -104,6 +104,7 @@ BENCH_QUERIES = [
     "rag_search",
     "dedup_keep_richest",
     "cross_source_dups",
+    "incremental_dedup",
 ]
 
 

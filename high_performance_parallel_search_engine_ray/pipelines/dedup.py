@@ -1593,3 +1593,204 @@ def cross_source_dups(
             "n_pairs": pa.array([agg[k] for k in keys], pa.int64()),
         }
     )
+
+
+def _minhash_membership(
+    docs,
+    id_col: str,
+    text_col: str,
+    num_perm: int,
+    bands: int,
+    shingle_k: int,
+    seed: int,
+    n_parts: int = 64,
+):
+    """(key, id, sig, part) LSH membership rows — the signature space
+    shared by ``minhash_lsh_pairs``, ``write_minhash_store`` and
+    ``dedup_against_store`` (same seed => same signatures => stores
+    written at crawl N join cleanly with documents from crawl N+1).
+    Mirrors ``minhash_lsh_pairs``' inline sig_batch exactly (pinned by
+    test_minhash_store_incremental_dedup's cross-operator check)."""
+    import ray
+
+    a, b_ = minhash_params(num_perm, seed)
+    rows_per_band = num_perm // bands
+    id_type = docs.schema().base_schema.field(id_col).type
+
+    def sig_batch(batch: pa.Table) -> pa.Table:
+        out = {"key": [], id_col: [], "sig": []}
+        ids = batch[id_col].to_pylist()
+        texts = batch[text_col].to_pylist()
+        for did, text in zip(ids, texts):
+            toks = text.split()
+            sig = minhash_signature(
+                shingle_hashes_vec(token_hashes(toks), shingle_k), a, b_
+            )
+            sig_bytes = sig.tobytes()
+            for band in range(bands):
+                chunk = sig[band * rows_per_band : (band + 1) * rows_per_band]
+                bh = stable_hash64_bytes(chunk.tobytes())
+                key = (bh ^ (band * 0x9E3779B97F4A7C15)) & 0x7FFFFFFFFFFFFFFF
+                out["key"].append(key)
+                out[id_col].append(did)
+                out["sig"].append(sig_bytes)
+        t = pa.table(
+            {
+                "key": pa.array(out["key"], pa.int64()),
+                id_col: pa.array(out[id_col], id_type),
+                "sig": pa.array(out["sig"], pa.binary()),
+            }
+        )
+        return t.append_column(
+            "part",
+            pc.cast(pc.bit_wise_and(t["key"], n_parts - 1), pa.int32()),
+        )
+
+    return docs.map_batches(sig_batch, batch_format="pyarrow")
+
+
+def write_minhash_store(
+    docs,
+    out_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    seed: int = 7,
+):
+    """Persist the corpus's MinHash-LSH membership rows (key, id, sig) as
+    parquet partitioned by the bounded bucket-hash partition — the
+    signature STORE an incremental pipeline dedups each new crawl round
+    against without ever re-reading old text (signatures are ~8*num_perm
+    bytes/doc vs the full document). Resumable layout: one directory per
+    partition."""
+    mem = _minhash_membership(
+        docs, id_col, text_col, num_perm, bands, shingle_k, seed
+    )
+    mem.write_parquet(out_dir, partition_cols=["part"])
+    return out_dir
+
+
+def dedup_against_store(
+    new_docs,
+    store_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    seed: int = 7,
+    est_threshold: float = 0.8,
+    max_bucket: int = 256,
+):
+    """(new_id, existing_id, est_jaccard): incremental near-dup dedup —
+    which NEW documents near-duplicate something already in the persisted
+    signature store. The store side ships only (key, id, sig) rows; old
+    text is never read. Candidates come from shared LSH buckets, scored by
+    the signature-estimated Jaccard (mean matching perms, the same
+    estimator minhash_lsh_pairs prunes with), thresholded at
+    ``est_threshold``; pairs seen via several bands dedup partition-
+    grouped. Parameters must match the store's (same signature space)."""
+    import ray
+
+    N_PARTS = 64
+    rows_per_band = num_perm // bands
+    id_type = new_docs.schema().base_schema.field(id_col).type
+
+    new_mem = _minhash_membership(
+        new_docs, id_col, text_col, num_perm, bands, shingle_k, seed,
+        n_parts=N_PARTS,
+    ).map_batches(
+        lambda b: b.append_column("is_new", pa.array([1] * b.num_rows, pa.int8())),
+        batch_format="pyarrow",
+    )
+    old_mem = ray.data.read_parquet(store_dir).map_batches(
+        lambda b: pa.table(
+            {
+                "key": b["key"],
+                id_col: b[id_col].cast(id_type),
+                "sig": b["sig"],
+                "part": pc.cast(b["part"], pa.int32()),
+                "is_new": pa.array([0] * b.num_rows, pa.int8()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    def pairs_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["key", "is_new", id_col], kind="stable")
+        keys = g["key"].to_numpy()
+        ids_all = g[id_col].to_numpy()
+        is_new = g["is_new"].to_numpy()
+        sig_blob = np.frombuffer(
+            b"".join(g["sig"]), dtype=np.uint64
+        ).reshape(len(g), num_perm)
+        starts = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1]])
+        ends = np.r_[starts[1:], len(keys)]
+        na, nb, ests = [], [], []
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            m = min(e - s, max_bucket)
+            old_idx = np.arange(s, s + m)[is_new[s : s + m] == 0]
+            new_idx = np.arange(s, s + m)[is_new[s : s + m] == 1]
+            if not len(old_idx) or not len(new_idx):
+                continue
+            est = (
+                sig_blob[new_idx][:, None, :] == sig_blob[old_idx][None, :, :]
+            ).mean(axis=2)
+            ii, jj = np.nonzero(est >= est_threshold)
+            na.append(ids_all[new_idx][ii])
+            nb.append(ids_all[old_idx][jj])
+            ests.append(est[ii, jj])
+        if not na:
+            return pd.DataFrame(
+                {
+                    "new_id": pd.Series([], dtype=np.asarray(ids_all).dtype),
+                    "existing_id": pd.Series([], dtype=np.asarray(ids_all).dtype),
+                    "est_jaccard": pd.Series([], dtype=np.float64),
+                }
+            )
+        out = pd.DataFrame(
+            {
+                "new_id": np.concatenate(na),
+                "existing_id": np.concatenate(nb),
+                "est_jaccard": np.round(np.concatenate(ests), 6),
+            }
+        )
+        return out
+
+    pairs = (
+        new_mem.union(old_mem)
+        .groupby("part")
+        .map_groups(pairs_part, batch_format="pandas")
+    )
+
+    # distinct pairs (several bands can surface the same pair):
+    # partition-group on a pair hash, np-dedup inside
+    def pair_part(b: pa.Table) -> pa.Table:
+        h = (
+            pd.util.hash_array(
+                b["new_id"].to_numpy(zero_copy_only=False).astype("int64", copy=False)
+                if pa.types.is_integer(b.schema.field("new_id").type)
+                else b["new_id"].to_numpy(zero_copy_only=False).astype(object)
+            )
+            ^ pd.util.hash_array(
+                b["existing_id"].to_numpy(zero_copy_only=False).astype("int64", copy=False)
+                if pa.types.is_integer(b.schema.field("existing_id").type)
+                else b["existing_id"].to_numpy(zero_copy_only=False).astype(object)
+            )
+        ) % N_PARTS
+        return b.append_column("ppart", pa.array(h.astype(np.int32)))
+
+    def dedup_part(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["new_id", "existing_id"])[
+            ["new_id", "existing_id", "est_jaccard"]
+        ]
+
+    return (
+        pairs.map_batches(pair_part, batch_format="pyarrow")
+        .groupby("ppart")
+        .map_groups(dedup_part, batch_format="pandas")
+    )

@@ -2664,3 +2664,49 @@ def test_cross_source_dups_leakage_report(ray_session):
     ).to_pandas()
     assert list(empty.columns) == ["source_a", "source_b", "n_pairs"]
     assert len(empty) == 0
+
+
+def test_minhash_store_incremental_dedup(ray_session, tmp_path):
+    """Incremental near-dup dedup against a persisted signature store:
+    a new doc near-identical to a stored doc is reported (est ~1), a
+    novel doc is not, old text is never read (only the store), and the
+    membership kernel matches minhash_lsh_pairs' signature space (the
+    same planted pair surfaces in both)."""
+    import pyarrow as pa
+
+    from high_performance_parallel_search_engine_ray.pipelines.dedup import (
+        dedup_against_store,
+        minhash_lsh_pairs,
+        write_minhash_store,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and then runs far "
+        "away into the deep green forest before the sun sets tonight"
+    )
+    novel = (
+        "completely different content about database systems and query "
+        "optimization with hash joins and sort merge operations inside"
+    )
+    old_docs = [
+        {"doc_id": 0, "text": base},
+        {"doc_id": 1, "text": novel},
+    ]
+    new_docs = [
+        {"doc_id": 100, "text": base + " extra"},  # near-dup of 0
+        {"doc_id": 101, "text": "unrelated brand new words entirely here "
+                                "nothing shared with anything stored now"},
+    ]
+    store = str(tmp_path / "mh_store")
+    write_minhash_store(rd.from_items(old_docs).repartition(2), store)
+    out = dedup_against_store(
+        rd.from_items(new_docs).repartition(2), store, est_threshold=0.5
+    ).to_pandas()
+    assert set(zip(out["new_id"], out["existing_id"])) == {(100, 0)}
+    assert (out["est_jaccard"] >= 0.5).all()
+    # pairs are distinct despite multiple shared bands
+    assert len(out) == 1
+    # same signature space as the one-shot operator
+    both = rd.from_items(old_docs + new_docs).repartition(2)
+    pairs = minhash_lsh_pairs(both, jaccard_threshold=0.5).to_pandas()
+    assert (0, 100) in set(zip(pairs["doc_a"], pairs["doc_b"]))
