@@ -90,6 +90,22 @@ def _incremental_dedup(sf_dir: str):
     return dedup.dedup_against_store(odd, store, est_threshold=0.5)
 
 
+def _quality_classifier(sf_dir: str):
+    """Train + score sharing ONE materialized feature table (text read
+    once; the 30-epoch GD runs over features only)."""
+    from high_performance_parallel_search_engine_ray.pipelines import text
+    from high_performance_parallel_search_engine_ray.pipelines.text import (
+        _hashed_features,
+    )
+
+    docs = rd_read_docs_full(sf_dir)
+    feats = _hashed_features(
+        docs, 64, "doc_id", "text", "source", "src0"
+    ).materialize()
+    w = text.train_quality_classifier(docs, features=feats)
+    return text.score_quality_classifier(docs, w, features=feats)
+
+
 def rd_read_docs_full(sf_dir: str):
     import ray.data as rd
 
@@ -751,6 +767,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (even docs -> store; odd docs dedup against it); stateful IO ->
         # rows-only driver check
         "incremental_dedup": lambda sf: _incremental_dedup(sf),
+        # fasttext-style model-based quality gate: train logistic
+        # regression on hashed-BoW features (positives = src0), score the
+        # corpus; iterative training -> rows-only driver check
+        "quality_classifier": lambda sf: _quality_classifier(sf),
     }
 
 

@@ -105,6 +105,7 @@ BENCH_QUERIES = [
     "dedup_keep_richest",
     "cross_source_dups",
     "incremental_dedup",
+    "quality_classifier",
 ]
 
 

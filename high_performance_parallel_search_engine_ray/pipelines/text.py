@@ -1477,3 +1477,165 @@ def split_sentences(docs, id_col: str = "doc_id", text_col: str = "text"):
         )
 
     return docs.map_batches(split, batch_format="pyarrow")
+
+
+def _hashed_features(docs, dims, id_col, text_col, source_col, target_source):
+    """(doc_id, y, x list<double>): hashed-BoW features for the quality
+    classifier — the DSIR char-fold bucket histogram normalized by kept
+    token count, plus a trailing bias 1.0; y = 1 when ``source_col``
+    equals ``target_source``. One pass over text; the feature table is
+    rows x (dims+2) scalars, far smaller than the corpus."""
+    import numpy as np
+
+    from .index import tokenize_batch
+
+    def feat(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        t = tokenize_batch(b, id_col, text_col)
+        toks = t["term"].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(toks, return_inverse=True)
+        bk = np.empty(len(uniq), np.int64)
+        for i, w in enumerate(uniq):
+            acc = ord(w[0])
+            for ch in w[1:]:
+                acc = (acc * 31 + ord(ch)) % dims
+            bk[i] = acc % dims
+        buckets = bk[inv] if len(uniq) else np.empty(0, np.int64)
+        # map token rows back to batch row index (unique-bounded dict,
+        # vectorized fan-out — never a per-token Python loop)
+        ids_tok = t["doc_id"].to_numpy(zero_copy_only=False)
+        ids_row = b[id_col].to_numpy(zero_copy_only=False)
+        uid, tok_inv = np.unique(ids_tok, return_inverse=True)
+        pos_of = {v: i for i, v in enumerate(ids_row)}
+        uid_rows = np.array([pos_of[v] for v in uid], np.int64)
+        rows = uid_rows[tok_inv] if len(uid) else np.empty(0, np.int64)
+        mat = np.zeros((n, dims + 1), np.float64)
+        np.add.at(mat, (rows, buckets), 1.0)
+        tot = mat[:, :dims].sum(axis=1)
+        mat[:, :dims] /= np.maximum(tot, 1.0)[:, None]
+        mat[:, dims] = 1.0  # bias
+        y = (
+            b[source_col].to_numpy(zero_copy_only=False) == target_source
+        ).astype(np.int8)
+        return pa.table(
+            {
+                id_col: b[id_col],
+                "y": pa.array(y, pa.int8()),
+                "x": pa.array(list(mat), pa.list_(pa.float64())),
+            }
+        )
+
+    return docs.map_batches(feat, batch_format="pyarrow")
+
+
+def train_quality_classifier(
+    docs,
+    target_source: str = "src0",
+    dims: int = 64,
+    epochs: int = 30,
+    lr: float = 2.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    inmemory_threshold: int = 2_000_000,
+    features=None,
+):
+    """Train the fasttext-style quality classifier curation pipelines gate
+    on (GPT-3/LLaMA-style: logistic regression over hashed-BoW features,
+    positives = a trusted domain): full-batch gradient descent, returning
+    the (dims+1,) weight vector.
+
+    Cost-based two-path (the repo's iterative-algorithm rule): features
+    are computed ONCE and materialized (rows x (dims+2) scalars — text is
+    never re-read per epoch). At or below ``inmemory_threshold`` rows the
+    feature table pulls once and GD runs in numpy (each distributed round
+    costs seconds of fixed exchange setup); above it each epoch is one
+    map_batches partial-gradient pass (X^T(sigmoid(Xw)-y) and row count
+    per block) reduced on the driver — a (dims+1)-sized exchange per
+    epoch. Both paths run the same math; the equality test pins them."""
+    import numpy as np
+    import ray
+
+    feats = (
+        features
+        if features is not None
+        else _hashed_features(
+            docs, dims, id_col, text_col, source_col, target_source
+        ).materialize()
+    )
+    n_rows = feats.count()
+    w = np.zeros(dims + 1, np.float64)
+
+    def _sig(z):
+        return 1.0 / (1.0 + np.exp(-z))
+
+    if n_rows <= inmemory_threshold:
+        tbl = feats.to_pandas()
+        X = np.asarray([np.asarray(v) for v in tbl["x"]], np.float64)
+        y = tbl["y"].to_numpy().astype(np.float64)
+        for _ in range(epochs):
+            g = X.T @ (_sig(X @ w) - y) / n_rows
+            w = w - lr * g
+        return w
+
+    for _ in range(epochs):
+        w_ref = ray.put(w)
+
+        def grad_part(b: pa.Table) -> pa.Table:
+            ww = ray.get(w_ref)
+            X = np.asarray(
+                b["x"].combine_chunks().flatten(), np.float64
+            ).reshape(b.num_rows, dims + 1)
+            y = b["y"].to_numpy(zero_copy_only=False).astype(np.float64)
+            g = X.T @ (_sig(X @ ww) - y)
+            return pa.table({"g": pa.array([g], pa.list_(pa.float64()))})
+
+        parts = feats.map_batches(grad_part, batch_format="pyarrow").take_all()
+        g = np.zeros(dims + 1, np.float64)
+        for p in parts:  # one (dims+1) vector per block
+            g += np.asarray(p["g"], np.float64)
+        w = w - lr * g / n_rows
+    return w
+
+
+def score_quality_classifier(
+    docs,
+    weights,
+    dims: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    target_source: str = "src0",
+    features=None,
+):
+    """(doc_id, y, p_target): sigmoid scores under a trained quality
+    classifier — the gate column a curation pipeline thresholds on.
+    Broadcast weights, embarrassingly parallel; p rounded 6dp. Pass the
+    training run's materialized ``features`` to avoid re-reading text."""
+    import numpy as np
+    import ray
+
+    w_ref = ray.put(np.asarray(weights, np.float64))
+
+    def score(b: pa.Table) -> pa.Table:
+        w = ray.get(w_ref)
+        X = np.asarray(
+            b["x"].combine_chunks().flatten(), np.float64
+        ).reshape(b.num_rows, len(w))
+        p = 1.0 / (1.0 + np.exp(-(X @ w)))
+        return pa.table(
+            {
+                id_col: b[id_col],
+                "y": b["y"],
+                "p_target": pa.array(round_half_away(p, 6), pa.float64()),
+            }
+        )
+
+    feats = (
+        features
+        if features is not None
+        else _hashed_features(
+            docs, dims, id_col, text_col, source_col, target_source
+        )
+    )
+    return feats.map_batches(score, batch_format="pyarrow")

@@ -2710,3 +2710,42 @@ def test_minhash_store_incremental_dedup(ray_session, tmp_path):
     both = rd.from_items(old_docs + new_docs).repartition(2)
     pairs = minhash_lsh_pairs(both, jaccard_threshold=0.5).to_pandas()
     assert (0, 100) in set(zip(pairs["doc_a"], pairs["doc_b"]))
+
+
+def test_quality_classifier_two_paths_and_separation(ray_session):
+    """Logistic quality classifier: on a separable planted corpus the
+    trained model ranks every target-domain doc above every off-domain
+    doc; the in-memory and distributed-BSP training paths agree; scoring
+    is deterministic."""
+    import numpy as np
+
+    from high_performance_parallel_search_engine_ray.pipelines.text import (
+        score_quality_classifier,
+        train_quality_classifier,
+    )
+
+    rows = (
+        [
+            {"doc_id": i, "source": "src0",
+             "text": "quantum qubit entanglement decoherence physics theory"}
+            for i in range(8)
+        ]
+        + [
+            {"doc_id": 100 + i, "source": "web",
+             "text": "football basketball tennis soccer golf cricket match"}
+            for i in range(8)
+        ]
+    )
+    ds = rd.from_items(rows).repartition(4)
+    w_mem = train_quality_classifier(ds, target_source="src0", epochs=40)
+    w_bsp = train_quality_classifier(
+        ds, target_source="src0", epochs=40, inmemory_threshold=0
+    )
+    assert np.allclose(w_mem, w_bsp, atol=1e-9)
+
+    scored = score_quality_classifier(ds, w_mem).take_all()
+    pos = [r["p_target"] for r in scored if r["y"] == 1]
+    neg = [r["p_target"] for r in scored if r["y"] == 0]
+    assert len(pos) == 8 and len(neg) == 8
+    assert min(pos) > max(neg)
+    assert min(pos) > 0.5 > max(neg)
