@@ -1838,11 +1838,12 @@ GROUP BY doc_id HAVING count(DISTINCT term) = 3
     # same char-fold
     _RAG_DIMS = 64
 
+    from high_performance_parallel_search_engine_ray.functions.hashing import (
+        fold_bucket,
+    )
+
     def _fold(tok: str) -> int:
-        acc = ord(tok[0])
-        for ch in tok[1:]:
-            acc = (acc * 31 + ord(ch)) % _RAG_DIMS
-        return acc % _RAG_DIMS
+        return fold_bucket(tok, _RAG_DIMS)
 
     _qcounts: dict[int, int] = {}
     for _t in "hash table scan merge".split():

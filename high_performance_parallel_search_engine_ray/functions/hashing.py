@@ -48,6 +48,21 @@ def stable_hash64_bytes(data: bytes) -> int:
     return h
 
 
+def fold_bucket(tok: str, n_buckets: int) -> int:
+    """Char-fold bucket hash — THE cross-operator contract hash shared by
+    dsir_weights, the hashed-BoW featurizers (quality classifier, RAG
+    chunk embeddings) and their DuckDB oracle mirrors, which inline the
+    identical fold as
+    ``list_reduce(list_transform(string_split(t,''), c -> ascii(c)),
+    (a,b) -> (a*31+b) % M) % M``. acc seeds with the first codepoint,
+    folds (acc*31 + codepoint) % n_buckets, final mod for 1-char tokens.
+    Do NOT change without changing every SQL mirror."""
+    acc = ord(tok[0])
+    for ch in tok[1:]:
+        acc = (acc * 31 + ord(ch)) % n_buckets
+    return acc % n_buckets
+
+
 def shard_of(url: str, num_shards: int) -> int:
     """Frontier shard routing key. Hash of the full canonical URL (not just
     host) so one hot host spreads over shards; politeness for a host is

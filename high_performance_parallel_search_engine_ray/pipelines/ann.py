@@ -227,14 +227,7 @@ def ivf_topk(
     return local.groupby("query_idx").map_groups(merge, batch_format="pandas")
 
 
-def _fold_bucket(tok: str, dims: int) -> int:
-    """Char-fold hash shared with text.dsir_weights and the DuckDB
-    list_reduce mirror: acc = (acc*31 + codepoint) % dims, seeded with the
-    first codepoint, final mod."""
-    acc = ord(tok[0])
-    for ch in tok[1:]:
-        acc = (acc * 31 + ord(ch)) % dims
-    return acc % dims
+from ..functions.hashing import fold_bucket as _fold_bucket
 
 
 def hashed_chunk_embeddings(chunks, dims: int = 64):

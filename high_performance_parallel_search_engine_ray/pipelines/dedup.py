@@ -1729,12 +1729,21 @@ def dedup_against_store(
         starts = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1]])
         ends = np.r_[starts[1:], len(keys)]
         na, nb, ests = [], [], []
+        n_dropped = 0
         for s, e in zip(starts, ends):
             if e - s < 2:
                 continue
-            m = min(e - s, max_bucket)
-            old_idx = np.arange(s, s + m)[is_new[s : s + m] == 0]
-            new_idx = np.arange(s, s + m)[is_new[s : s + m] == 1]
+            # cap EACH side independently (smallest ids kept): a hot store
+            # bucket must never eject the new probe rows — the probe side
+            # is the whole point of this operator
+            idx = np.arange(s, e)
+            old_idx = idx[is_new[s:e] == 0]
+            new_idx = idx[is_new[s:e] == 1]
+            n_dropped += max(0, len(old_idx) - max_bucket) + max(
+                0, len(new_idx) - max_bucket
+            )
+            old_idx = old_idx[:max_bucket]
+            new_idx = new_idx[:max_bucket]
             if not len(old_idx) or not len(new_idx):
                 continue
             est = (
@@ -1744,6 +1753,14 @@ def dedup_against_store(
             na.append(ids_all[new_idx][ii])
             nb.append(ids_all[old_idx][jj])
             ests.append(est[ii, jj])
+        if n_dropped:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "dedup_against_store: %d bucket members past max_bucket=%d "
+                "not compared (raise max_bucket for hot templates)",
+                n_dropped, max_bucket,
+            )
         if not na:
             return pd.DataFrame(
                 {

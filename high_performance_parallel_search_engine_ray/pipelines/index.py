@@ -30,19 +30,27 @@ SERIAL_TOKEN_SPLIT_RE = "[ \t\n\r.,;:!?\"()\\[\\]{}<>]+"
 _STOP_ARR = pa.array(list(STOPWORDS))
 
 
-def tokenize_batch(batch: pa.Table, id_col: str = "doc_id", text_col: str = "text") -> pa.Table:
-    """Vectorized: docs batch -> (doc_id, term) exploded rows (serial
-    tokenizer semantics, zero Python loops)."""
+def _split_and_mask(batch: pa.Table, text_col: str):
+    """(flat tokens, parent row indices, kept mask) — THE kept-token
+    definition (lowercase split + length gate + stopword drop), shared by
+    tokenize_batch and encode_with_vocab so the two can never drift."""
     lower = pc.utf8_lower(batch[text_col])
     toks = pc.split_pattern_regex(lower, SERIAL_TOKEN_SPLIT_RE)
     flat = pc.list_flatten(toks)
     parents = pc.list_parent_indices(toks)
-    ids = pc.take(batch[id_col], parents)
     ln = pc.utf8_length(flat)
     mask = pc.and_(
         pc.and_(pc.greater(ln, 0), pc.less_equal(ln, MAX_TERM_LEN)),
         pc.invert(pc.is_in(flat, value_set=_STOP_ARR)),
     )
+    return flat, parents, mask
+
+
+def tokenize_batch(batch: pa.Table, id_col: str = "doc_id", text_col: str = "text") -> pa.Table:
+    """Vectorized: docs batch -> (doc_id, term) exploded rows (serial
+    tokenizer semantics, zero Python loops)."""
+    flat, parents, mask = _split_and_mask(batch, text_col)
+    ids = pc.take(batch[id_col], parents)
     return pa.table({"doc_id": pc.filter(ids, mask), "term": pc.filter(flat, mask)})
 
 
@@ -470,13 +478,16 @@ def phrase_pmi(
     length/stopword filter — order preserved), so both sides of a dropped
     stopword become adjacent, matching the oracle's list_filter semantics.
 
-    Shape: per-block bigram/unigram partial counts (one slice-compare +
-    Arrow group_by each, no per-row Python) -> (w1,w2,n)/(term,n) shuffles
-    -> min_count gate -> unigram counts attached via the cost-based
-    broadcast/shuffle join (vocab-scale safe) -> vectorized pmi -> global
-    sort + limit(k). At 100 TB the min_count gate is the boundedness knob
-    (scale it as a rate, or front it with the `frequent_terms` Misra-Gries
-    sketch); nothing here materializes the vocabulary on the driver.
+    Shape: ONE tokenize pass per block emits both the bigram and unigram
+    partial counts as a tagged union (unigram rows carry w2 = "" — tokens
+    are never empty, so the tag can't collide; this halves the dominant
+    text-scan cost vs separate passes, the bm25_topk shared-tokenize
+    lesson) -> (w1,w2,n) shuffle -> split -> min_count gate -> unigram
+    counts attached via the cost-based broadcast/shuffle join (vocab-scale
+    safe) -> vectorized pmi -> global sort + limit(k). At 100 TB the
+    min_count gate is the boundedness knob (scale it as a rate, or front
+    it with the `frequent_terms` Misra-Gries sketch); nothing here
+    materializes the vocabulary on the driver.
     Deterministic tiebreak: (pmi desc, w1 asc, w2 asc); pmi rounded 6dp."""
     import numpy as np
 
@@ -489,13 +500,27 @@ def phrase_pmi(
         [("w1", pa.string()), ("w2", pa.string()), ("n", pa.int64())]
     )
 
-    def bigram_partials(b: pa.Table) -> pa.Table:
+    def gram_partials(b: pa.Table) -> pa.Table:
+        """ONE tokenize pass -> tagged union of bigram (w1, w2, n) and
+        unigram (w1, "", n) partial counts (tokens are never empty, so the
+        "" tag can't collide) — halves the dominant text-scan cost vs
+        separate unigram/bigram passes (the bm25_topk shared-tokenize
+        lesson)."""
         tok = tokenize_batch(b, id_col, text_col)
         n = tok.num_rows
-        if n < 2:
-            return big_schema.empty_table()
-        ids = tok["doc_id"].combine_chunks()
         terms = tok["term"].combine_chunks()
+        uni_t = (
+            pa.table({"w1": terms})
+            .group_by(["w1"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["w1", "n"])
+        )
+        uni_t = uni_t.append_column(
+            "w2", pa.array([""] * uni_t.num_rows, pa.string())
+        ).select(["w1", "w2", "n"]).cast(big_schema)
+        if n < 2:
+            return uni_t
+        ids = tok["doc_id"].combine_chunks()
         same = pc.equal(ids.slice(0, n - 1), ids.slice(1, n))
         t = pa.table(
             {
@@ -503,33 +528,39 @@ def phrase_pmi(
                 "w2": pc.filter(terms.slice(1, n), same),
             }
         )
-        g = t.group_by(["w1", "w2"]).aggregate([([], "count_all")])
-        return g.rename_columns(["w1", "w2", "n"]).cast(big_schema)
-
-    def uni_partials(b: pa.Table) -> pa.Table:
         g = (
-            tokenize_batch(b, id_col, text_col)
-            .group_by(["term"])
+            t.group_by(["w1", "w2"])
             .aggregate([([], "count_all")])
+            .rename_columns(["w1", "w2", "n"])
+            .cast(big_schema)
         )
-        return g.rename_columns(["term", "n"])
+        return pa.concat_tables([uni_t, g])
 
-    uni = (
-        docs.map_batches(uni_partials, batch_format="pyarrow")
-        .groupby("term")
-        .aggregate(Sum("n", alias_name="n_term"))
-        .materialize()
-    )
-    total = float(uni.aggregate(Sum("n_term"))["sum(n_term)"])
-
-    big = (
-        docs.map_batches(bigram_partials, batch_format="pyarrow")
+    grams = (
+        docs.map_batches(gram_partials, batch_format="pyarrow")
         .groupby(["w1", "w2"])
         .aggregate(Sum("n", alias_name="n_ab"))
-        .map_batches(
-            lambda b: b.filter(pc.greater_equal(b["n_ab"], min_count)),
-            batch_format="pyarrow",
-        )
+        .materialize()
+    )
+    uni = grams.map_batches(
+        lambda b: pa.table(
+            {
+                "term": b.filter(pc.equal(b["w2"], ""))["w1"],
+                "n_term": b.filter(pc.equal(b["w2"], ""))["n_ab"],
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+    total = float(uni.aggregate(Sum("n_term"))["sum(n_term)"])
+
+    big = grams.map_batches(
+        lambda b: b.filter(
+            pc.and_(
+                pc.invert(pc.equal(b["w2"], "")),
+                pc.greater_equal(b["n_ab"], min_count),
+            )
+        ),
+        batch_format="pyarrow",
     )
 
     npart = _join_partitions(n_joins=2)
@@ -636,15 +667,8 @@ def encode_with_vocab(
 
     def enc(b: pa.Table) -> pa.Table:
         n = b.num_rows
-        lower = pc.utf8_lower(b[text_col])
-        words = pc.split_pattern_regex(lower, SERIAL_TOKEN_SPLIT_RE)
-        flat = pc.list_flatten(words)
-        parents = pc.list_parent_indices(words).to_numpy(zero_copy_only=False)
-        ln = pc.utf8_length(flat)
-        mask = pc.and_(
-            pc.and_(pc.greater(ln, 0), pc.less_equal(ln, MAX_TERM_LEN)),
-            pc.invert(pc.is_in(flat, value_set=_STOP_ARR)),
-        )
+        flat, parents_arr, mask = _split_and_mask(b, text_col)
+        parents = parents_arr.to_numpy(zero_copy_only=False)
         mask_np = mask.to_numpy(zero_copy_only=False)
         toks = pc.filter(flat, mask).to_numpy(zero_copy_only=False)
         parents = parents[mask_np]
@@ -667,14 +691,16 @@ def encode_with_vocab(
     return docs.map_batches(enc, batch_format="pyarrow")
 
 
-def encode_tokens_exploded(docs, size: int = 1000, id_col: str = "doc_id"):
+def encode_tokens_exploded(
+    docs, size: int = 1000, id_col: str = "doc_id", text_col: str = "text"
+):
     """(doc_id, pos, token_id): the exploded row form of
     ``encode_with_vocab`` (pos = 0-based position in the kept-token
     sequence) — the SQL-comparable contract view; zero-token docs emit no
     rows. Block-local explode, no shuffle."""
     import numpy as np
 
-    enc = encode_with_vocab(docs, size=size, id_col=id_col)
+    enc = encode_with_vocab(docs, size=size, id_col=id_col, text_col=text_col)
 
     def explode(b: pa.Table) -> pa.Table:
         lst = b["token_ids"].combine_chunks()

@@ -504,15 +504,21 @@ def tfidf_topk(
 def boolean_and_search(docs, terms: list[str]):
     """(doc_id, n_matched): conjunctive boolean retrieval — documents whose
     kept-token set contains EVERY query term (the classic AND query next
-    to BM25's ranked OR). Zero shuffles: each document lives wholly inside
-    its batch, so the distinct-query-term count per doc is block-local
-    (tokenize -> is_in filter -> block group_by distinct -> per-doc count
-    == n_terms)."""
+    to BM25's ranked OR). Query terms normalize through the shared
+    ``tokenize_query`` (lowercase, stopword drop) like every other rank.py
+    operator, so ["Hash", "table"] matches; a query whose terms ALL
+    normalize away raises rather than silently matching nothing. Zero
+    shuffles: each document lives wholly inside its batch, so the distinct
+    query-term count per doc is block-local (tokenize -> is_in filter ->
+    block group_by distinct -> per-doc count == n_terms)."""
     import numpy as np
 
+    from ..functions.tokenize import tokenize_query
     from .index import tokenize_batch
 
-    want = sorted(set(terms))
+    want = sorted(set(tokenize_query(" ".join(terms))))
+    if not want:
+        raise ValueError("every query term normalized away (stopwords?)")
     n_want = len(want)
     probe = pa.array(want)
 

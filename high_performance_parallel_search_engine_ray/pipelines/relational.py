@@ -1264,14 +1264,20 @@ def cms_term_counts(
     t-digest quantiles).
 
     Scale shape: each block folds its kept tokens into a depth x width
-    int64 counter grid (vectorized np.add.at over row-hashed buckets);
-    grids are CONSTANT-size and merge by addition on the driver — the
-    vocabulary never shuffles and never lands on the driver. The exact
+    int64 counter grid (vectorized np.add.at over row-hashed buckets),
+    then emits only its NONZERO (cell, val) rows; a groupby-Sum over at
+    most depth*width keys produces the merged sketch, and only that
+    constant-size table reaches the driver — the vocabulary never
+    shuffles, and driver traffic is independent of block count. The exact
     verification counts use a candidate-bounded is_in filter (probe-list
     sized), the same pattern as frequent_terms' verify pass."""
     from ..functions.hashing import token_hashes
     from .index import tokenize_batch
 
+    if depth < 1 or depth > 8:
+        raise ValueError("depth must be in [1, 8] (row-hash multiplier table)")
+    if width < 1:
+        raise ValueError("width must be positive")
     if query_terms is None:
         query_terms = ["hash", "table", "scan", "merge", "row"]
     qt = sorted(set(query_terms))
@@ -1297,14 +1303,27 @@ def cms_term_counts(
             for d in range(depth):
                 idx = ((h * mults[d]) >> np.uint64(16)) % np.uint64(width)
                 np.add.at(grid[d], idx.astype(np.int64), counts)
-        return pa.table({"grid": pa.array([grid.ravel()],
-                                          pa.list_(pa.int64()))})
+        flat = grid.ravel()
+        nz = np.nonzero(flat)[0]
+        return pa.table(
+            {
+                "cell": pa.array(nz, pa.int64()),
+                "val": pa.array(flat[nz], pa.int64()),
+            }
+        )
 
-    grids = docs.map_batches(grid_of, batch_format="pyarrow").take_all()
-    total = np.zeros(depth * width, np.int64)
-    for g in grids:  # constant-size merge: one row per block
-        total += np.asarray(g["grid"], np.int64)
-    grid = total.reshape(depth, width)
+    from ray.data.aggregate import Sum
+
+    merged = (
+        docs.map_batches(grid_of, batch_format="pyarrow")
+        .groupby("cell")
+        .aggregate(Sum("val", alias_name="v"))
+        .take_all()  # at most depth*width rows — constant size
+    )
+    grid = np.zeros(depth * width, np.int64)
+    for r in merged:
+        grid[int(r["cell"])] = int(r["v"])
+    grid = grid.reshape(depth, width)
 
     qh = token_hashes(qt).astype(np.uint64)
     est = np.full(len(qt), np.iinfo(np.int64).max, np.int64)

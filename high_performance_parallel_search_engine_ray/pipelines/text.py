@@ -1291,14 +1291,12 @@ def dsir_weights(
 
     B = int(n_buckets)
 
+    from ..functions.hashing import fold_bucket
+
     def _bucket_of(uniq_terms) -> "np.ndarray":
-        out = np.empty(len(uniq_terms), np.int64)
-        for i, t in enumerate(uniq_terms):
-            acc = ord(t[0])
-            for ch in t[1:]:
-                acc = (acc * 31 + ord(ch)) % B
-            out[i] = acc % B
-        return out
+        return np.array(
+            [fold_bucket(t, B) for t in uniq_terms], np.int64
+        ) if len(uniq_terms) else np.empty(0, np.int64)
 
     def bucket_counts(b: pa.Table) -> pa.Table:
         t = tokenize_batch(b, id_col=source_col, text_col=text_col)
@@ -1382,7 +1380,7 @@ def gopher_gates(
     import numpy as np
 
     def gates(b: pa.Table) -> pa.Table:
-        txt = b[text_col]
+        txt = pc.fill_null(b[text_col], "")
         n = b.num_rows
         wc = pc.count_substring_regex(txt, r"\S+").to_numpy(
             zero_copy_only=False
@@ -1493,13 +1491,10 @@ def _hashed_features(docs, dims, id_col, text_col, source_col, target_source):
         n = b.num_rows
         t = tokenize_batch(b, id_col, text_col)
         toks = t["term"].to_numpy(zero_copy_only=False)
+        from ..functions.hashing import fold_bucket
+
         uniq, inv = np.unique(toks, return_inverse=True)
-        bk = np.empty(len(uniq), np.int64)
-        for i, w in enumerate(uniq):
-            acc = ord(w[0])
-            for ch in w[1:]:
-                acc = (acc * 31 + ord(ch)) % dims
-            bk[i] = acc % dims
+        bk = np.array([fold_bucket(w, dims) for w in uniq], np.int64)
         buckets = bk[inv] if len(uniq) else np.empty(0, np.int64)
         # map token rows back to batch row index (unique-bounded dict,
         # vectorized fan-out — never a per-token Python loop)

@@ -2548,9 +2548,15 @@ def test_boolean_and_search_conjunction(ray_session):
             {"doc_id": [d[0] for d in docs], "text": [d[1] for d in docs]}
         )
     ).repartition(4)
-    out = boolean_and_search(ds, ["hash", "table", "scan"]).take_all()
+    # query terms normalize through tokenize_query: mixed case and a
+    # stopword in the QUERY must not poison the conjunction
+    out = boolean_and_search(ds, ["Hash", "the", "TABLE", "scan"]).take_all()
     assert sorted(r["doc_id"] for r in out) == [0, 2]
     assert all(r["n_matched"] == 3 for r in out)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        boolean_and_search(ds, ["the", "of"])  # all terms normalize away
 
 
 def test_rag_chunk_search_retrieval(ray_session):
