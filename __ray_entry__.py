@@ -771,6 +771,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # regression on hashed-BoW features (positives = src0), score the
         # corpus; iterative training -> rows-only driver check
         "quality_classifier": lambda sf: _quality_classifier(sf),
+        # bigram-LM perplexity gate (one rung up from unigram_logprob)
+        "bigram_logprob": lambda sf: text.bigram_logprob(_docs(sf)),
     }
 
 
@@ -1903,6 +1905,30 @@ SELECT least(a.source, b.source) AS source_a,
 FROM documents a JOIN documents b
   ON a.text = b.text AND a.doc_id < b.doc_id
 GROUP BY 1, 2
+"""
+    # add-1-smoothed bigram LM over the kept-token stream
+    sqls["bigram_logprob"] = f"""
+WITH kept AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '{_TOKEN_RE_SQL}'),
+                     x -> x <> '' AND length(x) <= 62
+                          AND x NOT IN ('the','a','an','in','of')) AS a
+  FROM documents
+),
+uni AS (
+  SELECT t AS term, count(*) AS c
+  FROM (SELECT unnest(a) AS t FROM kept) GROUP BY 1
+),
+v AS (SELECT count(*) AS v FROM uni),
+pos AS (SELECT doc_id, a, unnest(range(1, len(a))) AS i
+        FROM kept WHERE len(a) > 1),
+tr AS (SELECT doc_id, a[i] AS w1, a[i + 1] AS w2 FROM pos),
+bc AS (SELECT w1, w2, count(*) AS c FROM tr GROUP BY 1, 2)
+SELECT tr.doc_id, CAST(count(*) AS BIGINT) AS n_transitions,
+       round(avg(ln((bc.c + 1.0) / (uc.c + v.v))), 6) AS avg_logprob
+FROM tr JOIN bc ON bc.w1 = tr.w1 AND bc.w2 = tr.w2
+        JOIN uni uc ON uc.term = tr.w1 CROSS JOIN v
+GROUP BY tr.doc_id
 """
     return sqls
 

@@ -106,6 +106,7 @@ BENCH_QUERIES = [
     "cross_source_dups",
     "incremental_dedup",
     "quality_classifier",
+    "bigram_logprob",
 ]
 
 

@@ -1634,3 +1634,128 @@ def score_quality_classifier(
         )
     )
     return feats.map_batches(score, batch_format="pyarrow")
+
+
+def bigram_logprob(docs, id_col: str = "doc_id", text_col: str = "text"):
+    """(doc_id, n_transitions, avg_logprob): per-document mean conditional
+    log-probability under an add-1-smoothed BIGRAM language model trained
+    on the corpus itself — one rung up the CCNet/KenLM perplexity-gate
+    ladder from ``unigram_logprob`` (repetitive or template-like docs
+    score HIGH, incoherent token salads score LOW).
+    ``P(w_i | w_{i-1}) = (c(w_{i-1} w_i) + 1) / (c(w_{i-1}) + V)`` with V
+    = distinct kept terms; scored over the doc's kept-token transitions
+    (docs with < 2 kept tokens emit no row). Two passes, the
+    unigram_logprob shape: one tokenize pass emits bigram+unigram partial
+    counts (tagged union), the model pulls once (bigram-type-bounded —
+    sublinear in corpus size; same bounded-model contract the unigram
+    gate documents) and broadcasts via ray.put; scoring is per-batch
+    searchsorted over 'w1 w2' keys (terms never contain spaces — the
+    tokenizer splits on them)."""
+    import numpy as np
+    import ray
+    from ray.data.aggregate import Sum
+
+    from .index import tokenize_batch
+
+    def gram_partials(b: pa.Table) -> pa.Table:
+        tok = tokenize_batch(b, id_col, text_col)
+        n = tok.num_rows
+        terms = tok["term"].combine_chunks()
+        uni = (
+            pa.table({"w1": terms})
+            .group_by(["w1"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["w1", "n"])
+        )
+        uni = uni.append_column("w2", pa.array([""] * uni.num_rows, pa.string()))
+        out = [uni.select(["w1", "w2", "n"])]
+        if n >= 2:
+            ids = tok["doc_id"].combine_chunks()
+            same = pc.equal(ids.slice(0, n - 1), ids.slice(1, n))
+            t = pa.table(
+                {
+                    "w1": pc.filter(terms.slice(0, n - 1), same),
+                    "w2": pc.filter(terms.slice(1, n), same),
+                }
+            )
+            g = (
+                t.group_by(["w1", "w2"])
+                .aggregate([([], "count_all")])
+                .rename_columns(["w1", "w2", "n"])
+            )
+            out.append(g)
+        schema = pa.schema(
+            [("w1", pa.string()), ("w2", pa.string()), ("n", pa.int64())]
+        )
+        return pa.concat_tables([x.cast(schema) for x in out])
+
+    grams = (
+        docs.map_batches(gram_partials, batch_format="pyarrow")
+        .groupby(["w1", "w2"])
+        .aggregate(Sum("n", alias_name="c"))
+        .take_all()  # bigram-type-bounded model pull (see docstring)
+    )
+    uni_c: dict[str, int] = {}
+    bi_keys, bi_cnts = [], []
+    for r in grams:
+        if r["w2"] == "":
+            uni_c[r["w1"]] = int(r["c"])
+        else:
+            bi_keys.append(r["w1"] + " " + r["w2"])
+            bi_cnts.append(int(r["c"]))
+    V = len(uni_c)
+    bi_keys = np.array(bi_keys)
+    bi_cnts = np.array(bi_cnts, np.float64)
+    order = np.argsort(bi_keys)
+    bi_keys, bi_cnts = bi_keys[order], bi_cnts[order]
+    u_terms = np.array(sorted(uni_c))
+    u_cnts = np.array([uni_c[t] for t in u_terms], np.float64)
+    model_ref = ray.put((bi_keys, bi_cnts, u_terms, u_cnts, V))
+
+    def score(b: pa.Table) -> pa.Table:
+        tok = tokenize_batch(b, id_col, text_col)
+        n = tok.num_rows
+        if n < 2:
+            return pa.table(
+                {
+                    id_col: pa.array([], b[id_col].type),
+                    "n_transitions": pa.array([], pa.int64()),
+                    "avg_logprob": pa.array([], pa.float64()),
+                }
+            )
+        bi_k, bi_c, u_t, u_c, v = ray.get(model_ref)
+        ids = tok["doc_id"].combine_chunks()
+        terms = tok["term"].combine_chunks()
+        same = pc.equal(ids.slice(0, n - 1), ids.slice(1, n))
+        same_np = same.to_numpy(zero_copy_only=False)
+        w1 = pc.filter(terms.slice(0, n - 1), same).to_numpy(zero_copy_only=False)
+        w2 = pc.filter(terms.slice(1, n), same).to_numpy(zero_copy_only=False)
+        tid = pc.filter(
+            ids.slice(0, n - 1), same
+        ).to_numpy(zero_copy_only=False)
+        if not len(w1):
+            return pa.table(
+                {
+                    id_col: pa.array([], b[id_col].type),
+                    "n_transitions": pa.array([], pa.int64()),
+                    "avg_logprob": pa.array([], pa.float64()),
+                }
+            )
+        keys = np.char.add(np.char.add(w1.astype(str), " "), w2.astype(str))
+        c_ab = bi_c[np.searchsorted(bi_k, keys)]  # trained on this corpus:
+        c_a = u_c[np.searchsorted(u_t, w1)]       # every pair is in-model
+        lp = np.log((c_ab + 1.0) / (c_a + v))
+        uids, dinv = np.unique(tid, return_inverse=True)
+        n_tr = np.bincount(dinv)
+        sums = np.bincount(dinv, weights=lp)
+        return pa.table(
+            {
+                id_col: pa.array(uids, b[id_col].type),
+                "n_transitions": pa.array(n_tr.astype(np.int64), pa.int64()),
+                "avg_logprob": pa.array(
+                    round_half_away(sums / n_tr, 6), pa.float64()
+                ),
+            }
+        )
+
+    return docs.map_batches(score, batch_format="pyarrow")

@@ -2755,3 +2755,50 @@ def test_quality_classifier_two_paths_and_separation(ray_session):
     assert len(pos) == 8 and len(neg) == 8
     assert min(pos) > max(neg)
     assert min(pos) > 0.5 > max(neg)
+
+
+def test_bigram_logprob_model_semantics(ray_session):
+    """Bigram LM: a doc made of the corpus's dominant transitions scores
+    higher than a doc of rare transitions; <2-kept-token docs emit no
+    row; values match a hand-rolled add-1 model."""
+    import math
+
+    import pyarrow as pa
+
+    from high_performance_parallel_search_engine_ray.pipelines.text import (
+        bigram_logprob,
+    )
+
+    docs = [
+        (0, "alpha beta alpha beta alpha beta"),  # dominant transition
+        (1, "beta alpha gamma delta"),            # rare transitions
+        (2, "single"),                            # 1 token -> no row
+        (3, "the of"),                            # 0 kept -> no row
+    ]
+    ds = rd.from_arrow(
+        pa.table(
+            {"doc_id": [d[0] for d in docs], "text": [d[1] for d in docs]}
+        )
+    ).repartition(4)
+    out = {r["doc_id"]: r for r in bigram_logprob(ds).take_all()}
+    assert set(out) == {0, 1}
+    assert out[0]["avg_logprob"] > out[1]["avg_logprob"]
+    assert out[0]["n_transitions"] == 5 and out[1]["n_transitions"] == 3
+
+    # hand-rolled model over the same kept stream
+    stop = ("the", "a", "an", "in", "of")
+    toks = {d: [t for t in x.lower().split() if t not in stop] for d, x in docs}
+    uni, bi = {}, {}
+    for ts in toks.values():
+        for t in ts:
+            uni[t] = uni.get(t, 0) + 1
+        for p in zip(ts, ts[1:]):
+            bi[p] = bi.get(p, 0) + 1
+    V = len(uni)
+    for d in (0, 1):
+        ts = toks[d]
+        lps = [
+            math.log((bi[(a, b)] + 1.0) / (uni[a] + V))
+            for a, b in zip(ts, ts[1:])
+        ]
+        assert out[d]["avg_logprob"] == round(sum(lps) / len(lps), 6)

@@ -144,7 +144,7 @@ def test_registry_ordering_contract():
         "chunk_windows", "phrase_pmi", "price_histogram", "vocab_build",
         "dsir_weights", "gopher_gates", "encode_vocab", "split_sentences",
         "render_training", "boolean_and", "rag_search",
-        "dedup_keep_richest", "cross_source_dups",
+        "dedup_keep_richest", "cross_source_dups", "bigram_logprob",
     }
     assert set(entry_mod.oracle_sql()) - overflow_ok <= first50
     for critical in (
