@@ -265,8 +265,14 @@ class ShardedCrawl:
         # num_cpus=0: fetch calls and the admission shuffle alternate within
         # a round; reserving cores for idle fetchers would starve the Ray
         # Data shuffle tasks of schedulable CPUs.
+        # max_restarts/max_task_retries: fetchers are stateless apart from
+        # their rebuildable page cache, and _write_docs is content-keyed
+        # idempotent — so a fetcher killed mid-round transparently restarts
+        # and the in-flight fetch task re-executes with identical results.
+        # (FrontierShards hold crawl STATE and deliberately do NOT restart:
+        # their recovery path is the checkpoint/resume machinery.)
         self._fetchers = [
-            Fetcher.options(num_cpus=0).remote(
+            Fetcher.options(num_cpus=0, max_restarts=-1, max_task_retries=1).remote(
                 corpus_dir=cfg.corpus_dir,
                 docs_dir="",  # per-round dir passed per call
                 num_shards=cfg.num_shards,

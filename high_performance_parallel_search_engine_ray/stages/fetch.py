@@ -297,7 +297,15 @@ class FetchParse:
                 "fetch_status": pa.array(doc_rows["fetch_status"], pa.int32()),
             }
         )
-        part = os.path.join(self.docs_dir, f"part-{uuid.uuid4().hex}.parquet")
-        tmp = part + ".tmp"
+        # content-keyed filename (doc ids are deterministic for a URL
+        # slice) so a RETRIED fetch task after an actor death rewrites the
+        # SAME file instead of duplicating doc rows — this is what makes
+        # max_task_retries on the fetcher pool safe (atomic os.replace; a
+        # crash mid-write leaves only the ignored .tmp)
+        import hashlib
+
+        key = hashlib.md5("\n".join(doc_rows["doc_id"]).encode()).hexdigest()
+        part = os.path.join(self.docs_dir, f"part-{key}.parquet")
+        tmp = part + f".{uuid.uuid4().hex}.tmp"
         pq.write_table(t, tmp)
         os.replace(tmp, part)

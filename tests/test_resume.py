@@ -206,3 +206,59 @@ def test_fetcher_death_recovers_via_resume(ray_session, smoke_corpus):
     assert seen == seen_full
     assert docs == docs_full
     assert res["pages_crawled"] == full["pages_crawled"]
+
+
+def test_fetcher_kill_and_restart_equality(ray_session, smoke_corpus):
+    """Chaos: killing a fetch actor between rounds must be invisible —
+    fetchers are restartable (max_restarts) and the docs write is
+    content-keyed idempotent, so the resumed crawl's seen set, docs and
+    page count equal an unperturbed run's."""
+    import ray
+
+    ref, seen_ref, docs_ref = _run(smoke_corpus, "/tmp/t_chaos_ref")
+
+    eng = ShardedCrawl(_cfg(smoke_corpus, "/tmp/t_chaos_kill", max_rounds=1))
+    eng.run()
+    # murder one of the two fetchers; max_restarts=-1 must bring it back
+    ray.kill(eng._fetchers[0], no_restart=False)
+    eng.cfg.max_rounds = 20
+    res = eng.run(resume=True)
+    seen = eng.visited_urls()
+    docs = sorted(r["doc_id"] for r in eng.docs_dataset().take_all())
+    eng.shutdown()
+    assert seen == seen_ref
+    assert docs == docs_ref
+    assert res["pages_crawled"] == ref["pages_crawled"]
+
+
+def test_docs_write_is_idempotent(ray_session, tmp_path):
+    """_write_docs keys the part filename on the doc-id content, so a
+    retried fetch task rewrites the SAME file instead of duplicating doc
+    rows (what makes max_task_retries safe)."""
+    import os
+
+    from high_performance_parallel_search_engine_ray.stages.fetch import FetchParse
+
+    corpus = generate_corpus("t1-smoke", seed=42)
+    import pyarrow as pa
+
+    from high_performance_parallel_search_engine_ray.sources.corpus import load_seeds
+
+    seeds = load_seeds(corpus).to_pylist()[:3]
+    batch = pa.table(
+        {
+            "url": pa.array([r["url"] for r in seeds], pa.string()),
+            "depth": pa.array([0] * len(seeds), pa.int32()),
+            "discovered_seq": pa.array(range(len(seeds)), pa.int64()),
+        }
+    )
+    fp = FetchParse(corpus_dir=corpus, docs_dir=str(tmp_path / "docs"),
+                    num_shards=4, hot_hosts={}, max_depth=5)
+    fp.fetch(batch, str(tmp_path / "docs"))
+    files1 = sorted(os.listdir(tmp_path / "docs"))
+    # a restarted actor is a FRESH instance re-running the same task
+    fp2 = FetchParse(corpus_dir=corpus, docs_dir=str(tmp_path / "docs"),
+                     num_shards=4, hot_hosts={}, max_depth=5)
+    fp2.fetch(batch, str(tmp_path / "docs"))
+    files2 = sorted(os.listdir(tmp_path / "docs"))
+    assert files1 == files2 and len(files1) == 1
