@@ -773,6 +773,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_classifier": lambda sf: _quality_classifier(sf),
         # bigram-LM perplexity gate (one rung up from unigram_logprob)
         "bigram_logprob": lambda sf: text.bigram_logprob(_docs(sf)),
+        # dataset assembly: keep the highest-quality docs until the
+        # global token budget fills (straddler included)
+        "token_budget_select": lambda sf: text.token_budget_select(
+            _docs(sf), budget=10_000
+        ),
     }
 
 
@@ -1929,6 +1934,27 @@ SELECT tr.doc_id, CAST(count(*) AS BIGINT) AS n_transitions,
 FROM tr JOIN bc ON bc.w1 = tr.w1 AND bc.w2 = tr.w2
         JOIN uni uc ON uc.term = tr.w1 CROSS JOIN v
 GROUP BY tr.doc_id
+"""
+    # greedy token-budget fill over the unigram quality order
+    sqls["token_budget_select"] = f"""
+WITH {_TOKS_CTE},
+freq AS (SELECT term, count(*) AS cnt FROM toks GROUP BY term),
+tot AS (SELECT count(*) AS total FROM toks),
+s AS (
+  SELECT t.doc_id,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         ROUND(AVG(LN(f.cnt * 1.0 / tot.total)), 6) AS avg_logprob
+  FROM toks t JOIN freq f ON t.term = f.term CROSS JOIN tot
+  GROUP BY t.doc_id
+),
+w AS (
+  SELECT doc_id, n_tokens, avg_logprob,
+         coalesce(sum(n_tokens) OVER (
+           ORDER BY avg_logprob DESC, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+  FROM s
+)
+SELECT doc_id, n_tokens, avg_logprob FROM w WHERE before < 10000
 """
     return sqls
 

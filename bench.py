@@ -107,6 +107,7 @@ BENCH_QUERIES = [
     "incremental_dedup",
     "quality_classifier",
     "bigram_logprob",
+    "token_budget_select",
 ]
 
 

@@ -1759,3 +1759,80 @@ def bigram_logprob(docs, id_col: str = "doc_id", text_col: str = "text"):
         )
 
     return docs.map_batches(score, batch_format="pyarrow")
+
+
+def token_budget_select(
+    docs,
+    budget: int = 10_000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_parts: int = 64,
+):
+    """(doc_id, n_tokens, avg_logprob): the dataset-ASSEMBLY decision —
+    greedily keep the highest-quality documents (by the ``unigram_logprob``
+    gate score, ties broken by doc_id) until the global token budget
+    fills; the straddling doc is included (kept iff the tokens ranked
+    strictly before it total < ``budget``). This is the final "we can
+    afford B training tokens, which docs make the cut" step.
+
+    Scale shape — ``quality_buckets``' two-pass range-partitioned global
+    order, but prefix-summing TOKENS instead of ranks: score rows range-
+    partition by value (ties land in one partition, so cross-partition
+    order is exact), per-partition token totals -> driver exclusive
+    prefix over ``n_parts`` values -> within-partition sorted cumsum +
+    base. Only (doc_id, n_tokens, avg_logprob) rows shuffle; text stays
+    put (semi-join the kept ids back for the corpus itself)."""
+    import numpy as np
+    import pandas as pd
+    import ray
+    from ray.data.aggregate import Max, Min, Sum
+
+    lp = unigram_logprob(docs, id_col, text_col).materialize()
+    b = lp.aggregate(Min("avg_logprob"), Max("avg_logprob"))
+    if b is None or b["min(avg_logprob)"] is None:
+        return lp  # zero scored docs: empty, schema already right
+    lo, hi = float(b["min(avg_logprob)"]), float(b["max(avg_logprob)"])
+    span = (hi - lo) or 1.0
+
+    def with_part(t: pa.Table) -> pa.Table:
+        v = t["avg_logprob"].to_numpy(zero_copy_only=False)
+        part = np.clip(
+            ((hi - v) / span * n_parts).astype(np.int64), 0, n_parts - 1
+        )
+        return t.append_column("part", pa.array(part.astype(np.int32)))
+
+    parted = lp.map_batches(with_part, batch_format="pyarrow").materialize()
+    totals = {
+        r["part"]: int(r["t"])
+        for r in parted.groupby("part")
+        .aggregate(Sum("n_tokens", alias_name="t"))
+        .take_all()
+    }
+    base, bases = 0, {}
+    for p in range(n_parts):
+        bases[p] = base
+        base += int(totals.get(p, 0))
+    bases_ref = ray.put(bases)
+
+    def select_part(g: pd.DataFrame) -> pd.DataFrame:
+        v = g["avg_logprob"].to_numpy()
+        ids = g[id_col].to_numpy()
+        ntok = g["n_tokens"].to_numpy(dtype=np.int64)
+        idx = np.lexsort((ids, -v))
+        ntok_s = ntok[idx]
+        before = (
+            np.cumsum(ntok_s) - ntok_s
+            + ray.get(bases_ref)[int(g["part"].iloc[0])]
+        )
+        keep = before < budget
+        return pd.DataFrame(
+            {
+                id_col: ids[idx][keep],
+                "n_tokens": ntok_s[keep],
+                "avg_logprob": v[idx][keep],
+            }
+        )
+
+    return parted.groupby("part").map_groups(
+        select_part, batch_format="pandas"
+    )

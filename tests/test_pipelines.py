@@ -2802,3 +2802,36 @@ def test_bigram_logprob_model_semantics(ray_session):
             for a, b in zip(ts, ts[1:])
         ]
         assert out[d]["avg_logprob"] == round(sum(lps) / len(lps), 6)
+
+
+def test_token_budget_select_greedy_fill(ray_session):
+    """Budget fill: docs keep in (quality desc, id) order until the budget
+    fills; the straddling doc is included; the next doc is not; ties on
+    score break by id."""
+    import pyarrow as pa
+
+    from high_performance_parallel_search_engine_ray.pipelines.text import (
+        token_budget_select,
+    )
+
+    # common words -> higher avg logprob; rare words -> lower
+    common = "alpha beta gamma delta"
+    docs = [
+        (0, " ".join([common] * 2)),   # 8 tokens, high quality
+        (1, " ".join([common] * 2)),   # 8 tokens, same score -> id tiebreak
+        (2, common + " rare1 rare2 rare3 rare4"),  # 8 tokens, lower score
+        (3, "rareA rareB rareC rareD rareE rareF rareG rareH"),  # lowest
+    ]
+    ds = rd.from_arrow(
+        pa.table(
+            {"doc_id": [d[0] for d in docs], "text": [d[1] for d in docs]}
+        )
+    ).repartition(4)
+    # budget 18: doc0 (8) + doc1 (8) = 16 < 18 -> doc2 straddles (kept),
+    # doc3's before = 24 >= 18 -> dropped
+    out = token_budget_select(ds, budget=18).take_all()
+    kept = sorted(r["doc_id"] for r in out)
+    assert kept == [0, 1, 2]
+    # budget 8: doc0 alone fills it exactly; doc1's before == 8 -> dropped
+    out2 = token_budget_select(ds, budget=8).take_all()
+    assert sorted(r["doc_id"] for r in out2) == [0]

@@ -145,6 +145,7 @@ def test_registry_ordering_contract():
         "dsir_weights", "gopher_gates", "encode_vocab", "split_sentences",
         "render_training", "boolean_and", "rag_search",
         "dedup_keep_richest", "cross_source_dups", "bigram_logprob",
+        "token_budget_select",
     }
     assert set(entry_mod.oracle_sql()) - overflow_ok <= first50
     for critical in (
