@@ -778,6 +778,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_budget_select": lambda sf: text.token_budget_select(
             _docs(sf), budget=10_000
         ),
+        # FFD whole-doc bin packing (sequential algorithm, partition-local
+        # FFD + global relabel) -> rows-only driver check
+        "pack_ffd": lambda sf: text.pack_sequences_ffd(_docs(sf), budget=256),
     }
 
 

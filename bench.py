@@ -108,6 +108,7 @@ BENCH_QUERIES = [
     "quality_classifier",
     "bigram_logprob",
     "token_budget_select",
+    "pack_ffd",
 ]
 
 

@@ -1836,3 +1836,119 @@ def token_budget_select(
     return parted.groupby("part").map_groups(
         select_part, batch_format="pandas"
     )
+
+
+def pack_sequences_ffd(
+    docs,
+    budget: int = 2048,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_parts: int = 64,
+):
+    """(doc_id, n_tokens, pack_id): first-fit-decreasing bin packing —
+    the OTHER standard sequence-packing strategy next to
+    ``pack_sequences``' concat-and-chunk: docs are never split, each pack
+    holds whole documents totalling <= ``budget`` tokens (docs longer
+    than the budget get a singleton pack), and FFD's sort-by-length-desc
+    first-fit gives near-optimal pack counts.
+
+    FFD is inherently sequential, so the scale shape is PARTITION-LOCAL
+    FFD (the standard practical compromise — packing quality is local to
+    an id-range partition, bounded waste vs global FFD) + a global pack
+    relabel: per-partition FFD emits local pack ids, the driver takes the
+    ``n_parts`` per-partition pack counts, prefixes them, and a broadcast
+    base map rewrites ids. Only (doc_id, n_tokens) rows shuffle."""
+    import numpy as np
+    import pandas as pd
+    import ray
+    from ray.data.aggregate import Max, Min
+
+    counts = docs.map_batches(
+        lambda b: pa.table(
+            {
+                id_col: b[id_col],
+                "n_tokens": pc.count_substring_regex(
+                    pc.fill_null(b[text_col], ""), r"\S+"
+                ).cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+    bounds = counts.aggregate(Min(id_col), Max(id_col))
+    if bounds is None or bounds[f"min({id_col})"] is None:
+        return counts.map_batches(
+            lambda b: b.append_column(
+                "pack_id", pa.array([], pa.int64())
+            ),
+            batch_format="pyarrow",
+        )
+    lo, hi = int(bounds[f"min({id_col})"]), int(bounds[f"max({id_col})"])
+    span = max(1, hi - lo + 1)
+
+    def with_part(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        part = ((ids - lo) * n_parts // span).astype(np.int32)
+        return b.append_column("part", pa.array(part))
+
+    parted = counts.map_batches(with_part, batch_format="pyarrow")
+
+    def ffd_part(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g[id_col].to_numpy()
+        ntok = g["n_tokens"].to_numpy(dtype=np.int64)
+        # FFD: length desc, id asc tiebreak; first pack with room wins
+        order = np.lexsort((ids, -ntok))
+        room: list[int] = []  # remaining room per local pack
+        pack = np.empty(len(g), np.int64)
+        for i in order:
+            t = int(ntok[i])
+            for p, r in enumerate(room):
+                if t <= r:
+                    room[p] = r - t
+                    pack[i] = p
+                    break
+            else:
+                pack[i] = len(room)
+                room.append(max(0, budget - t))
+        return pd.DataFrame(
+            {
+                id_col: ids,
+                "n_tokens": ntok,
+                "local_pack": pack,
+                "part": g["part"].to_numpy(),
+            }
+        )
+
+    local = (
+        parted.groupby("part")
+        .map_groups(ffd_part, batch_format="pandas")
+        .materialize()
+    )
+    from ray.data.aggregate import Max as _Max
+
+    n_packs = {
+        int(r["part"]): int(r["m"]) + 1
+        for r in local.groupby("part")
+        .aggregate(_Max("local_pack", alias_name="m"))
+        .take_all()
+    }
+    base, bases = 0, {}
+    for p in range(n_parts):
+        bases[p] = base
+        base += n_packs.get(p, 0)
+    bases_ref = ray.put(bases)
+
+    def relabel(b: pa.Table) -> pa.Table:
+        bmap = ray.get(bases_ref)
+        base_arr = np.array([bmap[p] for p in range(n_parts)], np.int64)
+        parts = b["part"].to_numpy(zero_copy_only=False).astype(np.int64)
+        local_ids = b["local_pack"].to_numpy(zero_copy_only=False)
+        gid = base_arr[parts] + local_ids
+        return pa.table(
+            {
+                id_col: b[id_col],
+                "n_tokens": b["n_tokens"],
+                "pack_id": pa.array(gid, pa.int64()),
+            }
+        )
+
+    return local.map_batches(relabel, batch_format="pyarrow")

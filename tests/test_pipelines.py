@@ -2835,3 +2835,62 @@ def test_token_budget_select_greedy_fill(ray_session):
     # budget 8: doc0 alone fills it exactly; doc1's before == 8 -> dropped
     out2 = token_budget_select(ds, budget=8).take_all()
     assert sorted(r["doc_id"] for r in out2) == [0]
+
+
+def test_pack_sequences_ffd_properties(ray_session):
+    """FFD packing: no pack exceeds the budget (over-budget docs get
+    singleton packs), single-partition output equals a serial FFD, pack
+    ids are globally unique across partitions, and every doc is packed."""
+    import numpy as np
+    import pyarrow as pa
+
+    from high_performance_parallel_search_engine_ray.pipelines.text import (
+        pack_sequences_ffd,
+    )
+
+    rows = [
+        {"doc_id": i, "text": " ".join(["w"] * n)}
+        for i, n in enumerate([7, 5, 5, 3, 2, 2, 1, 12])  # 12 > budget 8
+    ]
+    ds = rd.from_items(rows).repartition(4)
+    out = pack_sequences_ffd(ds, budget=8, n_parts=1).take_all()
+    by_pack = {}
+    for r in out:
+        by_pack.setdefault(r["pack_id"], []).append(r)
+    # every pack within budget unless it is a single over-budget doc
+    for pid, members in by_pack.items():
+        tot = sum(m["n_tokens"] for m in members)
+        assert tot <= 8 or (len(members) == 1 and members[0]["n_tokens"] > 8)
+    assert sorted(r["doc_id"] for r in out) == list(range(8))
+
+    # serial FFD on the same lengths (desc, id tiebreak)
+    def serial_ffd(lengths, budget):
+        order = sorted(range(len(lengths)), key=lambda i: (-lengths[i], i))
+        room, assign = [], {}
+        for i in order:
+            t = lengths[i]
+            for p in range(len(room)):
+                if t <= room[p]:
+                    room[p] -= t
+                    assign[i] = p
+                    break
+            else:
+                assign[i] = len(room)
+                room.append(max(0, budget - t))
+        return assign
+
+    exp = serial_ffd([7, 5, 5, 3, 2, 2, 1, 12], 8)
+    got = {r["doc_id"]: r["pack_id"] for r in out}
+    assert got == exp
+
+    # multi-partition: ids stay globally unique and each partition's packs
+    # stay within budget
+    out2 = pack_sequences_ffd(ds, budget=8, n_parts=4).take_all()
+    packs2 = {}
+    for r in out2:
+        packs2.setdefault(r["pack_id"], 0)
+        packs2[r["pack_id"]] += r["n_tokens"]
+    for pid, tot in packs2.items():
+        members = [r for r in out2 if r["pack_id"] == pid]
+        assert tot <= 8 or (len(members) == 1 and members[0]["n_tokens"] > 8)
+    assert len(out2) == 8
