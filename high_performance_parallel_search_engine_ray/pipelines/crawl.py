@@ -163,6 +163,35 @@ class CrawlConfig:
     # Use >1 only where admission capacity is idle during the fetch tail
     # (shard actors on their own nodes of a multi-node cluster).
     admission_waves: int = 1
+    # Keep only the newest K round checkpoints after each new one lands
+    # (the manifest always points at the newest, so resume still works).
+    # None = keep everything. At design scale a 10^10-URL frontier
+    # checkpoint is ~100 GB of shard snapshots PER ROUND — a week-long
+    # crawl without GC leaks petabytes of dead snapshots.
+    keep_checkpoints: int | None = 2
+
+
+def prune_checkpoints(out_dir: str, keep: int = 2) -> list[str]:
+    """Delete all but the newest ``keep`` round-checkpoint directories
+    under ``out_dir/ckpt`` (newest = highest round number). Never touches
+    the manifest-referenced newest checkpoint; returns the pruned paths.
+    Safe against concurrent resume: the manifest is written BEFORE pruning
+    runs, and pruning only removes strictly older rounds."""
+    import re as _re
+
+    ck_root = os.path.join(out_dir, "ckpt")
+    if not os.path.isdir(ck_root) or keep < 1:
+        return []
+    rounds = sorted(
+        (d for d in os.listdir(ck_root) if _re.fullmatch(r"round=\d{5}", d)),
+        key=lambda d: int(d.split("=")[1]),
+    )
+    pruned = []
+    for d in rounds[:-keep]:
+        path = os.path.join(ck_root, d)
+        shutil.rmtree(path)
+        pruned.append(path)
+    return pruned
 
 
 # ---------------------------------------------------------------------------
@@ -531,6 +560,8 @@ class ShardedCrawl:
         )
         # manifest is durable -> pre-compaction runs are unreferenced
         ray.get([a.gc_seen_runs.remote() for a in self._actors])
+        if cfg.keep_checkpoints is not None:
+            prune_checkpoints(cfg.out_dir, keep=cfg.keep_checkpoints)
 
     # -- outputs -----------------------------------------------------------
     def docs_dataset(self):

@@ -262,3 +262,30 @@ def test_docs_write_is_idempotent(ray_session, tmp_path):
     fp2.fetch(batch, str(tmp_path / "docs"))
     files2 = sorted(os.listdir(tmp_path / "docs"))
     assert files1 == files2 and len(files1) == 1
+
+
+def test_checkpoint_gc_keeps_resume_working(ray_session, smoke_corpus):
+    """keep_checkpoints prunes old round snapshots as the crawl runs, the
+    newest (manifest-referenced) checkpoint survives, and resume from the
+    pruned layout still reaches the uninterrupted run's state."""
+    import os
+
+    ref, seen_ref, docs_ref = _run(smoke_corpus, "/tmp/t_gc_ref")
+
+    out = "/tmp/t_gc_run"
+    eng = ShardedCrawl(_cfg(smoke_corpus, out, max_rounds=3,
+                            keep_checkpoints=1))
+    eng.run()
+    eng.shutdown()
+    cks = sorted(os.listdir(os.path.join(out, "ckpt")))
+    assert len(cks) == 1  # only the newest survives
+    # resume to completion from the GC'd layout
+    eng2 = ShardedCrawl(_cfg(smoke_corpus, out, max_rounds=20,
+                             keep_checkpoints=1))
+    res = eng2.run(resume=True)
+    seen = eng2.visited_urls()
+    docs = sorted(r["doc_id"] for r in eng2.docs_dataset().take_all())
+    eng2.shutdown()
+    assert seen == seen_ref
+    assert docs == docs_ref
+    assert res["pages_crawled"] == ref["pages_crawled"]
