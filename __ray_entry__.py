@@ -781,6 +781,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # FFD whole-doc bin packing (sequential algorithm, partition-local
         # FFD + global relabel) -> rows-only driver check
         "pack_ffd": lambda sf: text.pack_sequences_ffd(_docs(sf), budget=256),
+        # activation-cohort D+1/D+7 retention: per-block (user, day)
+        # pre-distinct, cost-based first-day attach, flag-sum groupby
+        "cohort_retention": relational.cohort_retention,
+        # strict-order funnel (signup -> view -> click -> purchase):
+        # user-partitioned chained first-occurrence walk, constant-size merge
+        "funnel_counts": relational.funnel_counts,
+        # per-source type-token ratio over the shared tokenizer kernel;
+        # (source, term, count) shuffle only
+        "source_vocab_diversity": lambda sf: index.source_vocab_diversity(
+            _docs_src(sf)
+        ),
     }
 
 
@@ -1958,6 +1969,61 @@ w AS (
   FROM s
 )
 SELECT doc_id, n_tokens, avg_logprob FROM w WHERE before < 10000
+"""
+    # activation-cohort retention: first active day per user, activity flags
+    # at +1/+7 days; (user, day) pairs are distinct so the counts are sums
+    sqls["cohort_retention"] = """
+WITH act AS (
+  SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+),
+firsts AS (
+  SELECT user_id, min(day) AS cohort_day FROM act GROUP BY user_id
+)
+SELECT f.cohort_day,
+       count(DISTINCT CASE WHEN a.day = f.cohort_day
+                           THEN a.user_id END) AS n_users,
+       count(DISTINCT CASE WHEN a.day = f.cohort_day + INTERVAL 1 DAY
+                           THEN a.user_id END) AS d1_retained,
+       count(DISTINCT CASE WHEN a.day = f.cohort_day + INTERVAL 7 DAY
+                           THEN a.user_id END) AS d7_retained
+FROM act a JOIN firsts f USING (user_id)
+GROUP BY f.cohort_day
+"""
+    # strict-order funnel: chained per-user first qualifying occurrence
+    sqls["funnel_counts"] = """
+WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
+            WHERE event_type = 'signup' GROUP BY user_id),
+s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s1 USING (user_id)
+       WHERE e.event_type = 'view' AND e.ts > s1.t GROUP BY e.user_id),
+s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s2 USING (user_id)
+       WHERE e.event_type = 'click' AND e.ts > s2.t GROUP BY e.user_id),
+s4 AS (SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s3 USING (user_id)
+       WHERE e.event_type = 'purchase' AND e.ts > s3.t GROUP BY e.user_id)
+SELECT * FROM (
+  SELECT 'signup' AS step, CAST(1 AS BIGINT) AS step_idx,
+         (SELECT count(*) FROM s1) AS n_users
+  UNION ALL SELECT 'view', 2, (SELECT count(*) FROM s2)
+  UNION ALL SELECT 'click', 3, (SELECT count(*) FROM s3)
+  UNION ALL SELECT 'purchase', 4, (SELECT count(*) FROM s4)
+)
+"""
+    # per-source type-token ratio over the shared tokenizer definition
+    sqls["source_vocab_diversity"] = f"""
+WITH toks AS (
+  SELECT source, t AS term FROM (
+    SELECT source,
+           unnest(regexp_split_to_array(lower(text), '{_TOKEN_RE_SQL}')) AS t
+    FROM documents
+  )
+  WHERE t <> '' AND length(t) <= 62
+    AND t NOT IN ('the','a','an','in','of')
+),
+c AS (SELECT source, term, count(*) AS cnt FROM toks GROUP BY 1, 2)
+SELECT source,
+       CAST(sum(cnt) AS BIGINT) AS n_tokens,
+       count(*) AS n_terms,
+       round(count(*) * 1.0 / sum(cnt), 6) AS ttr
+FROM c GROUP BY source
 """
     return sqls
 

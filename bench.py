@@ -109,6 +109,9 @@ BENCH_QUERIES = [
     "bigram_logprob",
     "token_budget_select",
     "pack_ffd",
+    "cohort_retention",
+    "funnel_counts",
+    "source_vocab_diversity",
 ]
 
 

@@ -860,3 +860,54 @@ def bpe_encode(
         )
 
     return docs.map_batches(enc, batch_format="pyarrow")
+
+
+def source_vocab_diversity(
+    docs,
+    source_col: str = "source",
+    text_col: str = "text",
+):
+    """Per-source vocabulary diversity: total kept tokens, distinct terms,
+    and type-token ratio — the corpus-health signal that flags template
+    spam (TTR near 0) and OCR/mojibake noise (TTR near 1) per feed before
+    it pollutes a training mix.
+
+    Same shuffle shape as `top_terms_per_source`: per-block tokenize
+    partials collapse to (source, term, count) before the groupby, and the
+    second aggregate runs over the vocabulary-bounded (source, term)
+    table — document text never moves."""
+    import numpy as np
+
+    from ray.data.aggregate import Count, Sum
+
+    from ..functions.rounding import round_half_away
+
+    def counts(b: pa.Table) -> pa.Table:
+        t = tokenize_batch(b, id_col=source_col, text_col=text_col)
+        g = t.group_by(["doc_id", "term"]).aggregate([([], "count_all")])
+        return g.rename_columns([source_col, "term", "c"])
+
+    per_term = (
+        docs.map_batches(counts, batch_format="pyarrow")
+        .groupby([source_col, "term"])
+        .aggregate(Sum("c", alias_name="cnt"))
+    )
+    agg = per_term.groupby(source_col).aggregate(
+        Sum("cnt", alias_name="n_tokens"),
+        Count(alias_name="n_terms"),
+    )
+
+    def finalize(b: pa.Table) -> pa.Table:
+        tok = b["n_tokens"].to_numpy().astype(np.float64)
+        ter = b["n_terms"].to_numpy().astype(np.float64)
+        ttr = round_half_away(ter / np.maximum(tok, 1.0), 6)
+        return pa.table(
+            {
+                source_col: b[source_col],
+                "n_tokens": b["n_tokens"],
+                "n_terms": b["n_terms"],
+                "ttr": pa.array(ttr, pa.float64()),
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow")

@@ -1358,3 +1358,128 @@ def cms_term_counts(
             ),
         }
     )
+
+
+# -- cohort retention (D+1 / D+7) -------------------------------------------
+
+def cohort_retention(sf_dir: str):
+    """Activation-cohort retention: users grouped by their first active day
+    (the cohort); per cohort, how many users were active again exactly 1
+    and 7 days later — the growth-analytics rollup every event warehouse
+    ships (the reference's metrics CSV is the 25-doc analog of this kind
+    of report, `Serial Version/src/metrics.c`).
+
+    Scale shape: per-block (user_id, day) pre-distinct before the groupby
+    shuffle (activity rows collapse ~events/day-fold before moving), the
+    per-user first-day table attached back via the cost-based
+    broadcast/shuffle join, then one associative flag-sum groupby keyed by
+    cohort day. Only integer (user, day) rows ever shuffle; n_users falls
+    out of the d0 flag because (user, day) pairs are distinct."""
+    from ray.data.aggregate import Min, Sum
+
+    US_PER_DAY = 86_400_000_000
+
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def to_days(b: pa.Table) -> pa.Table:
+        # unit-normalize first: parquet written from pandas carries ts[ns]
+        day = pc.floor_temporal(pc.cast(b["ts"], pa.timestamp("us")), unit="day")
+        dayi = pc.divide(pc.cast(day, pa.int64()), US_PER_DAY)
+        t = pa.table({"user_id": b["user_id"], "dayi": dayi})
+        return t.group_by(["user_id", "dayi"]).aggregate([])
+
+    # distinct (user, active-day) pairs; consumed twice (first-day dim +
+    # flag pass) -> pin blocks once
+    act = (
+        ev.map_batches(to_days, batch_format="pyarrow")
+        .groupby(["user_id", "dayi"])
+        .count()
+        .select_columns(["user_id", "dayi"])
+        .materialize()
+    )
+    firsts = act.groupby("user_id").aggregate(
+        Min("dayi", alias_name="first_dayi")
+    )
+    joined = _attach_or_join(
+        act, "user_id", firsts, "user_id", ["first_dayi"],
+        npart=_join_partitions(),
+    )
+
+    def flags(b: pa.Table) -> pa.Table:
+        off = pc.subtract(b["dayi"], b["first_dayi"])
+
+        def f(k: int):
+            return pc.cast(pc.equal(off, k), pa.int64())
+
+        return pa.table(
+            {"cohort_dayi": b["first_dayi"], "d0": f(0), "d1": f(1), "d7": f(7)}
+        )
+
+    agg = (
+        joined.map_batches(flags, batch_format="pyarrow")
+        .groupby("cohort_dayi")
+        .aggregate(
+            Sum("d0", alias_name="n_users"),
+            Sum("d1", alias_name="d1_retained"),
+            Sum("d7", alias_name="d7_retained"),
+        )
+    )
+
+    def finalize(b: pa.Table) -> pa.Table:
+        ts = pc.cast(
+            pc.multiply(b["cohort_dayi"], US_PER_DAY), pa.timestamp("us")
+        )
+        return pa.table(
+            {
+                "cohort_day": ts,
+                "n_users": b["n_users"],
+                "d1_retained": b["d1_retained"],
+                "d7_retained": b["d7_retained"],
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+# -- strict-order funnel ----------------------------------------------------
+
+FUNNEL_STEPS = ("signup", "view", "click", "purchase")
+
+
+def funnel_counts(sf_dir: str, steps: tuple = FUNNEL_STEPS):
+    """Ordered funnel: how many users completed each step strictly AFTER
+    their (chained) completion time of the previous step — first qualifying
+    occurrence semantics, the standard product-analytics funnel.
+
+    Users are hash-partitioned (users never span partitions), each
+    partition walks the step chain with vectorized groupby-min transforms
+    (no per-user Python), and emits exactly len(steps) partial rows; a
+    constant-size groupby sums the partitions. At 100 TB the only shuffle
+    is the user-partition exchange of (user_id, ts, event_type) rows."""
+    from ray.data.aggregate import Sum
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+
+    def funnel_part(g: pd.DataFrame) -> pd.DataFrame:
+        counts = []
+        prev = None  # Series: user_id -> qualify time of the previous step
+        for step in steps:
+            cur = g[g["event_type"] == step]
+            if prev is not None:
+                pm = cur["user_id"].map(prev)
+                cur = cur[pm.notna() & (cur["ts"] > pm)]
+            mins = cur.groupby("user_id")["ts"].min()
+            prev = mins
+            counts.append(len(mins))
+        return pd.DataFrame(
+            {
+                "step": list(steps),
+                "step_idx": np.arange(1, len(steps) + 1, dtype=np.int64),
+                "n_users": np.asarray(counts, dtype=np.int64),
+            }
+        )
+
+    parts = _by_partition(ev, "user_id", funnel_part)
+    return parts.groupby(["step", "step_idx"]).aggregate(
+        Sum("n_users", alias_name="n_users")
+    )

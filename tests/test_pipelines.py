@@ -2894,3 +2894,121 @@ def test_pack_sequences_ffd_properties(ray_session):
         members = [r for r in out2 if r["pack_id"] == pid]
         assert tot <= 8 or (len(members) == 1 and members[0]["n_tokens"] > 8)
     assert len(out2) == 8
+
+
+def test_funnel_counts_strict_ordering(ray_session, tmp_path):
+    """Funnel semantics: each step must occur strictly AFTER the chained
+    qualifying time of the previous step — a purchase that precedes the
+    click must not count, and a same-instant next step must not count."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from high_performance_parallel_search_engine_ray.pipelines.relational import (
+        funnel_counts,
+    )
+
+    t0 = pd.Timestamp("2024-01-01")
+
+    def ev(eid, u, off, etype):
+        return {"event_id": eid, "user_id": u,
+                "ts": t0 + pd.Timedelta(seconds=off),
+                "event_type": etype, "value": 0.0, "props": "{}"}
+
+    rows = [
+        # u0 completes the whole funnel in order
+        ev(0, 0, 0, "signup"), ev(1, 0, 10, "view"),
+        ev(2, 0, 20, "click"), ev(3, 0, 30, "purchase"),
+        # u1: purchase BEFORE click -> stops at click
+        ev(4, 1, 0, "signup"), ev(5, 1, 10, "view"),
+        ev(6, 1, 15, "purchase"), ev(7, 1, 20, "click"),
+        # u2: view only BEFORE signup -> stops at signup
+        ev(8, 2, 0, "view"), ev(9, 2, 10, "signup"),
+        # u3: signup only
+        ev(10, 3, 0, "signup"),
+        # u4: view at the SAME instant as signup -> strict '>' rejects it
+        ev(11, 4, 0, "signup"), ev(12, 4, 0, "view"),
+    ]
+    pq.write_table(
+        pa.Table.from_pandas(pd.DataFrame(rows)),
+        str(tmp_path / "events.parquet"),
+    )
+    got = (
+        funnel_counts(str(tmp_path))
+        .to_pandas()
+        .sort_values("step_idx")
+        .reset_index(drop=True)
+    )
+    assert list(got["step"]) == ["signup", "view", "click", "purchase"]
+    assert list(got["n_users"]) == [5, 2, 2, 1]
+
+
+def test_cohort_retention_planted(ray_session, tmp_path):
+    """D+1/D+7 flags key off each user's FIRST active day; multiple events
+    on one day collapse to one activity pair before counting."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from high_performance_parallel_search_engine_ray.pipelines.relational import (
+        cohort_retention,
+    )
+
+    d = pd.Timestamp("2024-01-01")
+    rows, eid = [], 0
+    for u, days in [
+        (0, [0, 0, 0, 1, 7]),   # triple-active day0 (dedup), d1 + d7
+        (1, [0]),               # day0 only
+        (2, [0, 2]),            # active again but at +2 -> neither flag
+        (3, [1, 8]),            # cohort day1, d7 retained
+    ]:
+        for k in days:
+            rows.append({"event_id": eid, "user_id": u,
+                         "ts": d + pd.Timedelta(days=k, minutes=eid),
+                         "event_type": "view", "value": 0.0, "props": "{}"})
+            eid += 1
+    pq.write_table(
+        pa.Table.from_pandas(pd.DataFrame(rows)),
+        str(tmp_path / "events.parquet"),
+    )
+    got = (
+        cohort_retention(str(tmp_path))
+        .to_pandas()
+        .sort_values("cohort_day")
+        .reset_index(drop=True)
+    )
+    assert list(got["cohort_day"]) == [d, d + pd.Timedelta(days=1)]
+    assert list(got["n_users"]) == [3, 1]
+    assert list(got["d1_retained"]) == [1, 0]
+    assert list(got["d7_retained"]) == [1, 1]
+
+
+def test_source_vocab_diversity_ttr(ray_session):
+    """TTR separates template spam (one repeated token) from a fully
+    diverse source; token totals use the shared kept-token definition."""
+    import ray.data as rd
+
+    from high_performance_parallel_search_engine_ray.pipelines.index import (
+        source_vocab_diversity,
+    )
+
+    docs = rd.from_items(
+        [
+            {"source": "spam", "text": "copy copy copy copy"},
+            {"source": "rich", "text": "alpha beta gamma delta"},
+            # stopwords drop out of the token stream entirely
+            {"source": "rich", "text": "the a an in of epsilon"},
+        ]
+    )
+    got = (
+        source_vocab_diversity(docs)
+        .to_pandas()
+        .set_index("source")
+        .sort_index()
+    )
+    assert got.loc["spam", "n_tokens"] == 4
+    assert got.loc["spam", "n_terms"] == 1
+    assert got.loc["spam", "ttr"] == 0.25
+    assert got.loc["rich", "n_tokens"] == 5
+    assert got.loc["rich", "n_terms"] == 5
+    assert got.loc["rich", "ttr"] == 1.0
