@@ -792,6 +792,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_vocab_diversity": lambda sf: index.source_vocab_diversity(
             _docs_src(sf)
         ),
+        # Markov transition counts over per-user time-ordered event types
+        "event_transitions": relational.event_transitions,
+        # trailing 7-day distinct active users per day (expand-and-distinct)
+        "rolling_dau": relational.rolling_dau,
+        # one-pass sufficient-statistics Pearson correlation on the integer
+        # lattice (exact partials -> bit-identical finalize on both sides)
+        "qty_discount_corr": relational.qty_discount_corr,
     }
 
 
@@ -2024,6 +2031,56 @@ SELECT source,
        count(*) AS n_terms,
        round(count(*) * 1.0 / sum(cnt), 6) AS ttr
 FROM c GROUP BY source
+"""
+    # per-user lag pairs of event types, in (ts, event_id) order
+    sqls["event_transitions"] = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS prev_type
+  FROM events
+)
+SELECT prev_type AS from_type, event_type AS to_type, count(*) AS n
+FROM seq WHERE prev_type IS NOT NULL
+GROUP BY 1, 2
+"""
+    # trailing-7-day distinct active users: each active (user, day) pair
+    # contributes to 7 window ends; distinct again per window
+    sqls["rolling_dau"] = """
+WITH act AS (
+  SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+),
+w AS (
+  SELECT DISTINCT user_id, day + INTERVAL 1 DAY * j AS window_end
+  FROM act, unnest([0, 1, 2, 3, 4, 5, 6]) AS t(j)
+)
+SELECT window_end, count(*) AS n_users FROM w GROUP BY window_end
+"""
+    # identical sufficient-statistics formula on exact integer sums: the
+    # double math is bit-equal to the Ray side (NOT DuckDB's streaming
+    # corr(), whose accumulation order differs)
+    sqls["qty_discount_corr"] = """
+WITH s AS (
+  SELECT l_returnflag,
+         CAST(l_quantity AS BIGINT) AS x,
+         CAST(round(l_discount * 100, 0) AS BIGINT) AS y
+  FROM lineitem
+),
+g AS (
+  SELECT l_returnflag, count(*) AS n,
+         sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+         sum(x * x) AS sxx, sum(y * y) AS syy
+  FROM s GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       round(
+         CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) > 0
+              THEN (n * sxy - sx * sy) /
+                   sqrt(CAST((n * sxx - sx * sx) AS DOUBLE)
+                        * CAST((n * syy - sy * sy) AS DOUBLE))
+              ELSE 0.0 END, 6) AS corr_qty_disc
+FROM g
 """
     return sqls
 

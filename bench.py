@@ -112,6 +112,9 @@ BENCH_QUERIES = [
     "cohort_retention",
     "funnel_counts",
     "source_vocab_diversity",
+    "event_transitions",
+    "rolling_dau",
+    "qty_discount_corr",
 ]
 
 

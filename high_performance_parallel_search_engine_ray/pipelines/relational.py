@@ -1483,3 +1483,165 @@ def funnel_counts(sf_dir: str, steps: tuple = FUNNEL_STEPS):
     return parts.groupby(["step", "step_idx"]).aggregate(
         Sum("n_users", alias_name="n_users")
     )
+
+
+# -- event-type transition matrix (Markov counts) ---------------------------
+
+def event_transitions(sf_dir: str):
+    """(from_type, to_type, n): counts of consecutive event-type pairs per
+    user in time order — the Markov transition table behind next-action
+    models and bot detection. Users are hash-partitioned; each partition
+    computes ALL its users' lag pairs with one sort + one grouped shift
+    (no per-user Python), emits (from, to, partial n), and a
+    type-squared-bounded groupby merges partitions."""
+    from ray.data.aggregate import Sum
+
+    ev = _read(sf_dir, "events", ["user_id", "event_id", "ts", "event_type"])
+
+    def pairs_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        prev = g.groupby("user_id", sort=False)["event_type"].shift(1)
+        keep = prev.notna()
+        out = pd.DataFrame(
+            {"from_type": prev[keep], "to_type": g["event_type"][keep]}
+        )
+        agg = out.groupby(["from_type", "to_type"], sort=False).size()
+        return agg.rename("n").reset_index()
+
+    parts = _by_partition(ev, "user_id", pairs_part)
+    return parts.groupby(["from_type", "to_type"]).aggregate(
+        Sum("n", alias_name="n")
+    )
+
+
+# -- rolling 7-day distinct active users ------------------------------------
+
+def rolling_dau(sf_dir: str, window_days: int = 7):
+    """Per day D: distinct users active in the window [D-6, D] — the
+    trailing-WAU metric. Exact without any driver-side state: distinct
+    (user, day) pairs expand to the window_days window-end days each pair
+    contributes to, a second distinct collapses multi-day users per
+    window, and a count per window end finishes. All integer rows; the
+    expansion factor is the constant window_days."""
+    from ray.data.aggregate import Count
+
+    US_PER_DAY = 86_400_000_000
+
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def to_days(b: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(pc.cast(b["ts"], pa.timestamp("us")), unit="day")
+        dayi = pc.divide(pc.cast(day, pa.int64()), US_PER_DAY)
+        t = pa.table({"user_id": b["user_id"], "dayi": dayi})
+        return t.group_by(["user_id", "dayi"]).aggregate([])
+
+    act = (
+        ev.map_batches(to_days, batch_format="pyarrow")
+        .groupby(["user_id", "dayi"])
+        .count()
+        .select_columns(["user_id", "dayi"])
+    )
+
+    def expand(b: pa.Table) -> pa.Table:
+        parts = [
+            pa.table(
+                {
+                    "user_id": b["user_id"],
+                    "wend": pc.add(b["dayi"], k),
+                }
+            )
+            for k in range(window_days)
+        ]
+        t = pa.concat_tables(parts)
+        return t.group_by(["user_id", "wend"]).aggregate([])
+
+    agg = (
+        act.map_batches(expand, batch_format="pyarrow")
+        .groupby(["user_id", "wend"])
+        .count()
+        .select_columns(["wend"])
+        .groupby("wend")
+        .aggregate(Count(alias_name="n_users"))
+    )
+
+    def finalize(b: pa.Table) -> pa.Table:
+        ts = pc.cast(pc.multiply(b["wend"], US_PER_DAY), pa.timestamp("us"))
+        return pa.table({"window_end": ts, "n_users": b["n_users"]})
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+# -- exact-integer Pearson correlation --------------------------------------
+
+def qty_discount_corr(sf_dir: str):
+    """Pearson corr(l_quantity, l_discount) per returnflag via the one-pass
+    sufficient statistics (n, Σx, Σy, Σxy, Σx², Σy²) — the textbook
+    distributed-correlation shape: per-block integer partials, a
+    group-count-bounded groupby of six associative sums, one finalize.
+    Both operands are lattice-valued (integer quantities; discounts on a
+    0.01 grid → ×100), so every partial is an EXACT int64 and the final
+    double math is bit-identical to the oracle's identical formula —
+    summation order can't flip the rounded result."""
+    from ray.data.aggregate import Sum
+
+    li = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity", "l_discount"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        x = b["l_quantity"].to_numpy().astype(np.int64)
+        y = round_half_away(
+            pc.multiply(b["l_discount"], 100.0).to_numpy(), 0
+        ).astype(np.int64)
+        t = pa.table(
+            {
+                "l_returnflag": b["l_returnflag"],
+                "n": pa.array(np.ones(len(x), np.int64)),
+                "sx": pa.array(x),
+                "sy": pa.array(y),
+                "sxy": pa.array(x * y),
+                "sxx": pa.array(x * x),
+                "syy": pa.array(y * y),
+            }
+        )
+        return _agg_rename(
+            t.group_by("l_returnflag").aggregate(
+                [("n", "sum"), ("sx", "sum"), ("sy", "sum"),
+                 ("sxy", "sum"), ("sxx", "sum"), ("syy", "sum")]
+            ),
+            {f"{c}_sum": c for c in ["n", "sx", "sy", "sxy", "sxx", "syy"]},
+        )
+
+    agg = (
+        li.map_batches(partial, batch_format="pyarrow")
+        .groupby("l_returnflag")
+        .aggregate(
+            *[Sum(c, alias_name=c) for c in ["n", "sx", "sy", "sxy", "sxx", "syy"]]
+        )
+    )
+
+    def finalize(b: pa.Table) -> pa.Table:
+        # the variance/covariance differences stay EXACT int64 (bounded by
+        # n * max², fine through sf1); only the final sqrt/divide is double
+        # — the exact shape the oracle SQL mirrors, so bit-equality holds
+        n = b["n"].to_numpy().astype(np.int64)
+        sx = b["sx"].to_numpy().astype(np.int64)
+        sy = b["sy"].to_numpy().astype(np.int64)
+        sxy = b["sxy"].to_numpy().astype(np.int64)
+        sxx = b["sxx"].to_numpy().astype(np.int64)
+        syy = b["syy"].to_numpy().astype(np.int64)
+        d1 = n * sxx - sx * sx
+        d2 = n * syy - sy * sy
+        num = (n * sxy - sx * sy).astype(np.float64)
+        ok = (d1 > 0) & (d2 > 0)
+        denom = np.sqrt(d1.astype(np.float64) * d2.astype(np.float64))
+        corr = round_half_away(
+            np.where(ok, num / np.where(ok, denom, 1.0), 0.0), 6
+        )
+        return pa.table(
+            {
+                "l_returnflag": b["l_returnflag"],
+                "n": pc.cast(b["n"], pa.int64()),
+                "corr_qty_disc": pa.array(corr, pa.float64()),
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow")

@@ -3012,3 +3012,110 @@ def test_source_vocab_diversity_ttr(ray_session):
     assert got.loc["rich", "n_tokens"] == 5
     assert got.loc["rich", "n_terms"] == 5
     assert got.loc["rich", "ttr"] == 1.0
+
+
+def test_event_transitions_order_and_ties(ray_session, tmp_path):
+    """Transitions follow (ts, event_id) order per user; no cross-user
+    pair leaks across the partition-grouped shift."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from high_performance_parallel_search_engine_ray.pipelines.relational import (
+        event_transitions,
+    )
+
+    t0 = pd.Timestamp("2024-01-01")
+
+    def ev(eid, u, off, etype):
+        return {"event_id": eid, "user_id": u,
+                "ts": t0 + pd.Timedelta(seconds=off),
+                "event_type": etype, "value": 0.0, "props": "{}"}
+
+    rows = [
+        # u0: a -> b -> b ; same-ts tie broken by event_id (3 before 4)
+        ev(1, 0, 0, "a"), ev(3, 0, 10, "b"), ev(4, 0, 10, "b"),
+        # u1: single event -> no transitions; u0's last must not chain here
+        ev(5, 1, 0, "c"),
+        # u2: b -> a
+        ev(6, 2, 0, "b"), ev(7, 2, 5, "a"),
+    ]
+    pq.write_table(
+        pa.Table.from_pandas(pd.DataFrame(rows)),
+        str(tmp_path / "events.parquet"),
+    )
+    got = (
+        event_transitions(str(tmp_path))
+        .to_pandas()
+        .sort_values(["from_type", "to_type"])
+        .reset_index(drop=True)
+    )
+    assert got.values.tolist() == [["a", "b", 1], ["b", "a", 1], ["b", "b", 1]]
+
+
+def test_rolling_dau_window_membership(ray_session, tmp_path):
+    """A user active on day D counts toward window ends D..D+6 exactly
+    once, even when active on several days inside one window."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from high_performance_parallel_search_engine_ray.pipelines.relational import (
+        rolling_dau,
+    )
+
+    d = pd.Timestamp("2024-01-01")
+    rows = []
+    # u0 active day0 and day1 (overlapping windows!); u1 active day0 only
+    for eid, (u, k) in enumerate([(0, 0), (0, 1), (1, 0)]):
+        rows.append({"event_id": eid, "user_id": u,
+                     "ts": d + pd.Timedelta(days=k, hours=3),
+                     "event_type": "view", "value": 0.0, "props": "{}"})
+    pq.write_table(
+        pa.Table.from_pandas(pd.DataFrame(rows)),
+        str(tmp_path / "events.parquet"),
+    )
+    got = (
+        rolling_dau(str(tmp_path))
+        .to_pandas()
+        .sort_values("window_end")
+        .reset_index(drop=True)
+    )
+    # window ends day0..day7: day0 -> both users; day1..day6 -> both (u0
+    # dedups across its two active days); day7 -> only u0 (its day1 still
+    # inside [day1, day7])
+    assert list(got["window_end"]) == [d + pd.Timedelta(days=k) for k in range(8)]
+    assert list(got["n_users"]) == [2, 2, 2, 2, 2, 2, 2, 1]
+
+
+def test_qty_discount_corr_perfect_correlation(ray_session, tmp_path):
+    """x == y up to scale gives corr exactly 1.0 through the integer
+    sufficient-statistics path."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from high_performance_parallel_search_engine_ray.pipelines.relational import (
+        qty_discount_corr,
+    )
+
+    rows = [
+        {"l_returnflag": "A", "l_quantity": float(q), "l_discount": q / 100.0}
+        for q in range(1, 11)
+    ] + [
+        # constant column -> zero variance -> corr reported as 0
+        {"l_returnflag": "B", "l_quantity": float(q), "l_discount": 0.05}
+        for q in range(1, 6)
+    ]
+    pq.write_table(
+        pa.Table.from_pandas(pd.DataFrame(rows)),
+        str(tmp_path / "lineitem.parquet"),
+    )
+    got = (
+        qty_discount_corr(str(tmp_path))
+        .to_pandas()
+        .set_index("l_returnflag")
+    )
+    assert got.loc["A", "corr_qty_disc"] == 1.0
+    assert got.loc["A", "n"] == 10
+    assert got.loc["B", "corr_qty_disc"] == 0.0
