@@ -799,6 +799,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # one-pass sufficient-statistics Pearson correlation on the integer
         # lattice (exact partials -> bit-identical finalize on both sides)
         "qty_discount_corr": relational.qty_discount_corr,
+        # cross-document paragraph dedup (Lee et al. 2021 boilerplate
+        # screen): keep each repeated paragraph only at its global first
+        # occurrence; only (md5, packed-position) pairs shuffle
+        "paragraph_dedup": lambda sf: dedup.paragraph_dedup(_docs(sf)),
     }
 
 
@@ -2081,6 +2085,33 @@ SELECT l_returnflag, n,
                         * CAST((n * syy - sy * sy) AS DOUBLE))
               ELSE 0.0 END, 6) AS corr_qty_disc
 FROM g
+"""
+    # paragraph-level keep-first dedup; 1048576 = 2**20 mirrors the Ray
+    # side's packed (doc_id << 20 | idx) position key
+    sqls["paragraph_dedup"] = r"""
+WITH l AS (
+  SELECT doc_id, regexp_split_to_array(text, '\n\n+') AS ps FROM documents
+),
+u AS (
+  SELECT doc_id, unnest(ps) AS para,
+         unnest(generate_series(1, len(ps))) AS i
+  FROM l
+),
+p AS (SELECT doc_id, i - 1 AS idx, para FROM u WHERE para <> ''),
+r AS (
+  SELECT doc_id, idx, para,
+         min(doc_id * 1048576 + idx) OVER (PARTITION BY para) AS wpack,
+         doc_id * 1048576 + idx AS pack
+  FROM p
+),
+k AS (SELECT doc_id, idx, para FROM r WHERE pack = wpack),
+tot AS (SELECT doc_id, count(*) AS n_paras FROM p GROUP BY doc_id)
+SELECT k.doc_id,
+       string_agg(k.para, chr(10)||chr(10) ORDER BY k.idx) AS clean_text,
+       count(*) AS n_kept,
+       any_value(tot.n_paras) - count(*) AS n_dropped
+FROM k JOIN tot ON tot.doc_id = k.doc_id
+GROUP BY k.doc_id
 """
     return sqls
 

@@ -115,6 +115,7 @@ BENCH_QUERIES = [
     "event_transitions",
     "rolling_dau",
     "qty_discount_corr",
+    "paragraph_dedup",
 ]
 
 

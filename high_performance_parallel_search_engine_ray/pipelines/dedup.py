@@ -1811,3 +1811,140 @@ def dedup_against_store(
         .groupby("ppart")
         .map_groups(dedup_part, batch_format="pandas")
     )
+
+
+def paragraph_dedup(
+    docs,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Cross-document paragraph dedup (the Lee et al. 2021 boilerplate
+    screen): every paragraph that appears more than once in the corpus
+    survives only at its globally FIRST occurrence (min (doc_id, idx));
+    each doc is reassembled from its kept paragraphs. Docs whose every
+    paragraph is a repeat disappear.
+
+    Output: (doc_id, clean_text, n_kept, n_dropped).
+
+    Scale shape: docs explode to (doc_id, idx, para) rows block-locally
+    (vectorized split/flatten/renumber); the winner table shuffles ONLY
+    (md5, packed-position) pairs — paragraph text never enters the
+    exchange — and comes back via the cost-based broadcast/shuffle join;
+    reassembly is partition-grouped by doc-id hash (bounded partition
+    count, many docs per pandas call). Position packing assumes
+    doc_id < 2^43 and < 2^20 paragraphs per doc (asserted)."""
+    from .relational import _attach_or_join, _join_partitions
+
+    IDX_BITS = 20
+    N_PARTS = 64
+
+    def explode(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        segs = pc.split_pattern_regex(pc.fill_null(b[text_col], ""), r"\n\n+")
+        flat = pc.list_flatten(segs)
+        parents = pc.list_parent_indices(segs).to_numpy(zero_copy_only=False)
+        mask = pc.greater(pc.utf8_length(flat), 0)
+        mask_np = mask.to_numpy(zero_copy_only=False)
+        kept = pc.filter(flat, mask)
+        parents = parents[mask_np]
+        counts = np.bincount(parents, minlength=n)
+        starts = np.cumsum(counts) - counts
+        idx = (np.arange(len(parents)) - starts[parents]).astype(np.int64)
+        ids = (
+            b[id_col].combine_chunks().take(pa.array(parents, pa.int64()))
+        )
+        ids_np = ids.to_numpy(zero_copy_only=False).astype(np.int64)
+        assert idx.max(initial=0) < (1 << IDX_BITS), "too many paragraphs"
+        assert ids_np.max(initial=0) < (1 << (63 - IDX_BITS)), "doc_id too big"
+        hs = [
+            hashlib.md5(t.encode("utf-8")).hexdigest()
+            for t in kept.to_pylist()
+        ]
+        return pa.table(
+            {
+                id_col: ids,
+                "idx": pa.array(idx, pa.int64()),
+                "para": kept.cast(pa.string()),
+                "h": pa.array(hs, pa.string()),
+                "pack": pa.array((ids_np << IDX_BITS) | idx, pa.int64()),
+            }
+        )
+
+    exploded = docs.map_batches(explode, batch_format="pyarrow").materialize()
+
+    from ray.data.aggregate import Min
+
+    winners = (
+        exploded.select_columns(["h", "pack"])
+        .groupby("h")
+        .aggregate(Min("pack", alias_name="min_pack"))
+    )
+    tagged = _attach_or_join(
+        exploded, "h", winners, "h", ["min_pack"], npart=_join_partitions()
+    )
+    kept_rows = tagged.filter(
+        expr="pack == min_pack"
+    ).select_columns([id_col, "idx", "para"])
+
+    def reassemble_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([id_col, "idx"], kind="stable")
+        agg = g.groupby(id_col, sort=False).agg(
+            clean_text=("para", lambda s: "\n\n".join(s)),
+            n_kept=("para", "size"),
+        )
+        return agg.reset_index()
+
+    def add_part(b: pa.Table) -> pa.Table:
+        part = (
+            pd.util.hash_array(
+                b[id_col].to_numpy(zero_copy_only=False), categorize=False
+            )
+            % N_PARTS
+        ).astype(np.int32)
+        return b.append_column("part", pa.array(part))
+
+    reassembled = (
+        kept_rows.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(
+            lambda g: reassemble_part(g.drop(columns=["part"])),
+            batch_format="pandas",
+        )
+    )
+
+    # original paragraph counts (block-local; docs never span blocks)
+    def orig_counts(b: pa.Table) -> pa.Table:
+        segs = pc.split_pattern_regex(pc.fill_null(b[text_col], ""), r"\n\n+")
+        flat = pc.list_flatten(segs)
+        parents = pc.list_parent_indices(segs).to_numpy(zero_copy_only=False)
+        mask_np = pc.greater(pc.utf8_length(flat), 0).to_numpy(
+            zero_copy_only=False
+        )
+        n_paras = np.bincount(parents[mask_np], minlength=b.num_rows)
+        return pa.table(
+            {
+                id_col: b[id_col],
+                "n_paras": pa.array(n_paras.astype(np.int64), pa.int64()),
+            }
+        )
+
+    totals = docs.map_batches(orig_counts, batch_format="pyarrow")
+    # reassembled is map_groups output -> empty partitions lack a schema;
+    # launder through a repartition before any Acero join (the
+    # _attach_or_join top_customers quirk)
+    out = _attach_or_join(
+        reassembled, id_col, totals, id_col, ["n_paras"],
+        npart=_join_partitions(), launder_fact=True,
+    )
+
+    def finalize(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                id_col: b[id_col],
+                "clean_text": b["clean_text"],
+                "n_kept": b["n_kept"],
+                "n_dropped": pc.subtract(b["n_paras"], b["n_kept"]),
+            }
+        )
+
+    return out.map_batches(finalize, batch_format="pyarrow")

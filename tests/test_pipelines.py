@@ -3119,3 +3119,67 @@ def test_qty_discount_corr_perfect_correlation(ray_session, tmp_path):
     assert got.loc["A", "corr_qty_disc"] == 1.0
     assert got.loc["A", "n"] == 10
     assert got.loc["B", "corr_qty_disc"] == 0.0
+
+
+def test_paragraph_dedup_keep_first(ray_session):
+    """Repeated paragraphs survive only at their globally first (doc, idx)
+    position; docs made entirely of repeats disappear; singletons pass
+    through unchanged."""
+    import ray.data as rd
+
+    from high_performance_parallel_search_engine_ray.pipelines.dedup import (
+        paragraph_dedup,
+    )
+
+    boiler = "subscribe to our newsletter"
+    docs = rd.from_items(
+        [
+            # doc 0: unique + boilerplate (first occurrence -> kept here)
+            {"doc_id": 0, "text": f"alpha body\n\n{boiler}"},
+            # doc 1: boilerplate repeats -> dropped; unique tail kept
+            {"doc_id": 1, "text": f"{boiler}\n\nbeta body"},
+            # doc 2: ONLY the boilerplate -> doc disappears
+            {"doc_id": 2, "text": boiler},
+            # doc 3: same paragraph twice IN one doc -> second drops
+            {"doc_id": 3, "text": "gamma\n\ngamma"},
+            # doc 4: untouched
+            {"doc_id": 4, "text": "delta solo"},
+        ]
+    )
+    got = (
+        paragraph_dedup(docs)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert list(got.index) == [0, 1, 3, 4]
+    assert got.loc[0, "clean_text"] == f"alpha body\n\n{boiler}"
+    assert got.loc[0, "n_kept"] == 2 and got.loc[0, "n_dropped"] == 0
+    assert got.loc[1, "clean_text"] == "beta body"
+    assert got.loc[1, "n_kept"] == 1 and got.loc[1, "n_dropped"] == 1
+    assert got.loc[3, "clean_text"] == "gamma"
+    assert got.loc[3, "n_dropped"] == 1
+    assert got.loc[4, "clean_text"] == "delta solo"
+
+
+def test_paragraph_dedup_forced_join_path(ray_session, monkeypatch):
+    """The shuffle-join winner attach must give the same answer as the
+    broadcast path."""
+    import ray.data as rd
+
+    import high_performance_parallel_search_engine_ray.pipelines.relational as rel
+    from high_performance_parallel_search_engine_ray.pipelines.dedup import (
+        paragraph_dedup,
+    )
+
+    docs = rd.from_items(
+        [
+            {"doc_id": 0, "text": "shared para\n\nzero tail"},
+            {"doc_id": 1, "text": "shared para\n\none tail"},
+        ]
+    )
+    monkeypatch.setattr(rel, "BROADCAST_THRESHOLD", 0)
+    got = paragraph_dedup(docs).to_pandas().set_index("doc_id").sort_index()
+    assert got.loc[0, "clean_text"] == "shared para\n\nzero tail"
+    assert got.loc[1, "clean_text"] == "one tail"
+    assert got.loc[1, "n_dropped"] == 1
