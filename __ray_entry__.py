@@ -803,6 +803,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # screen): keep each repeated paragraph only at its global first
         # occurrence; only (md5, packed-position) pairs shuffle
         "paragraph_dedup": lambda sf: dedup.paragraph_dedup(_docs(sf)),
+        # ROLLUP(status, priority) with SQL grouping levels; integer-cents
+        # lattice so subtotals re-aggregate exactly
+        "revenue_rollup": relational.revenue_rollup,
+        # fixed-category daily pivot (wide per-type counts)
+        "events_pivot": relational.events_pivot,
     }
 
 
@@ -2112,6 +2117,32 @@ SELECT k.doc_id,
        any_value(tot.n_paras) - count(*) AS n_dropped
 FROM k JOIN tot ON tot.doc_id = k.doc_id
 GROUP BY k.doc_id
+"""
+    # ROLLUP with grouping() level tags; 'ALL' sentinel instead of NULL
+    # keys (nulls hash inconsistently across engines)
+    sqls["revenue_rollup"] = """
+WITH o AS (
+  SELECT o_orderstatus AS s, o_orderpriority AS p,
+         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+  FROM orders
+)
+SELECT coalesce(s, 'ALL') AS status,
+       coalesce(p, 'ALL') AS priority,
+       CAST(grouping(s) * 2 + grouping(p) AS BIGINT) AS lvl,
+       round(sum(cents) / 100.0, 2) AS revenue,
+       count(*) AS n_orders
+FROM o
+GROUP BY ROLLUP(s, p)
+"""
+    # static-category pivot: one count column per known event type
+    sqls["events_pivot"] = """
+SELECT date_trunc('day', ts) AS day,
+       CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+       CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+       CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error
+FROM events GROUP BY 1
 """
     return sqls
 

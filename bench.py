@@ -116,6 +116,8 @@ BENCH_QUERIES = [
     "rolling_dau",
     "qty_discount_corr",
     "paragraph_dedup",
+    "revenue_rollup",
+    "events_pivot",
 ]
 
 

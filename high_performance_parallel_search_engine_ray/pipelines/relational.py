@@ -1645,3 +1645,119 @@ def qty_discount_corr(sf_dir: str):
         )
 
     return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+# -- ROLLUP subtotals --------------------------------------------------------
+
+def revenue_rollup(sf_dir: str):
+    """GROUP BY ROLLUP(status, priority) over orders: finest cells,
+    per-status subtotals, and the grand total, tagged with the SQL
+    grouping level (0 finest, 1 priority rolled, 3 both rolled; rolled
+    keys surface as 'ALL'). Money sums ride the exact integer-cents
+    lattice so subtotal re-aggregation can't drift from the oracle.
+
+    Scale shape: the fact table collapses to per-block partials before
+    the (status, priority) shuffle; the rollup levels derive from the
+    CARDINALITY-BOUNDED finest table in one single-block vectorized
+    task — no driver pull, no second pass over the fact."""
+    from ray.data.aggregate import Sum
+
+    orders = _read(
+        sf_dir, "orders", ["o_orderstatus", "o_orderpriority", "o_totalprice"]
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        cents = round_half_away(
+            pc.multiply(b["o_totalprice"], 100.0).to_numpy(), 0
+        ).astype(np.int64)
+        t = pa.table(
+            {
+                "status": b["o_orderstatus"],
+                "priority": b["o_orderpriority"],
+                "cents": pa.array(cents),
+                "n": pa.array(np.ones(len(cents), np.int64)),
+            }
+        )
+        return _agg_rename(
+            t.group_by(["status", "priority"]).aggregate(
+                [("cents", "sum"), ("n", "sum")]
+            ),
+            {"cents_sum": "cents", "n_sum": "n"},
+        )
+
+    finest = (
+        orders.map_batches(partial, batch_format="pyarrow")
+        .groupby(["status", "priority"])
+        .aggregate(Sum("cents", alias_name="cents"), Sum("n", alias_name="n"))
+    )
+
+    def rollup(df: pd.DataFrame) -> pd.DataFrame:
+        lvl0 = df.assign(lvl=np.int64(0))
+        lvl1 = (
+            df.groupby("status", as_index=False)[["cents", "n"]]
+            .sum()
+            .assign(priority="ALL", lvl=np.int64(1))
+        )
+        lvl2 = pd.DataFrame(
+            {
+                "status": ["ALL"],
+                "priority": ["ALL"],
+                "cents": [df["cents"].sum()],
+                "n": [df["n"].sum()],
+                "lvl": [np.int64(3)],
+            }
+        )
+        out = pd.concat([lvl0, lvl1, lvl2], ignore_index=True)
+        out["revenue"] = (out["cents"].astype(np.float64) / 100.0).round(2)
+        out["n_orders"] = out["n"].astype(np.int64)
+        return out[["status", "priority", "lvl", "revenue", "n_orders"]]
+
+    return finest.repartition(1).map_batches(rollup, batch_format="pandas")
+
+
+# -- fixed-category pivot ----------------------------------------------------
+
+PIVOT_EVENT_TYPES = ("click", "view", "purchase", "signup", "error")
+
+
+def events_pivot(sf_dir: str, types: tuple = PIVOT_EVENT_TYPES):
+    """Daily wide-format event counts: one column per (fixed, known)
+    event type — the PIVOT every dashboard query runs. Per-block
+    indicator partials collapse to (day, n_<type>...) rows before the
+    day-keyed groupby; column set is static so the schema is stable."""
+    from ray.data.aggregate import Sum
+
+    US_PER_DAY = 86_400_000_000
+
+    ev = _read(sf_dir, "events", ["ts", "event_type"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(pc.cast(b["ts"], pa.timestamp("us")), unit="day")
+        dayi = pc.divide(pc.cast(day, pa.int64()), US_PER_DAY)
+        cols = {"dayi": dayi}
+        for t in types:
+            cols[f"n_{t}"] = pc.cast(
+                pc.equal(b["event_type"], t), pa.int64()
+            )
+        tb = pa.table(cols)
+        return _agg_rename(
+            tb.group_by("dayi").aggregate(
+                [(f"n_{t}", "sum") for t in types]
+            ),
+            {f"n_{t}_sum": f"n_{t}" for t in types},
+        )
+
+    agg = (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby("dayi")
+        .aggregate(*[Sum(f"n_{t}", alias_name=f"n_{t}") for t in types])
+    )
+
+    def finalize(b: pa.Table) -> pa.Table:
+        ts = pc.cast(pc.multiply(b["dayi"], US_PER_DAY), pa.timestamp("us"))
+        cols = {"day": ts}
+        for t in types:
+            cols[f"n_{t}"] = b[f"n_{t}"]
+        return pa.table(cols)
+
+    return agg.map_batches(finalize, batch_format="pyarrow")

@@ -3183,3 +3183,41 @@ def test_paragraph_dedup_forced_join_path(ray_session, monkeypatch):
     assert got.loc[0, "clean_text"] == "shared para\n\nzero tail"
     assert got.loc[1, "clean_text"] == "one tail"
     assert got.loc[1, "n_dropped"] == 1
+
+
+def test_revenue_rollup_levels_consistent(ray_session):
+    """Subtotal algebra: per-status rows equal the sum of their finest
+    cells, and the grand total equals the sum of either level."""
+    from high_performance_parallel_search_engine_ray.pipelines.relational import (
+        revenue_rollup,
+    )
+
+    df = revenue_rollup("/root/testdata/sf0.001").to_pandas()
+    lvl0 = df[df["lvl"] == 0]
+    lvl1 = df[df["lvl"] == 1]
+    lvl3 = df[df["lvl"] == 3]
+    assert len(lvl3) == 1 and lvl3.iloc[0]["status"] == "ALL"
+    assert lvl3.iloc[0]["n_orders"] == lvl0["n_orders"].sum()
+    assert abs(lvl3.iloc[0]["revenue"] - round(lvl0["revenue"].sum(), 2)) < 0.011
+    for st, grp in lvl0.groupby("status"):
+        sub = lvl1[lvl1["status"] == st]
+        assert len(sub) == 1
+        assert sub.iloc[0]["n_orders"] == grp["n_orders"].sum()
+        assert sub.iloc[0]["priority"] == "ALL"
+
+
+def test_events_pivot_row_sums(ray_session):
+    """Wide counts partition the per-day event count exactly."""
+    import duckdb
+
+    from high_performance_parallel_search_engine_ray.pipelines.relational import (
+        events_pivot,
+    )
+
+    df = events_pivot("/root/testdata/sf0.001").to_pandas()
+    wide_total = df[[c for c in df.columns if c.startswith("n_")]].sum().sum()
+    con = duckdb.connect()
+    n = con.execute(
+        "SELECT count(*) FROM '/root/testdata/sf0.001/events.parquet'"
+    ).fetchone()[0]
+    assert wide_total == n
