@@ -58,6 +58,14 @@ def _doc_ids(sf_dir: str):
     return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
 
 
+def _docs_weighted(sf_dir: str):
+    import ray.data as rd
+
+    return rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+
+
 def _docs_src(sf_dir: str):
     import ray.data as rd
 
@@ -808,6 +816,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_rollup": relational.revenue_rollup,
         # fixed-category daily pivot (wide per-type counts)
         "events_pivot": relational.events_pivot,
+        # A-ES weighted sampling without replacement (ln(u)/w top-k over
+        # the shared LCG; block-local prune -> sort+limit)
+        "weighted_sample": lambda sf: text.weighted_sample_topk(
+            _docs_weighted(sf), k=100
+        ),
     }
 
 
@@ -2143,6 +2156,17 @@ SELECT date_trunc('day', ts) AS day,
        CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
        CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error
 FROM events GROUP BY 1
+"""
+    # A-ES weighted sample: identical ln(u)/w formula, 9-decimal grain
+    # absorbs cross-engine libm ulps before the ORDER BY
+    sqls["weighted_sample"] = """
+SELECT doc_id, n_chars,
+       round(ln((((doc_id * 2654435761 + 1013904223) % 4294967296) + 1.0)
+                / 4294967296.0) / n_chars, 9) AS sample_key
+FROM documents
+WHERE n_chars > 0
+ORDER BY sample_key DESC, doc_id
+LIMIT 100
 """
     return sqls
 

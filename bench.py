@@ -118,6 +118,7 @@ BENCH_QUERIES = [
     "paragraph_dedup",
     "revenue_rollup",
     "events_pivot",
+    "weighted_sample",
 ]
 
 

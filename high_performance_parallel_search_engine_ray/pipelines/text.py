@@ -1952,3 +1952,51 @@ def pack_sequences_ffd(
         )
 
     return local.map_batches(relabel, batch_format="pyarrow")
+
+
+def weighted_sample_topk(
+    docs,
+    k: int = 100,
+    id_col: str = "doc_id",
+    weight_col: str = "n_chars",
+):
+    """Efraimidis–Spirakis (A-ES) weighted sampling without replacement:
+    each row draws u from the shared deterministic LCG mix and ranks by
+    key = ln(u) / w; the global top-k IS a weight-proportional sample —
+    the standard one-pass distributed weighted reservoir. Keys are rounded
+    to 9 decimals BEFORE ranking so the SQL mirror (libm ln can differ by
+    an ulp across engines) orders identically; ties break on id.
+
+    Scale shape: block-local key computation + block-local top-k prune
+    (each block ships at most k (id, w, key) rows into the sort), then
+    one distributed sort+limit over the pruned residue. Same int64 LCG
+    exactness bound as `train_val_test_split` (doc_id < ~3.4e9)."""
+    import numpy as np
+
+    from ..functions.rounding import round_half_away
+
+    def keys(b: pa.Table) -> pa.Table:
+        ids = (
+            b[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        w = (
+            b[weight_col].combine_chunks().to_numpy(zero_copy_only=False)
+            .astype(np.float64)
+        )
+        keep = w > 0
+        ids, w = ids[keep], w[keep]
+        mix = (ids * 2654435761 + 1013904223) % (2**32)
+        u = (mix + 1.0) / 4294967296.0
+        key = round_half_away(np.log(u) / w, 9)
+        order = np.lexsort((ids, -key))[:k]
+        return pa.table(
+            {
+                id_col: pa.array(ids[order], pa.int64()),
+                weight_col: pa.array(w[order].astype(np.int64), pa.int64()),
+                "sample_key": pa.array(key[order], pa.float64()),
+            }
+        )
+
+    pruned = docs.map_batches(keys, batch_format="pyarrow")
+    return pruned.sort(["sample_key", id_col], descending=[True, False]).limit(k)

@@ -3221,3 +3221,29 @@ def test_events_pivot_row_sums(ray_session):
         "SELECT count(*) FROM '/root/testdata/sf0.001/events.parquet'"
     ).fetchone()[0]
     assert wide_total == n
+
+
+def test_weighted_sample_block_prune_invariant(ray_session):
+    """The per-block top-k prune must not change the global result: many
+    tiny blocks give the identical sample as one big block, and heavier
+    rows are systematically favored."""
+    import ray.data as rd
+
+    from high_performance_parallel_search_engine_ray.pipelines.text import (
+        weighted_sample_topk,
+    )
+
+    rows = [
+        {"doc_id": i, "n_chars": 10_000 if i % 10 == 0 else 10}
+        for i in range(500)
+    ]
+    one = weighted_sample_topk(
+        rd.from_items(rows).repartition(1), k=40
+    ).to_pandas()
+    many = weighted_sample_topk(
+        rd.from_items(rows).repartition(32), k=40
+    ).to_pandas()
+    assert one.values.tolist() == many.values.tolist()
+    # 10% of rows carry 1000x weight -> they should dominate the sample
+    heavy = (one["n_chars"] == 10_000).sum()
+    assert heavy >= 30
