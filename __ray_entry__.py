@@ -821,6 +821,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_sample": lambda sf: text.weighted_sample_topk(
             _docs_weighted(sf), k=100
         ),
+        # per-customer order inter-arrival (window-lag family); exact
+        # integer-ns gap sums, one final division
+        "order_interarrival": relational.order_interarrival,
+        # contingency-table chi-square independence (segment x priority)
+        "segment_priority_chi2": relational.segment_priority_chi2,
     }
 
 
@@ -2167,6 +2172,56 @@ FROM documents
 WHERE n_chars > 0
 ORDER BY sample_key DESC, doc_id
 LIMIT 100
+"""
+    # inter-arrival: integer-ns gap sums -> one division (order-free)
+    sqls["order_interarrival"] = """
+WITH seq AS (
+  SELECT o_custkey,
+         epoch_ns(o_orderdate) AS ts_ns,
+         lag(epoch_ns(o_orderdate)) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ) AS prev_ns
+  FROM orders
+),
+g AS (
+  SELECT o_custkey, count(*) AS n_gaps, sum(ts_ns - prev_ns) AS sum_ns
+  FROM seq WHERE prev_ns IS NOT NULL GROUP BY o_custkey
+)
+SELECT o_custkey,
+       CAST(n_gaps + 1 AS BIGINT) AS n_orders,
+       round(sum_ns / (n_gaps * 86400000000000.0), 6) AS avg_gap_days
+FROM g
+"""
+    # chi-square over the ZERO-FILLED segment x priority grid, identical
+    # (rn*cn)/total expectation formula
+    sqls["segment_priority_chi2"] = """
+WITH j AS (
+  SELECT c_mktsegment AS segment, o_orderpriority AS priority
+  FROM orders JOIN customer ON c_custkey = o_custkey
+),
+cont AS (SELECT segment, priority, count(*) AS n FROM j GROUP BY 1, 2),
+grid AS (
+  SELECT s.segment, p.priority
+  FROM (SELECT DISTINCT segment FROM cont) s,
+       (SELECT DISTINCT priority FROM cont) p
+),
+full_ AS (
+  SELECT g.segment, g.priority, coalesce(c.n, 0) AS n
+  FROM grid g LEFT JOIN cont c
+    ON c.segment = g.segment AND c.priority = g.priority
+),
+rows_ AS (SELECT segment, sum(n) * 1.0 AS rn FROM full_ GROUP BY segment),
+cols_ AS (SELECT priority, sum(n) * 1.0 AS cn FROM full_ GROUP BY priority),
+tot AS (SELECT sum(n) * 1.0 AS total FROM full_)
+SELECT round(sum(power(f.n - r.rn * cl.cn / t.total, 2)
+                 / (r.rn * cl.cn / t.total)), 6) AS chi2,
+       CAST(((SELECT count(*) FROM rows_) - 1)
+            * ((SELECT count(*) FROM cols_) - 1) AS BIGINT) AS dof,
+       CAST((SELECT sum(n) FROM full_) AS BIGINT) AS n
+FROM full_ f
+JOIN rows_ r USING (segment)
+JOIN cols_ cl USING (priority)
+CROSS JOIN tot t
 """
     return sqls
 

@@ -119,6 +119,8 @@ BENCH_QUERIES = [
     "revenue_rollup",
     "events_pivot",
     "weighted_sample",
+    "order_interarrival",
+    "segment_priority_chi2",
 ]
 
 

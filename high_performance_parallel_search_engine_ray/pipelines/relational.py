@@ -1761,3 +1761,121 @@ def events_pivot(sf_dir: str, types: tuple = PIVOT_EVENT_TYPES):
         return pa.table(cols)
 
     return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+# -- order inter-arrival gaps ------------------------------------------------
+
+def order_interarrival(sf_dir: str):
+    """Per customer: number of orders and the mean gap in days between
+    consecutive orders (date-ordered, o_orderkey tiebreak) — the
+    inter-arrival statistic behind churn/frequency models. Customers with
+    a single order carry no gap and are excluded, matching the oracle's
+    lag() NULL behavior.
+
+    Scale shape: customers are hash-partitioned; one sort + one grouped
+    diff per partition (vectorized), emitting one row per customer."""
+    US_PER_DAY = 86_400_000_000
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_orderdate"])
+
+    NS_PER_DAY = 86_400_000_000_000.0
+
+    def gaps_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_custkey", "o_orderdate", "o_orderkey"],
+                          kind="stable")
+        # integer-nanosecond gaps: partial sums are EXACT int64, so the
+        # single final division matches the oracle bit-for-bit regardless
+        # of summation order
+        ts_ns = g["o_orderdate"].to_numpy().astype("datetime64[ns]").astype(
+            np.int64
+        )
+        prev = pd.Series(ts_ns, index=g.index).groupby(
+            g["o_custkey"].to_numpy(), sort=False
+        ).shift(1)
+        keep = prev.notna()
+        sub = pd.DataFrame(
+            {
+                "o_custkey": g["o_custkey"][keep],
+                "gap_ns": (ts_ns[keep.to_numpy()] - prev[keep].to_numpy()
+                           ).astype(np.int64),
+            }
+        )
+        agg = sub.groupby("o_custkey", sort=False).agg(
+            n_gaps=("gap_ns", "size"), sum_ns=("gap_ns", "sum")
+        )
+        out = agg.reset_index()
+        out["avg_gap_days"] = round_half_away(
+            out["sum_ns"].to_numpy().astype(np.float64)
+            / (out["n_gaps"].to_numpy() * NS_PER_DAY),
+            6,
+        )
+        out["n_orders"] = (out["n_gaps"] + 1).astype(np.int64)
+        return out[["o_custkey", "n_orders", "avg_gap_days"]]
+
+    return _by_partition(orders, "o_custkey", gaps_part)
+
+
+# -- chi-square independence (segment x priority) ---------------------------
+
+def segment_priority_chi2(sf_dir: str):
+    """Pearson chi-square statistic for independence of customer market
+    segment vs order priority — contingency-table analytics past plain SQL
+    aggregates. The fact scan collapses to exact integer (segment,
+    priority) counts (cost-based segment attach, per-block partials); the
+    chi2 sum runs over the CARDINALITY-BOUNDED contingency table in one
+    single-block task with double math mirrored by the oracle.
+
+    Output: one row — (chi2 round 6, dof, n)."""
+    from ray.data.aggregate import Sum
+
+    npart = _join_partitions()
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+
+    with_seg = _attach_or_join(
+        orders, "o_custkey", cust, "c_custkey", ["c_mktsegment"], npart,
+        dim_count_hint=_table_rows(sf_dir, "customer"),
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "segment": b["c_mktsegment"],
+                "priority": b["o_orderpriority"],
+                "n": pa.array(np.ones(b.num_rows, np.int64)),
+            }
+        )
+        return _agg_rename(
+            t.group_by(["segment", "priority"]).aggregate([("n", "sum")]),
+            {"n_sum": "n"},
+        )
+
+    cont = (
+        with_seg.map_batches(partial, batch_format="pyarrow")
+        .groupby(["segment", "priority"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def chi2(df: pd.DataFrame) -> pd.DataFrame:
+        # zero-fill the full segment x priority grid: absent cells still
+        # contribute their expectation (the oracle builds the same grid)
+        piv = df.pivot_table(
+            index="segment", columns="priority", values="n",
+            fill_value=0, aggfunc="sum",
+        ).astype(np.int64)
+        obs = piv.to_numpy().astype(np.float64)
+        row = obs.sum(axis=1, keepdims=True)
+        col = obs.sum(axis=0, keepdims=True)
+        total = obs.sum()
+        exp = row @ col / total
+        stat = ((obs - exp) ** 2 / exp).sum()
+        dof = (obs.shape[0] - 1) * (obs.shape[1] - 1)
+        return pd.DataFrame(
+            {
+                "chi2": round_half_away(np.array([stat]), 6),
+                "dof": np.array([dof], np.int64),
+                "n": np.array([int(total)], np.int64),
+            }
+        )
+
+    return cont.repartition(1).map_batches(chi2, batch_format="pandas")

@@ -3247,3 +3247,77 @@ def test_weighted_sample_block_prune_invariant(ray_session):
     # 10% of rows carry 1000x weight -> they should dominate the sample
     heavy = (one["n_chars"] == 10_000).sum()
     assert heavy >= 30
+
+
+def test_order_interarrival_known_gaps(ray_session, tmp_path):
+    """Gaps average over consecutive same-customer orders in date order;
+    single-order customers drop out."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from high_performance_parallel_search_engine_ray.pipelines.relational import (
+        order_interarrival,
+    )
+
+    d = pd.Timestamp("2024-01-01")
+    rows = [
+        # cust 1: days 0, 2, 6 -> gaps 2 and 4 -> avg 3.0
+        {"o_orderkey": 1, "o_custkey": 1, "o_orderdate": d},
+        {"o_orderkey": 2, "o_custkey": 1, "o_orderdate": d + pd.Timedelta(days=2)},
+        {"o_orderkey": 3, "o_custkey": 1, "o_orderdate": d + pd.Timedelta(days=6)},
+        # cust 2: one order -> excluded
+        {"o_orderkey": 4, "o_custkey": 2, "o_orderdate": d},
+    ]
+    df = pd.DataFrame(rows)
+    df["o_orderstatus"] = "O"
+    df["o_totalprice"] = 1.0
+    df["o_orderpriority"] = "1-URGENT"
+    pq.write_table(pa.Table.from_pandas(df), str(tmp_path / "orders.parquet"))
+    got = order_interarrival(str(tmp_path)).to_pandas()
+    assert len(got) == 1
+    assert got.iloc[0]["o_custkey"] == 1
+    assert got.iloc[0]["n_orders"] == 3
+    assert got.iloc[0]["avg_gap_days"] == 3.0
+
+
+def test_segment_priority_chi2_hand_checked(ray_session, tmp_path):
+    """2x2 contingency with a known chi-square: obs [[30,10],[10,30]]
+    gives chi2 = 80*(30*30-10*10)^2 / (40*40*40*40) = 20.0."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from high_performance_parallel_search_engine_ray.pipelines.relational import (
+        segment_priority_chi2,
+    )
+
+    cust = pd.DataFrame(
+        {
+            "c_custkey": [1, 2],
+            "c_name": ["a", "b"],
+            "c_nationkey": [0, 0],
+            "c_acctbal": [0.0, 0.0],
+            "c_mktsegment": ["S1", "S2"],
+        }
+    )
+    orders = []
+    ok = 0
+    for ck, prio, cnt in [(1, "P1", 30), (1, "P2", 10), (2, "P1", 10), (2, "P2", 30)]:
+        for _ in range(cnt):
+            ok += 1
+            orders.append(
+                {"o_orderkey": ok, "o_custkey": ck, "o_orderstatus": "O",
+                 "o_totalprice": 1.0,
+                 "o_orderdate": pd.Timestamp("2024-01-01"),
+                 "o_orderpriority": prio}
+            )
+    pq.write_table(pa.Table.from_pandas(cust), str(tmp_path / "customer.parquet"))
+    pq.write_table(
+        pa.Table.from_pandas(pd.DataFrame(orders)),
+        str(tmp_path / "orders.parquet"),
+    )
+    got = segment_priority_chi2(str(tmp_path)).to_pandas()
+    assert got.iloc[0]["chi2"] == 20.0
+    assert got.iloc[0]["dof"] == 1
+    assert got.iloc[0]["n"] == 80
