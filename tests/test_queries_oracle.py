@@ -146,6 +146,11 @@ def test_registry_ordering_contract():
         "render_training", "boolean_and", "rag_search",
         "dedup_keep_richest", "cross_source_dups", "bigram_logprob",
         "token_budget_select",
+        # wave-4 analytics additions (same rationale)
+        "cohort_retention", "funnel_counts", "source_vocab_diversity",
+        "event_transitions", "rolling_dau", "qty_discount_corr",
+        "paragraph_dedup", "revenue_rollup", "events_pivot",
+        "weighted_sample", "order_interarrival", "segment_priority_chi2",
     }
     assert set(entry_mod.oracle_sql()) - overflow_ok <= first50
     for critical in (
