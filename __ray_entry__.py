@@ -826,6 +826,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_interarrival": relational.order_interarrival,
         # contingency-table chi-square independence (segment x priority)
         "segment_priority_chi2": relational.segment_priority_chi2,
+        # market-basket pair mining (A-Priori first pass): order-local
+        # pair expansion, bounded groupby, distributed top-k
+        "basket_pairs": relational.basket_pairs,
     }
 
 
@@ -2222,6 +2225,18 @@ FROM full_ f
 JOIN rows_ r USING (segment)
 JOIN cols_ cl USING (priority)
 CROSS JOIN tot t
+"""
+    # co-purchased part pairs; ties at the k-cut break on (part_a, part_b)
+    sqls["basket_pairs"] = """
+WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+pr AS (
+  SELECT a.p AS part_a, b2.p AS part_b
+  FROM b a JOIN b b2 ON a.o = b2.o AND a.p < b2.p
+)
+SELECT part_a, part_b, count(*) AS n
+FROM pr GROUP BY 1, 2
+ORDER BY n DESC, part_a, part_b
+LIMIT 50
 """
     return sqls
 

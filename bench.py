@@ -121,6 +121,7 @@ BENCH_QUERIES = [
     "weighted_sample",
     "order_interarrival",
     "segment_priority_chi2",
+    "basket_pairs",
 ]
 
 

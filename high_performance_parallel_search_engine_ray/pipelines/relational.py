@@ -1879,3 +1879,41 @@ def segment_priority_chi2(sf_dir: str):
         )
 
     return cont.repartition(1).map_batches(chi2, batch_format="pandas")
+
+
+# -- market-basket pair mining ----------------------------------------------
+
+def basket_pairs(sf_dir: str, k: int = 50):
+    """Top-k co-purchased part pairs (the A-Priori first pass): for every
+    order's distinct part set, count unordered pairs across the corpus.
+    The pair expansion is ORDER-LOCAL (a TPC-H order holds ≤7 lines, so
+    the blow-up is ≤ C(7,2) per order, not quadratic in the corpus);
+    orders co-locate via the bounded hash-partition groupby, each
+    partition expands ALL its orders with one self-merge, and only
+    (part_a, part_b, partial n) rows reach the final bounded groupby +
+    distributed top-k sort."""
+    from ray.data.aggregate import Sum
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def pairs_part(g: pd.DataFrame) -> pd.DataFrame:
+        b = g[["l_orderkey", "l_partkey"]].drop_duplicates()
+        m = b.merge(b, on="l_orderkey", suffixes=("_a", "_b"))
+        m = m[m["l_partkey_a"] < m["l_partkey_b"]]
+        agg = (
+            m.groupby(["l_partkey_a", "l_partkey_b"], sort=False)
+            .size()
+            .rename("n")
+            .reset_index()
+        )
+        return agg.rename(
+            columns={"l_partkey_a": "part_a", "l_partkey_b": "part_b"}
+        )
+
+    parts = _by_partition(li, "l_orderkey", pairs_part)
+    agg = parts.groupby(["part_a", "part_b"]).aggregate(
+        Sum("n", alias_name="n")
+    )
+    return agg.sort(
+        ["n", "part_a", "part_b"], descending=[True, False, False]
+    ).limit(k)

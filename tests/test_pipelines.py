@@ -3321,3 +3321,30 @@ def test_segment_priority_chi2_hand_checked(ray_session, tmp_path):
     assert got.iloc[0]["chi2"] == 20.0
     assert got.iloc[0]["dof"] == 1
     assert got.iloc[0]["n"] == 80
+
+
+def test_basket_pairs_order_local(ray_session, tmp_path):
+    """Pairs come only from parts sharing an order; duplicate lines of the
+    same part collapse before pairing; counts accumulate across orders."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from high_performance_parallel_search_engine_ray.pipelines.relational import (
+        basket_pairs,
+    )
+
+    rows = []
+    # orders 1 and 2 both contain parts {10, 20} -> pair (10,20) n=2;
+    # order 1 has part 10 twice (two lines) -> still one pair
+    for ok, parts in [(1, [10, 10, 20, 30]), (2, [10, 20]), (3, [40])]:
+        for ln, p in enumerate(parts):
+            rows.append({"l_orderkey": ok, "l_partkey": p,
+                         "l_linenumber": ln, "l_quantity": 1.0})
+    pq.write_table(
+        pa.Table.from_pandas(pd.DataFrame(rows)),
+        str(tmp_path / "lineitem.parquet"),
+    )
+    got = basket_pairs(str(tmp_path), k=10).to_pandas()
+    got = got.sort_values(["part_a", "part_b"]).reset_index(drop=True)
+    assert got.values.tolist() == [[10, 20, 2], [10, 30, 1], [20, 30, 1]]

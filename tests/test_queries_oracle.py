@@ -151,6 +151,7 @@ def test_registry_ordering_contract():
         "event_transitions", "rolling_dau", "qty_discount_corr",
         "paragraph_dedup", "revenue_rollup", "events_pivot",
         "weighted_sample", "order_interarrival", "segment_priority_chi2",
+        "basket_pairs",
     }
     assert set(entry_mod.oracle_sql()) - overflow_ok <= first50
     for critical in (
