@@ -98,6 +98,54 @@ def _incremental_dedup(sf_dir: str):
     return dedup.dedup_against_store(odd, store, est_threshold=0.5)
 
 
+def _jsonl_roundtrip(sf_dir: str):
+    """Write the corpus as JSONL (one object per line, one file per
+    block), read it back with the JSONL source, and aggregate per source
+    — any fidelity loss in the sink/source pair breaks the oracle
+    equality against the parquet originals. Fresh scratch dir per call."""
+    import tempfile
+
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    from high_performance_parallel_search_engine_ray.sources import io as hio
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "source", "n_chars", "text"],
+    )
+    out = tempfile.mkdtemp(prefix="hppse_jsonl_", dir="/tmp")
+    hio.write_jsonl_docs(docs, out)
+    back = hio.read_jsonl_docs(out)
+
+    def digest(b):
+        import hashlib
+
+        import pyarrow as pa
+
+        # first 8 md5 hex chars as int64: any mangled byte in the JSON
+        # escape/unescape path flips the per-source checksum
+        sums = [
+            int(hashlib.md5(t.encode()).hexdigest()[:8], 16)
+            for t in b["text"].to_pylist()
+        ]
+        return pa.table(
+            {
+                "source": b["source"],
+                "n_chars": b["n_chars"],
+                "text_md5_32": pa.array(sums, pa.int64()),
+            }
+        )
+
+    return back.map_batches(digest, batch_format="pyarrow").groupby(
+        "source"
+    ).aggregate(
+        Count(alias_name="n_docs"),
+        Sum("n_chars", alias_name="total_chars"),
+        Sum("text_md5_32", alias_name="text_checksum"),
+    )
+
+
 def _quality_classifier(sf_dir: str):
     """Train + score sharing ONE materialized feature table (text read
     once; the 30-epoch GD runs over features only)."""
@@ -829,6 +877,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # market-basket pair mining (A-Priori first pass): order-local
         # pair expansion, bounded groupby, distributed top-k
         "basket_pairs": relational.basket_pairs,
+        # asymmetric containment near-dup (Broder's containment measure;
+        # catches subsumed/quoted docs that Jaccard dilutes)
+        "containment_pairs": lambda sf: dedup.containment_pairs(
+            _docs(sf), threshold=0.6, block_prefix=16
+        ),
+        # per-type z-score outlier screen (two-pass distributed moments on
+        # the integer value lattice)
+        "events_anomalies": relational.events_anomalies,
+        # reciprocal-rank fusion of BM25 + raw-TF rankings (hybrid serving)
+        "rrf_fused": lambda sf: rank.rrf_topk(_docs(sf), "hash join"),
+        # JSONL sink/source roundtrip: write the corpus as JSONL, read it
+        # back, aggregate — proves the LLM-interchange IO path end-to-end
+        "jsonl_roundtrip": _jsonl_roundtrip,
     }
 
 
@@ -2237,6 +2298,113 @@ SELECT part_a, part_b, count(*) AS n
 FROM pr GROUP BY 1, 2
 ORDER BY n DESC, part_a, part_b
 LIMIT 50
+"""
+    # asymmetric containment |A∩B| / min(|A|,|B|) over the same prefix
+    # blocks and char-3-gram sets as ngram_jaccard_pairs
+    sqls["containment_pairs"] = """
+WITH g AS (
+  SELECT DISTINCT doc_id, substr(text, 1, 16) AS blk, substr(text, i, 3) AS gram
+  FROM documents, generate_series(1, 100000) AS s(i)
+  WHERE i <= length(text) - 2
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM g a JOIN g b ON a.blk = b.blk AND a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id)
+SELECT doc_a, doc_b,
+       round(inter * 1.0 / least(sa.n, sb.n), 6) AS containment
+FROM pairs
+JOIN sizes sa ON sa.doc_id = pairs.doc_a
+JOIN sizes sb ON sb.doc_id = pairs.doc_b
+WHERE inter * 1.0 / least(sa.n, sb.n) >= 0.6
+"""
+    # per-type z-score outliers on the 0.01-grid integer lattice; mean/var
+    # expression shape matches relational.events_anomalies exactly so the
+    # derived doubles (and the >= 3 boundary) are bit-identical
+    sqls["events_anomalies"] = """
+WITH sc AS (
+  SELECT event_id, event_type, value,
+         CAST(round(value * 100, 0) AS BIGINT) AS sv
+  FROM events
+),
+g AS (
+  SELECT event_type, count(*) AS n, sum(sv) AS sx, sum(sv * sv) AS sxx
+  FROM sc GROUP BY event_type
+),
+st AS (
+  SELECT event_type,
+         sx * 1.0 / n AS mean,
+         sqrt(sxx * 1.0 / n - (sx * 1.0 / n) * (sx * 1.0 / n)) AS std
+  FROM g
+),
+z AS (
+  SELECT sc.event_id, sc.event_type, sc.value,
+         (sc.sv - st.mean) / st.std AS z
+  FROM sc JOIN st USING (event_type)
+  WHERE st.std > 0
+)
+SELECT event_id, event_type, value, round(z, 6) AS z
+FROM z WHERE abs(z) >= 3.0
+"""
+    # reciprocal-rank fusion: BM25 top-20 + raw-TF top-20, 1/(60+rank)
+    # each, absent system contributes 0; top-10 by (rrf desc, doc_id).
+    # Both rankings order by their ROUNDED/integer scores with doc_id
+    # tiebreak, matching rank.rrf_topk's candidate lists exactly.
+    sqls["rrf_fused"] = f"""
+WITH {_TOKS_CTE},
+tf AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT count(*) FROM toks) * 1.0 /
+         (SELECT count(*) FROM documents) AS avgdl
+),
+df AS (SELECT term, count(*) AS df FROM tf
+       WHERE term IN ('hash', 'join') GROUP BY term),
+bm AS (
+  SELECT tf.doc_id,
+         round(sum( ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+              * (tf.tf * 2.5)
+              / (tf.tf + 1.5 * (0.25 + 0.75 * dl.dl / stats.avgdl)) ), 6)
+           AS score
+  FROM tf
+  JOIN df ON df.term = tf.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats
+  GROUP BY tf.doc_id
+),
+bm_r AS (
+  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r
+  FROM bm WHERE score > 0
+  ORDER BY score DESC, doc_id LIMIT 20
+),
+tf_r AS (
+  SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id) AS r
+  FROM (SELECT doc_id, sum(tf) AS s FROM tf
+        WHERE term IN ('hash', 'join') GROUP BY doc_id)
+  ORDER BY s DESC, doc_id LIMIT 20
+),
+fused AS (
+  SELECT coalesce(b.doc_id, t.doc_id) AS doc_id,
+         coalesce(1.0 / (60 + b.r), 0) + coalesce(1.0 / (60 + t.r), 0)
+           AS rrf
+  FROM bm_r b FULL OUTER JOIN tf_r t ON b.doc_id = t.doc_id
+)
+SELECT doc_id, round(rrf, 6) AS rrf
+FROM fused ORDER BY rrf DESC, doc_id LIMIT 10
+"""
+    # JSONL sink/source roundtrip: the Ray side aggregates its OWN JSONL
+    # re-read; the oracle aggregates the parquet originals — equality
+    # proves byte-level write/read fidelity (md5-derived text checksum)
+    sqls["jsonl_roundtrip"] = """
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(sum(CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT)) AS BIGINT)
+         AS text_checksum
+FROM documents GROUP BY source
 """
     return sqls
 

@@ -122,6 +122,11 @@ BENCH_QUERIES = [
     "order_interarrival",
     "segment_priority_chi2",
     "basket_pairs",
+    # wave-5 additions
+    "containment_pairs",
+    "events_anomalies",
+    "rrf_fused",
+    "jsonl_roundtrip",
 ]
 
 

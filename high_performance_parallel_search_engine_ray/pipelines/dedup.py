@@ -602,6 +602,58 @@ def ngram_jaccard_pairs(
     return blocked.groupby("blk").map_groups(pairs_in_block, batch_format="pandas")
 
 
+def containment_pairs(
+    docs,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    block_prefix: int = 16,
+):
+    """Asymmetric near-dup: char-3-gram CONTAINMENT ``|A∩B| / min(|A|,|B|)``
+    over pairs sharing a text prefix block — catches a document SUBSUMED in
+    a longer one (quoted articles, boilerplate wrappers) that symmetric
+    Jaccard dilutes below threshold (Broder's containment measure, the
+    companion to resemblance). Same oracle-anchor role and blocking shape
+    as ``ngram_jaccard_pairs``; MinHash banding stays the scale path for
+    candidate generation.
+
+    Returns (doc_a, doc_b, containment) with doc_a < doc_b, rounded 6dp.
+    """
+
+    def block_batch(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "blk": pc.utf8_slice_codeunits(b[text_col], 0, block_prefix),
+                id_col: b[id_col],
+                "text": b[text_col],
+            }
+        )
+
+    blocked = docs.map_batches(block_batch, batch_format="pyarrow")
+
+    def pairs_in_block(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"doc_a": [], "doc_b": [], "containment": []})
+        g = g.sort_values(id_col)
+        ids = g[id_col].tolist()
+        grams = [
+            {t[i : i + 3] for i in range(len(t) - 2)} if len(t) >= 3 else {t}
+            for t in g["text"].tolist()
+        ]
+        out = {"doc_a": [], "doc_b": [], "containment": []}
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                inter = len(grams[i] & grams[j])
+                cont = inter / min(len(grams[i]), len(grams[j]))
+                if cont >= threshold:
+                    out["doc_a"].append(ids[i])
+                    out["doc_b"].append(ids[j])
+                    out["containment"].append(round_half_away(cont, 6))
+        return pd.DataFrame(out)
+
+    return blocked.groupby("blk").map_groups(pairs_in_block, batch_format="pandas")
+
+
 def embedding_dup_pairs(
     embeddings,
     id_col: str = "vec_id",

@@ -265,6 +265,68 @@ def bm25_multi(
     return pa.concat_tables(parts)
 
 
+def rrf_topk(
+    docs,
+    query: str,
+    k: int = 10,
+    k_each: int = 20,
+    rrf_k: int = 60,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> "pa.Table":
+    """Reciprocal-rank fusion (Cormack/Clarke/Buettcher's RRF, the standard
+    rank-level combiner for hybrid retrieval): fuse BM25 and a raw
+    summed-term-frequency ranking for one query —
+    ``rrf = Σ_systems 1/(rrf_k + rank)`` over each system's top ``k_each``,
+    absent systems contributing 0. Returns top-``k`` (doc_id, rrf) with
+    rrf rounded 6dp, ties broken doc_id asc.
+
+    Scale shape: ONE shared tokenize pass (tf materialized, reused by both
+    systems); each system's candidate list is k_each rows, so the fusion
+    itself is a driver-side merge of two bounded lists — the corpus is
+    scanned once regardless of system count.
+    """
+    tf = term_doc_tf(docs, id_col, text_col).materialize()
+    bm = bm25_topk(docs, query, k=k_each, id_col=id_col,
+                   text_col=text_col, tf=tf)
+
+    qterms = sorted(set(tokenize_query(query)))
+    if not qterms:
+        return pa.schema([(id_col, pa.int64()), ("rrf", pa.float64())]).empty_table()
+    qset = pa.array(qterms)
+    from ray.data.aggregate import Sum
+
+    tf_rows = (
+        tf.map_batches(
+            lambda b: b.filter(pc.is_in(b["term"], value_set=qset)),
+            batch_format="pyarrow",
+        )
+        .groupby(id_col)
+        .aggregate(Sum("tf", alias_name="tf_sum"))
+        .sort(["tf_sum", id_col], descending=[True, False])
+        .limit(k_each)
+        .take_all()
+    )
+
+    # rank maps: position 1.. in each system's (score desc, id asc) order
+    scores: dict = {}
+    for rank, r in enumerate(bm.to_pylist(), start=1):
+        scores[r[id_col]] = scores.get(r[id_col], 0.0) + 1.0 / (rrf_k + rank)
+    for rank, r in enumerate(tf_rows, start=1):
+        scores[r[id_col]] = scores.get(r[id_col], 0.0) + 1.0 / (rrf_k + rank)
+
+    fused = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    id_type = bm.schema.field(id_col).type
+    return pa.table(
+        {
+            id_col: pa.array([i for i, _ in fused], id_type),
+            "rrf": pa.array(
+                [float(round_half_away(s, 6)) for _, s in fused], pa.float64()
+            ),
+        }
+    )
+
+
 def bm25_pagerank_topk(
     docs,
     query: str,

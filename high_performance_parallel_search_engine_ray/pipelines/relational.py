@@ -1647,6 +1647,88 @@ def qty_discount_corr(sf_dir: str):
     return agg.map_batches(finalize, batch_format="pyarrow")
 
 
+# -- per-type z-score anomaly flagging ---------------------------------------
+
+def events_anomalies(sf_dir: str, z_cut: float = 3.0):
+    """Events whose value sits ≥ ``z_cut`` population standard deviations
+    from their event-type mean — the data-quality outlier screen run before
+    events feed aggregate training signals. Output: (event_id, event_type,
+    value, z) for flagged rows, z rounded 6dp.
+
+    Scale shape — the textbook two-pass distributed z-score:
+      1. stats pass: per-block integer partials (n, Σ100v, Σ(100v)²) over
+         the 0.01-grid value lattice, then a CARDINALITY-BOUNDED groupby
+         (one row per event_type) — sums stay exact int64 well past sf0.1
+         and below the 2^53 double threshold, so the derived mean/var
+         doubles are bit-identical to the oracle's HUGEINT-summed SQL;
+      2. flag pass: the tiny per-type stats dict broadcasts via ray.put
+         and a vectorized map_batches emits only the flagged rows.
+    Neither pass shuffles event rows; only (type, 3×int64) partials move.
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    ev_stats = _read(sf_dir, "events", ["event_type", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        sv = round_half_away(
+            pc.multiply(b["value"], 100.0).to_numpy(), 0
+        ).astype(np.int64)
+        t = pa.table(
+            {
+                "event_type": b["event_type"],
+                "n": pa.array(np.ones(len(sv), np.int64)),
+                "sx": pa.array(sv),
+                "sxx": pa.array(sv * sv),
+            }
+        )
+        return _agg_rename(
+            t.group_by("event_type").aggregate(
+                [("n", "sum"), ("sx", "sum"), ("sxx", "sum")]
+            ),
+            {f"{c}_sum": c for c in ["n", "sx", "sxx"]},
+        )
+
+    stats_rows = (
+        ev_stats.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(*[Sum(c, alias_name=c) for c in ["n", "sx", "sxx"]])
+        .take_all()
+    )
+    # mean/var in SCALED units with the exact expression the oracle mirrors:
+    # mean = sx/n; var = sxx/n - mean*mean  (population variance)
+    stats = {}
+    for r in stats_rows:
+        n = float(r["n"])
+        mean = r["sx"] * 1.0 / n
+        var = r["sxx"] * 1.0 / n - mean * mean
+        stats[r["event_type"]] = (mean, np.sqrt(var) if var > 0 else 0.0)
+    stats_ref = ray.put(stats)
+
+    ev = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def flag(b: pa.Table) -> pa.Table:
+        st = ray.get(stats_ref)
+        types = b["event_type"].to_pylist()
+        mean = np.array([st[t][0] for t in types], np.float64)
+        std = np.array([st[t][1] for t in types], np.float64)
+        sv = round_half_away(
+            pc.multiply(b["value"], 100.0).to_numpy(), 0
+        ).astype(np.int64)
+        z = (sv - mean) / np.where(std > 0, std, 1.0)
+        keep = (np.abs(z) >= z_cut) & (std > 0)
+        return pa.table(
+            {
+                "event_id": b["event_id"].filter(pa.array(keep)),
+                "event_type": b["event_type"].filter(pa.array(keep)),
+                "value": b["value"].filter(pa.array(keep)),
+                "z": pa.array(round_half_away(z[keep], 6), pa.float64()),
+            }
+        )
+
+    return ev.map_batches(flag, batch_format="pyarrow")
+
+
 # -- ROLLUP subtotals --------------------------------------------------------
 
 def revenue_rollup(sf_dir: str):

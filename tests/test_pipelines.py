@@ -3348,3 +3348,53 @@ def test_basket_pairs_order_local(ray_session, tmp_path):
     got = basket_pairs(str(tmp_path), k=10).to_pandas()
     got = got.sort_values(["part_a", "part_b"]).reset_index(drop=True)
     assert got.values.tolist() == [[10, 20, 2], [10, 30, 1], [20, 30, 1]]
+
+
+def test_containment_catches_subsumed_doc_jaccard_misses(ray_session):
+    """A short doc embedded verbatim in a much longer one: containment = 1.0
+    while Jaccard is diluted below any usable threshold — the asymmetric
+    case this operator exists for. Both docs share the 16-char block
+    prefix, as the blocking requires."""
+    import ray.data as rd
+
+    from high_performance_parallel_search_engine_ray.pipelines.dedup import (
+        containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    short = "shared prefix 16 plus a quoted core sentence."
+    long = short + " " + " ".join(
+        f"wrapper sentence {i} adds distinct gram mass {i * 7919}"
+        for i in range(40)
+    )
+    rows = [
+        {"doc_id": 1, "text": short},
+        {"doc_id": 2, "text": long},
+        {"doc_id": 3, "text": "different prefix entirely, unrelated text."},
+    ]
+    cont = containment_pairs(rd.from_items(rows), threshold=0.9).to_pandas()
+    assert cont[["doc_a", "doc_b"]].values.tolist() == [[1, 2]]
+    assert cont.iloc[0]["containment"] == 1.0
+    jac = ngram_jaccard_pairs(rd.from_items(rows), threshold=0.5).to_pandas()
+    assert len(jac) == 0  # symmetric measure dilutes the same pair away
+
+
+def test_rrf_topk_fuses_both_rankings(ray_session):
+    """RRF = 1/(60+r_bm25) + 1/(60+r_tf); a doc ranked #1 by both gets
+    2/61; a doc present in only one list gets that list's term only."""
+    import ray.data as rd
+
+    from high_performance_parallel_search_engine_ray.pipelines.rank import (
+        rrf_topk,
+    )
+
+    rows = [
+        {"doc_id": 1, "text": "hash join hash join hash join"},
+        {"doc_id": 2, "text": "hash only here " + "filler " * 30},
+        {"doc_id": 3, "text": "nothing relevant at all"},
+    ]
+    got = rrf_topk(rd.from_items(rows), "hash join", k=5).to_pandas()
+    by_id = {int(r.doc_id): float(r.rrf) for r in got.itertuples()}
+    assert set(by_id) == {1, 2}
+    assert by_id[1] == round(1 / 61 + 1 / 61, 6)
+    assert by_id[1] > by_id[2]
