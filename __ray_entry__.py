@@ -890,6 +890,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # JSONL sink/source roundtrip: write the corpus as JSONL, read it
         # back, aggregate — proves the LLM-interchange IO path end-to-end
         "jsonl_roundtrip": _jsonl_roundtrip,
+        # cross-table integrity audit: header total vs recomputed lineitem
+        # total, top-50 discrepancies (exact integer-lattice money math)
+        "order_reconcile": relational.order_reconcile,
+        # robust median/MAD outlier screen (exact bounded-lattice median,
+        # no per-type sort)
+        "events_mad_outliers": relational.events_mad_outliers,
+        # absolute per-source quota cap (keep the `cap` smallest doc_ids)
+        "source_cap": lambda sf: text.source_cap(_doc_sources(sf), cap=100),
     }
 
 
@@ -2405,6 +2413,65 @@ SELECT source,
        CAST(sum(CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT)) AS BIGINT)
          AS text_checksum
 FROM documents GROUP BY source
+"""
+    # header-vs-lineitem reconciliation on the exact integer lattice
+    # (cents × two 0.01-grid factors = ×10^4 units); top-50 by |diff|
+    sqls["order_reconcile"] = """
+WITH lc AS (
+  SELECT l_orderkey AS okey,
+         CAST(0 AS BIGINT) AS tgt,
+         sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+             * (100 - CAST(round(l_discount * 100, 0) AS BIGINT))
+             * (100 + CAST(round(l_tax * 100, 0) AS BIGINT))) AS calc
+  FROM lineitem GROUP BY l_orderkey
+),
+oc AS (
+  SELECT o_orderkey AS okey,
+         CAST(round(o_totalprice * 100, 0) AS BIGINT) * 10000 AS tgt,
+         CAST(0 AS BIGINT) AS calc
+  FROM orders
+),
+u AS (
+  SELECT okey, sum(tgt) AS tgt, sum(calc) AS calc
+  FROM (SELECT * FROM lc UNION ALL SELECT * FROM oc) GROUP BY okey
+)
+SELECT okey AS o_orderkey,
+       round(tgt / 1000000.0, 2) AS o_totalprice,
+       round(calc / 1000000.0, 2) AS lineitem_total,
+       round((tgt - calc) / 1000000.0, 2) AS diff
+FROM u
+ORDER BY abs(tgt - calc) DESC, okey
+LIMIT 50
+"""
+    # median/MAD robust outliers; quantile_disc(0.5) = sorted-multiset
+    # element (n-1)//2, same index rule as the Ray histogram median; the
+    # flag |sv-med| > 3*mad is an exact integer comparison on both sides
+    sqls["events_mad_outliers"] = """
+WITH sc AS (
+  SELECT event_id, event_type, value,
+         CAST(round(value * 100, 0) AS BIGINT) AS sv
+  FROM events
+),
+med AS (
+  SELECT event_type, quantile_disc(sv, 0.5) AS med FROM sc GROUP BY 1
+),
+dev AS (
+  SELECT sc.*, med.med, abs(sc.sv - med.med) AS ad
+  FROM sc JOIN med USING (event_type)
+),
+mad AS (SELECT event_type, quantile_disc(ad, 0.5) AS mad FROM dev GROUP BY 1)
+SELECT event_id, event_type, value,
+       round((dev.sv - dev.med) / (1.4826 * mad.mad), 6) AS robust_z
+FROM dev JOIN mad USING (event_type)
+WHERE mad.mad > 0 AND dev.ad > 3 * mad.mad
+"""
+    # absolute per-source cap: the 100 smallest doc_ids of each source
+    sqls["source_cap"] = """
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM documents
+) WHERE rn <= 100
 """
     return sqls
 

@@ -127,6 +127,9 @@ BENCH_QUERIES = [
     "events_anomalies",
     "rrf_fused",
     "jsonl_roundtrip",
+    "order_reconcile",
+    "events_mad_outliers",
+    "source_cap",
 ]
 
 

@@ -1729,6 +1729,213 @@ def events_anomalies(sf_dir: str, z_cut: float = 3.0):
     return ev.map_batches(flag, batch_format="pyarrow")
 
 
+# -- robust (median/MAD) outlier screen --------------------------------------
+
+def events_mad_outliers(sf_dir: str):
+    """Robust complement to ``events_anomalies``: flag events whose value
+    deviates from the per-type MEDIAN by more than 3× the MAD (median
+    absolute deviation) — insensitive to the heavy tail that inflates the
+    z-score screen's σ. Output (event_id, event_type, value, robust_z)
+    with robust_z = (v−med)/(1.4826·MAD) rounded 6dp; the flag itself is
+    the EXACT integer comparison |sv−med| > 3·MAD.
+
+    Scale shape — exact distributed median WITHOUT a per-type sort: values
+    live on the 0.01 grid, so per-type value histograms are
+    CARDINALITY-BOUNDED (grid ≤ ~50k cells/type). Per-block (type, sv)
+    count partials → one bounded groupby → per-type median and MAD from
+    cumulative counts in one tiny task (MAD reuses the same histogram:
+    |sv−med| counts fold the grid in place, no second data pass). The flag
+    pass broadcasts the per-type (med, mad) dict. Event rows never shuffle.
+    Median index = (n−1)//2 into the sorted multiset — DuckDB's
+    ``quantile_disc(0.5)``, which the oracle uses verbatim.
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    ev_hist = _read(sf_dir, "events", ["event_type", "value"])
+
+    def hist_part(b: pa.Table) -> pa.Table:
+        sv = round_half_away(
+            pc.multiply(b["value"], 100.0).to_numpy(), 0
+        ).astype(np.int64)
+        t = pa.table(
+            {
+                "event_type": b["event_type"],
+                "sv": pa.array(sv),
+                "cnt": pa.array(np.ones(len(sv), np.int64)),
+            }
+        )
+        return _agg_rename(
+            t.group_by(["event_type", "sv"]).aggregate([("cnt", "sum")]),
+            {"cnt_sum": "cnt"},
+        )
+
+    hist = (
+        ev_hist.map_batches(hist_part, batch_format="pyarrow")
+        .groupby(["event_type", "sv"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .take_all()
+    )
+
+    def disc_quantile(vals: np.ndarray, cnts: np.ndarray) -> int:
+        # quantile_disc(0.5): element at index (n-1)//2 of the sorted
+        # multiset, located via cumulative counts
+        order = np.argsort(vals, kind="stable")
+        vals, cnts = vals[order], cnts[order]
+        idx = (cnts.sum() - 1) // 2
+        return int(vals[np.searchsorted(np.cumsum(cnts), idx + 1)])
+
+    by_type: dict = {}
+    for r in hist:
+        by_type.setdefault(r["event_type"], []).append((r["sv"], r["cnt"]))
+    stats = {}
+    for et, pairs in by_type.items():
+        vals = np.array([p[0] for p in pairs], np.int64)
+        cnts = np.array([p[1] for p in pairs], np.int64)
+        med = disc_quantile(vals, cnts)
+        # MAD from the SAME histogram: fold deviations (grid stays bounded)
+        mad = disc_quantile(np.abs(vals - med), cnts)
+        stats[et] = (med, mad)
+    stats_ref = ray.put(stats)
+
+    ev = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def flag(b: pa.Table) -> pa.Table:
+        st = ray.get(stats_ref)
+        types = b["event_type"].to_pylist()
+        med = np.array([st[t][0] for t in types], np.int64)
+        mad = np.array([st[t][1] for t in types], np.int64)
+        sv = round_half_away(
+            pc.multiply(b["value"], 100.0).to_numpy(), 0
+        ).astype(np.int64)
+        dev = np.abs(sv - med)
+        keep = (mad > 0) & (dev > 3 * mad)  # exact integer flag
+        rz = (sv - med) / (1.4826 * np.where(mad > 0, mad, 1))
+        return pa.table(
+            {
+                "event_id": b["event_id"].filter(pa.array(keep)),
+                "event_type": b["event_type"].filter(pa.array(keep)),
+                "value": b["value"].filter(pa.array(keep)),
+                "robust_z": pa.array(
+                    round_half_away(rz[keep], 6), pa.float64()
+                ),
+            }
+        )
+
+    return ev.map_batches(flag, batch_format="pyarrow")
+
+
+# -- cross-table integrity audit ---------------------------------------------
+
+def order_reconcile(sf_dir: str, k: int = 50):
+    """Cross-table integrity audit: per order, the header's ``o_totalprice``
+    vs the recomputed lineitem total Σ extprice·(1−disc)·(1+tax); returns
+    the top-``k`` discrepancies by |diff| (o_orderkey tiebreak) — the
+    reconciliation report a pipeline runs before trusting header-level
+    aggregates. Orders with no lineitems (and orphan lineitems) surface
+    with the full header (resp. computed) amount as the discrepancy.
+
+    Scale shape: NO join — both fact tables collapse to per-block partials
+    in the same (okey, tgt, calc) layout on the exact integer lattice
+    (cents × the two 0.01-grid factors → ×10⁴ units, int64 through sf1),
+    union, then a PARTITION-GROUPED merge (hash(okey) % 64, one pandas
+    groupby-sum per partition — Ray's order-scale Aggregate measured 54 s
+    of per-group combine tax here, the basket_pairs lesson) with a
+    per-partition top-k prune, so the global sort sees ≤ 64·k rows. All
+    money math is exact integers; the three final divisions are mirrored
+    by the oracle bit-for-bit.
+    """
+    N_PARTS = 64
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_extendedprice", "l_discount", "l_tax"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def li_part(b: pa.Table) -> pa.Table:
+        ep = round_half_away(
+            pc.multiply(b["l_extendedprice"], 100.0).to_numpy(), 0
+        ).astype(np.int64)
+        d = round_half_away(
+            pc.multiply(b["l_discount"], 100.0).to_numpy(), 0
+        ).astype(np.int64)
+        t = round_half_away(
+            pc.multiply(b["l_tax"], 100.0).to_numpy(), 0
+        ).astype(np.int64)
+        calc = ep * (100 - d) * (100 + t)
+        tab = pa.table(
+            {
+                "okey": b["l_orderkey"],
+                "tgt": pa.array(np.zeros(len(ep), np.int64)),
+                "calc": pa.array(calc),
+            }
+        )
+        return _agg_rename(
+            tab.group_by("okey").aggregate([("tgt", "sum"), ("calc", "sum")]),
+            {"tgt_sum": "tgt", "calc_sum": "calc"},
+        )
+
+    def o_part(b: pa.Table) -> pa.Table:
+        tgt = round_half_away(
+            pc.multiply(b["o_totalprice"], 100.0).to_numpy(), 0
+        ).astype(np.int64) * 10_000
+        return pa.table(
+            {
+                "okey": b["o_orderkey"],
+                "tgt": pa.array(tgt),
+                "calc": pa.array(np.zeros(len(tgt), np.int64)),
+            }
+        )
+
+    def add_part(b: pa.Table) -> pa.Table:
+        part = (
+            pd.util.hash_array(
+                b["okey"].to_numpy(zero_copy_only=False), categorize=False
+            )
+            % N_PARTS
+        ).astype(np.int32)
+        return b.append_column("part", pa.array(part))
+
+    def merge_part(g: pd.DataFrame) -> pd.DataFrame:
+        # one pandas groupby-sum per PARTITION (not per order), then the
+        # partition's k worst discrepancies only
+        agg = g.groupby("okey", sort=False)[["tgt", "calc"]].sum().reset_index()
+        d = agg["tgt"].to_numpy() - agg["calc"].to_numpy()
+        agg["absu"] = np.abs(d)
+        return agg.sort_values(
+            ["absu", "okey"], ascending=[False, True], kind="stable"
+        ).head(k)
+
+    top = (
+        li.map_batches(li_part, batch_format="pyarrow")
+        .union(orders.map_batches(o_part, batch_format="pyarrow"))
+        .map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(merge_part, batch_format="pandas")
+        .sort(["absu", "okey"], descending=[True, False])
+        .limit(k)
+    )
+
+    def finalize(b: pa.Table) -> pa.Table:
+        tgt = b["tgt"].to_numpy().astype(np.int64)
+        calc = b["calc"].to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "o_orderkey": b["okey"],
+                "o_totalprice": pa.array(
+                    round_half_away(tgt / 1_000_000.0, 2), pa.float64()
+                ),
+                "lineitem_total": pa.array(
+                    round_half_away(calc / 1_000_000.0, 2), pa.float64()
+                ),
+                "diff": pa.array(
+                    round_half_away((tgt - calc) / 1_000_000.0, 2), pa.float64()
+                ),
+            }
+        )
+
+    return top.map_batches(finalize, batch_format="pyarrow")
+
+
 # -- ROLLUP subtotals --------------------------------------------------------
 
 def revenue_rollup(sf_dir: str):

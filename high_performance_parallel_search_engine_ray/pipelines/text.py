@@ -812,6 +812,48 @@ def stratified_sample(
     return docs.map_batches(sbatch, batch_format="pyarrow")
 
 
+def source_cap(
+    docs,
+    cap: int = 100,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+):
+    """Cap any single source's share: keep at most ``cap`` docs per source
+    — the ``cap`` smallest ``id_col`` values, so the selection is
+    deterministic and resume-stable. The quota-based companion to
+    ``stratified_sample``'s rate-based mixing: rates rebalance
+    proportionally, a cap bounds a dominating crawl source absolutely.
+
+    Scale shape — two-level selection, no per-source sort of the corpus:
+      1. block-local prune: each block keeps its ``cap`` smallest ids per
+         source (vectorized pandas sort+head), so at most
+         blocks×sources×cap rows survive;
+      2. the bounded survivors co-locate via one groupby over the (tiny)
+         source key and the final per-source head(cap) runs in one task.
+    Returns (doc_id, source)."""
+    import pandas as pd
+
+    def local_prune(g: pd.DataFrame) -> pd.DataFrame:
+        return (
+            g.sort_values([source_col, id_col], kind="stable")
+            .groupby(source_col, sort=False)
+            .head(cap)
+        )
+
+    pruned = docs.map_batches(
+        lambda b: pa.Table.from_pandas(
+            local_prune(b.select([id_col, source_col]).to_pandas()),
+            preserve_index=False,
+        ),
+        batch_format="pyarrow",
+    )
+
+    return pruned.groupby(source_col).map_groups(
+        lambda g: g.sort_values(id_col, kind="stable").head(cap),
+        batch_format="pandas",
+    )
+
+
 # -- sequence packing (concat-and-chunk) -------------------------------------
 
 def pack_sequences(

@@ -3398,3 +3398,87 @@ def test_rrf_topk_fuses_both_rankings(ray_session):
     assert set(by_id) == {1, 2}
     assert by_id[1] == round(1 / 61 + 1 / 61, 6)
     assert by_id[1] > by_id[2]
+
+
+def test_order_reconcile_planted(ray_session, tmp_path):
+    """Header-vs-lineitem reconciliation: exact diff on the cents lattice,
+    headerless lineitems and lineitem-less orders both surface, ordering
+    is |diff| desc with orderkey tiebreak."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from high_performance_parallel_search_engine_ray.pipelines.relational import (
+        order_reconcile,
+    )
+
+    # order 1: header 100.00 vs computed 10.00*(1-0)*(1+0)=10.00 -> diff 90
+    # order 2: header exactly matches computed (diff 0)
+    # order 3: no lineitems -> diff = full header 5.00
+    # order 9: lineitems but no header -> diff = -computed = -20.00
+    li = pd.DataFrame(
+        {
+            "l_orderkey": [1, 2, 9],
+            "l_extendedprice": [10.0, 20.0, 20.0],
+            "l_discount": [0.0, 0.10, 0.0],
+            "l_tax": [0.0, 0.05, 0.0],
+        }
+    )
+    orders = pd.DataFrame(
+        {"o_orderkey": [1, 2, 3], "o_totalprice": [100.0, 18.90, 5.0]}
+    )
+    pq.write_table(pa.Table.from_pandas(li), str(tmp_path / "lineitem.parquet"))
+    pq.write_table(pa.Table.from_pandas(orders), str(tmp_path / "orders.parquet"))
+    got = order_reconcile(str(tmp_path), k=10).to_pandas()
+    assert got["o_orderkey"].tolist() == [1, 9, 3, 2]
+    assert got["diff"].tolist() == [90.0, -20.0, 5.0, 0.0]
+    assert got["lineitem_total"].tolist() == [10.0, 20.0, 0.0, 18.9]
+
+
+def test_events_mad_outliers_resists_tail(ray_session, tmp_path):
+    """One extreme value inflates σ but not the MAD: the robust screen
+    still flags it (|sv-med| > 3·MAD exact-integer flag), while the tight
+    cluster stays unflagged."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from high_performance_parallel_search_engine_ray.pipelines.relational import (
+        events_mad_outliers,
+    )
+
+    vals = [10.0, 10.01, 10.02, 10.03, 10.04, 10.05, 10.06, 500.0]
+    ev = pd.DataFrame(
+        {
+            "event_id": list(range(len(vals))),
+            "event_type": ["click"] * len(vals),
+            "value": vals,
+            "ts": pd.to_datetime("2024-01-01"),
+            "user_id": 1,
+            "props": "{}",
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(ev), str(tmp_path / "events.parquet"))
+    got = events_mad_outliers(str(tmp_path)).to_pandas()
+    # median sv = 1003 ((n-1)//2 = idx 3), MAD = 2; only 500.0 deviates > 6
+    assert got["event_id"].tolist() == [7]
+    assert got["value"].tolist() == [500.0]
+
+
+def test_source_cap_multiblock(ray_session):
+    """Cap keeps the `cap` SMALLEST doc_ids per source even when each
+    block's local view would pick different survivors."""
+    import ray.data as rd
+
+    from high_performance_parallel_search_engine_ray.pipelines.text import (
+        source_cap,
+    )
+
+    # two blocks, interleaved ids: block 1 has ids 0,2,4.., block 2 1,3,5..
+    rows = [{"doc_id": i, "source": f"s{i % 2}"} for i in range(40)]
+    ds = rd.from_items(rows).repartition(4)
+    got = source_cap(ds, cap=3).to_pandas().sort_values(
+        ["source", "doc_id"]
+    ).reset_index(drop=True)
+    assert got[got.source == "s0"]["doc_id"].tolist() == [0, 2, 4]
+    assert got[got.source == "s1"]["doc_id"].tolist() == [1, 3, 5]
