@@ -152,6 +152,10 @@ def test_registry_ordering_contract():
         "paragraph_dedup", "revenue_rollup", "events_pivot",
         "weighted_sample", "order_interarrival", "segment_priority_chi2",
         "basket_pairs",
+        # wave-5 additions (same rationale)
+        "containment_pairs", "events_anomalies", "rrf_fused",
+        "jsonl_roundtrip", "order_reconcile", "events_mad_outliers",
+        "source_cap",
     }
     assert set(entry_mod.oracle_sql()) - overflow_ok <= first50
     for critical in (
