@@ -898,6 +898,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_mad_outliers": relational.events_mad_outliers,
         # absolute per-source quota cap (keep the `cap` smallest doc_ids)
         "source_cap": lambda sf: text.source_cap(_doc_sources(sf), cap=100),
+        # wave 6: distributed grouped OLS (sufficient-statistics regression)
+        "brand_price_trend": relational.brand_price_trend,
+        # wave 6: bloom-pushdown semi-join with exact partition-grouped verify
+        "bloom_semi_revenue": relational.bloom_semi_join,
+        # wave 6: dup-cluster-consistent split (no exact-dup eval leakage)
+        "leakage_safe_split": lambda sf: dedup.leakage_safe_split(_docs(sf)),
+        # wave 6: per-source Shannon entropy corpus-health gate
+        "source_entropy": lambda sf: index.source_entropy(_docs_src(sf)),
     }
 
 
@@ -2472,6 +2480,80 @@ SELECT doc_id, source FROM (
          row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
   FROM documents
 ) WHERE rn <= 100
+"""
+    # grouped OLS on the exact integer lattice (x = quantity, y = cents);
+    # the slope/intercept double expressions mirror the Ray finalize
+    # structurally so the 6dp rounding is bit-equal
+    sqls["brand_price_trend"] = """
+WITH s AS (
+  SELECT p.p_brand,
+         CAST(l.l_quantity AS BIGINT) AS x,
+         CAST(round(l.l_extendedprice * 100, 0) AS BIGINT) AS y
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+),
+g AS (
+  SELECT p_brand, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * y) AS sxy, sum(x * x) AS sxx
+  FROM s GROUP BY p_brand
+)
+SELECT p_brand, n,
+       round(CASE WHEN n * sxx - sx * sx > 0
+                  THEN (n * sxy - sx * sy) / CAST(n * sxx - sx * sx AS DOUBLE)
+                  ELSE 0.0 END, 6) AS slope_cents_per_qty,
+       round((sy - (CASE WHEN n * sxx - sx * sx > 0
+                         THEN (n * sxy - sx * sy) / CAST(n * sxx - sx * sx AS DOUBLE)
+                         ELSE 0.0 END) * sx) / n, 6) AS intercept_cents
+FROM g ORDER BY p_brand
+"""
+    # the bloom-semi-join result must EQUAL the plain SQL semi-join (the
+    # exact verify kills every bloom false positive); revenue on the
+    # shipping_monthly integer ten-thousandths lattice
+    sqls["bloom_semi_revenue"] = """
+SELECT date_trunc('month', l.l_shipdate) AS ship_month,
+       round(sum(CAST(round(l.l_extendedprice * (1.0 - l.l_discount) * 10000)
+                      AS BIGINT)) / 10000.0, 2) AS revenue,
+       count(*) AS n_lines
+FROM lineitem l
+WHERE l.l_orderkey IN
+      (SELECT o_orderkey FROM orders WHERE o_totalprice > 400000.0)
+GROUP BY 1
+"""
+    # split of the md5-group REPRESENTATIVE (min doc_id), so exact copies
+    # can never straddle train/test; mix = train_val_test_split's LCG
+    sqls["leakage_safe_split"] = """
+WITH r AS (SELECT md5(text) AS m, min(doc_id) AS rep FROM documents GROUP BY 1),
+j AS (SELECT d.doc_id, r.rep FROM documents d JOIN r ON md5(d.text) = r.m),
+s AS (SELECT doc_id,
+             ((rep * 2654435761 + 1013904223) % 4294967296) % 100 AS rr
+      FROM j)
+SELECT doc_id,
+       CASE WHEN rr < 90 THEN 'train'
+            WHEN rr < 95 THEN 'val'
+            ELSE 'test' END AS split
+FROM s
+"""
+    # Shannon entropy folded over the per-source count histogram; the double
+    # sum spans only histogram rows (hundreds), so 6dp rounding absorbs
+    # cross-engine summation-order ulps
+    sqls["source_entropy"] = f"""
+WITH toks AS (
+  SELECT source, t AS term FROM (
+    SELECT source,
+           unnest(regexp_split_to_array(lower(text), '{_TOKEN_RE_SQL}')) AS t
+    FROM documents
+  )
+  WHERE t <> '' AND length(t) <= 62
+    AND t NOT IN ('the','a','an','in','of')
+),
+c AS (SELECT source, term, count(*) AS cnt FROM toks GROUP BY 1, 2),
+h AS (SELECT source, cnt, count(*) AS m FROM c GROUP BY 1, 2),
+g AS (SELECT source, sum(m * cnt) AS n_tokens,
+             sum((m * cnt) * ln(cnt)) AS s
+      FROM h GROUP BY 1)
+SELECT source, CAST(n_tokens AS BIGINT) AS n_tokens,
+       round(ln(CAST(n_tokens AS DOUBLE)) - s / CAST(n_tokens AS DOUBLE), 6)
+         AS entropy_nats
+FROM g
 """
     return sqls
 

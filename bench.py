@@ -130,6 +130,11 @@ BENCH_QUERIES = [
     "order_reconcile",
     "events_mad_outliers",
     "source_cap",
+    # wave-6 additions
+    "brand_price_trend",
+    "bloom_semi_revenue",
+    "leakage_safe_split",
+    "source_entropy",
 ]
 
 

@@ -2035,3 +2035,70 @@ def paragraph_dedup(
         )
 
     return out.map_batches(finalize, batch_format="pyarrow")
+
+
+# -- leakage-safe train/val/test split ----------------------------------------
+
+def leakage_safe_split(
+    docs,
+    train_pct: int = 90,
+    val_pct: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """(doc_id, split): train/val/test assignment that can NEVER leak an
+    exact duplicate across splits — every copy of a text gets the split of
+    the group REPRESENTATIVE (min doc_id per md5 group), so eval contamination
+    from duplicated pages is impossible by construction. This is the
+    dup-cluster-consistent upgrade of `text.train_val_test_split` (whose
+    per-id hash puts two copies of the same page in train AND test with
+    probability 2·p·(1-p)).
+
+    Dataflow (scale shape = `dedup_keep_first`): only (md5, id) rows enter
+    the bounded hash-partition groupby; each partition resolves the
+    representative per md5 run vectorized (sort + run-boundary repeat) and
+    emits (id, rep); the split is then a batch-local LCG mix of REP —
+    mirrored literally by the SQL oracle, exact in int64 for ids < ~3.4e9
+    (swap splitmix64 beyond, same dataflow). Text never shuffles."""
+    N_PARTS = 64
+    t_hi, v_hi = int(train_pct), int(train_pct) + int(val_pct)
+
+    def hash_rows(b: pa.Table) -> pa.Table:
+        hs = [
+            hashlib.md5(t.encode("utf-8")).hexdigest()
+            for t in b[text_col].to_pylist()
+        ]
+        part = (
+            pd.util.hash_array(np.asarray(hs, dtype=object)) % N_PARTS
+        ).astype(np.int32)
+        return pa.table(
+            {"h": pa.array(hs), id_col: b[id_col], "part": pa.array(part)}
+        )
+
+    def reps_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["h", id_col], kind="stable")
+        h = g["h"].to_numpy()
+        first = np.ones(len(g), dtype=bool)
+        first[1:] = h[1:] != h[:-1]
+        idx = np.nonzero(first)[0]
+        runs = np.diff(np.append(idx, len(g)))
+        ids = g[id_col].to_numpy()
+        return pd.DataFrame({id_col: ids, "rep": np.repeat(ids[idx], runs)})
+
+    def assign(b: pa.Table) -> pa.Table:
+        rep = b["rep"].to_numpy().astype(np.int64)
+        r = ((rep * 2654435761 + 1013904223) % (2**32)) % 100
+        split = np.where(r < t_hi, "train", np.where(r < v_hi, "val", "test"))
+        return pa.table(
+            {
+                id_col: pc.cast(b[id_col], pa.int64()),
+                "split": pa.array(split, pa.string()),
+            }
+        )
+
+    return (
+        docs.map_batches(hash_rows, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(reps_part, batch_format="pandas")
+        .map_batches(assign, batch_format="pyarrow")
+    )

@@ -911,3 +911,74 @@ def source_vocab_diversity(
         )
 
     return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+def source_entropy(
+    docs,
+    source_col: str = "source",
+    text_col: str = "text",
+):
+    """Per-source Shannon entropy (nats) of the kept-term distribution —
+    the information-density companion of `source_vocab_diversity`'s TTR:
+    near-zero entropy flags template/boilerplate feeds, abnormally high
+    entropy flags mojibake/random-token noise; both are standard corpus-mix
+    health gates before training.
+
+    Shuffle shape: per-block tokenize partials collapse to
+    (source, term, count); the vocabulary-bounded per-term table collapses
+    again to the COUNT HISTOGRAM (source, cnt, m = #terms with that count)
+    — hundreds of rows — and entropy folds the histogram per source in one
+    tiny map_groups: H = ln N − Σ m·cnt·ln(cnt) / N. Document text never
+    moves; the only fact-scale pass is the shared tokenize kernel."""
+    import numpy as np
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    from ..functions.rounding import round_half_away
+
+    def counts(b: pa.Table) -> pa.Table:
+        t = tokenize_batch(b, id_col=source_col, text_col=text_col)
+        g = t.group_by(["doc_id", "term"]).aggregate([([], "count_all")])
+        return g.rename_columns([source_col, "term", "c"])
+
+    per_term = (
+        docs.map_batches(counts, batch_format="pyarrow")
+        .groupby([source_col, "term"])
+        .aggregate(Sum("c", alias_name="cnt"))
+    )
+
+    def hist_partial(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                source_col: b[source_col],
+                "cnt": pc.cast(b["cnt"], pa.int64()),
+                "m": pa.array(np.ones(b.num_rows, np.int64)),
+            }
+        )
+        g = t.group_by([source_col, "cnt"]).aggregate([("m", "sum")])
+        return g.rename_columns([source_col, "cnt", "m"])
+
+    hist = (
+        per_term.map_batches(hist_partial, batch_format="pyarrow")
+        .groupby([source_col, "cnt"])
+        .aggregate(Sum("m", alias_name="m"))
+    )
+
+    def entropy(g: pd.DataFrame) -> pd.DataFrame:
+        c = g["cnt"].to_numpy().astype(np.int64)
+        m = g["m"].to_numpy().astype(np.int64)
+        n = int((m * c).sum())
+        s = float(((m * c).astype(np.float64) * np.log(c.astype(np.float64))).sum())
+        h = round_half_away(
+            np.array([np.log(float(n)) - s / float(n) if n > 0 else 0.0]), 6
+        )
+        return pd.DataFrame(
+            {
+                source_col: [g[source_col].iloc[0]],
+                "n_tokens": np.array([n], np.int64),
+                "entropy_nats": h,
+            }
+        )
+
+    return hist.groupby(source_col).map_groups(entropy, batch_format="pandas")

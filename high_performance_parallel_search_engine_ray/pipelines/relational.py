@@ -2242,3 +2242,274 @@ def basket_pairs(sf_dir: str, k: int = 50):
     return merged.sort(
         ["n", "part_a", "part_b"], descending=[True, False, False]
     ).limit(k)
+
+
+# -- grouped OLS regression (distributed sufficient statistics) ---------------
+
+def brand_price_trend(sf_dir: str):
+    """(p_brand, n, slope_cents_per_qty, intercept_cents): per-brand OLS of
+    line price (cents) on quantity — distributed regression via the same
+    one-pass exact sufficient-statistics shape as `qty_discount_corr`
+    (n, Σx, Σy, Σxy, Σx² as associative int64 partials; x = quantity,
+    y = extendedprice ×100 cents), extended from correlation to the
+    regression coefficients a training-signal pipeline fits per segment.
+
+    The brand arrives on the fact rows through the cost-based
+    `_attach_or_join` (part is dim-scale → broadcast searchsorted at bench
+    scale, hash-shuffle join beyond); after the attach only
+    (brand, 5 int64 partials) rows — brand-cardinality-bounded — enter the
+    groupby. The finalize double expressions are structurally identical to
+    the SQL mirror, so rounded results are bit-equal."""
+    from ray.data.aggregate import Sum
+
+    npart = _join_partitions(n_joins=1)
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_quantity", "l_extendedprice"])
+    part_dim = _read(sf_dir, "part", ["p_partkey", "p_brand"])
+    branded = _attach_or_join(
+        li, "l_partkey", part_dim, "p_partkey", ["p_brand"], npart
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        x = b["l_quantity"].to_numpy().astype(np.int64)
+        y = round_half_away(
+            pc.multiply(b["l_extendedprice"], 100.0).to_numpy(), 0
+        ).astype(np.int64)
+        t = pa.table(
+            {
+                "p_brand": b["p_brand"],
+                "n": pa.array(np.ones(len(x), np.int64)),
+                "sx": pa.array(x),
+                "sy": pa.array(y),
+                "sxy": pa.array(x * y),
+                "sxx": pa.array(x * x),
+            }
+        )
+        return _agg_rename(
+            t.group_by("p_brand").aggregate(
+                [("n", "sum"), ("sx", "sum"), ("sy", "sum"),
+                 ("sxy", "sum"), ("sxx", "sum")]
+            ),
+            {f"{c}_sum": c for c in ["n", "sx", "sy", "sxy", "sxx"]},
+        )
+
+    agg = (
+        branded.map_batches(partial, batch_format="pyarrow")
+        .groupby("p_brand")
+        .aggregate(*[Sum(c, alias_name=c) for c in ["n", "sx", "sy", "sxy", "sxx"]])
+    )
+
+    def finalize(b: pa.Table) -> pa.Table:
+        n = b["n"].to_numpy().astype(np.int64)
+        sx = b["sx"].to_numpy().astype(np.int64)
+        sy = b["sy"].to_numpy().astype(np.int64)
+        sxy = b["sxy"].to_numpy().astype(np.int64)
+        sxx = b["sxx"].to_numpy().astype(np.int64)
+        den = n * sxx - sx * sx  # exact int64
+        ok = den > 0
+        den_f = np.where(ok, den, 1).astype(np.float64)
+        slope = (n * sxy - sx * sy).astype(np.float64) / den_f
+        slope = np.where(ok, slope, 0.0)
+        intercept = (sy.astype(np.float64) - slope * sx.astype(np.float64)) / n.astype(
+            np.float64
+        )
+        return pa.table(
+            {
+                "p_brand": b["p_brand"],
+                "n": pc.cast(b["n"], pa.int64()),
+                "slope_cents_per_qty": pa.array(
+                    round_half_away(slope, 6), pa.float64()
+                ),
+                "intercept_cents": pa.array(
+                    round_half_away(intercept, 6), pa.float64()
+                ),
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow").sort("p_brand")
+
+
+# -- bloom-pushdown semi-join --------------------------------------------------
+
+_BLOOM_SALT_A = np.uint64(0x9E3779B97F4A7C15)
+_BLOOM_SALT_B = np.uint64(0xC2B2AE3D27D4EB4F)
+
+
+def _splitmix64_vec(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer (public-domain mixing constants)."""
+    z = x.astype(np.uint64)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+def _bloom_positions(keys: np.ndarray, nbits: int, k: int) -> np.ndarray:
+    """(n, k) bit positions via double hashing: h1 + i*h2 mod nbits."""
+    x = keys.astype(np.uint64)
+    h1 = _splitmix64_vec(x + _BLOOM_SALT_A)
+    h2 = _splitmix64_vec(x ^ _BLOOM_SALT_B) | np.uint64(1)
+    i = np.arange(k, dtype=np.uint64)[None, :]
+    return ((h1[:, None] + i * h2[:, None]) % np.uint64(nbits)).astype(np.int64)
+
+
+def bloom_semi_join(
+    sf_dir: str,
+    price_cutoff: float = 400000.0,
+    nbits: int = 1 << 20,
+    n_hashes: int = 4,
+    n_parts: int = 64,
+):
+    """Monthly (revenue, n_lines) of lineitems whose ORDER qualifies
+    (o_totalprice > cutoff) — the classic bloom-pushdown semi-join, with the
+    EXACT result restored by a partition-grouped verify:
+
+      1. build side: qualifying order keys never leave their blocks as a
+         list — each block emits ONE packed 128 KB bitmap partial
+         (positions from vectorized splitmix64 double hashing) and the
+         driver ORs the per-block bitmaps (block-count-bounded, constant
+         size) into a single filter shared via ray.put.
+      2. probe side: each lineitem batch tests membership vectorized and
+         drops non-members BEFORE any shuffle — at a 20%-selective cutoff
+         this removes ~80% of the fact table for 128 KB of broadcast state,
+         which is the entire point of the pattern at 100 TB (an exact key
+         set would be fact-scale; a shuffle semi-join would move every row).
+      3. exact verify: bloom false positives are killed by co-locating
+         survivor partials with the qualifying keys (hash(okey) % n_parts
+         union groupby — same shape as minhash's verify), so the output is
+         bit-equal to the plain SQL semi-join; the fp rate only costs
+         shuffle volume ((1-e^{-kn/m})^k ≈ 2e-4 at 6k keys / 2^20 bits).
+
+    Month revenue uses the `shipping_monthly` integer ten-thousandths
+    lattice so the 2dp rounding is order-independent."""
+    import ray as _ray
+
+    words = nbits // 8
+
+    qualifying = (
+        _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+        .filter(expr=f"o_totalprice > {price_cutoff}")
+        .map_batches(
+            lambda b: b.select(["o_orderkey"]), batch_format="pyarrow"
+        )
+        .materialize()
+    )
+
+    def bitmap_partial(b: pa.Table) -> pa.Table:
+        bits = np.zeros(nbits, dtype=bool)
+        pos = _bloom_positions(b["o_orderkey"].to_numpy(), nbits, n_hashes)
+        bits[pos.ravel()] = True
+        return pa.table({"bm": pa.array([np.packbits(bits).tobytes()], pa.large_binary())})
+
+    merged = np.zeros(words, dtype=np.uint8)
+    for t in qualifying.map_batches(
+        bitmap_partial, batch_format="pyarrow"
+    ).iter_batches(batch_format="pyarrow", batch_size=None):
+        for buf in t["bm"].to_pylist():
+            merged |= np.frombuffer(buf, dtype=np.uint8)
+    bloom_ref = _ray.put(np.unpackbits(merged).astype(bool))
+
+    li = _read(
+        sf_dir, "lineitem",
+        ["l_orderkey", "l_shipdate", "l_extendedprice", "l_discount"],
+    )
+
+    def probe(b: pa.Table) -> pa.Table:
+        bloom = _ray.get(bloom_ref)
+        okey = b["l_orderkey"].to_numpy()
+        pos = _bloom_positions(okey, nbits, n_hashes)
+        mask = bloom[pos].all(axis=1)
+        b = b.filter(pa.array(mask))
+        if b.num_rows == 0:
+            return pa.table(
+                {
+                    "okey": pa.array([], pa.int64()),
+                    "ship_month": pa.array([], pa.timestamp("us")),
+                    "rev4": pa.array([], pa.int64()),
+                    "n_lines": pa.array([], pa.int64()),
+                    "part": pa.array([], pa.int32()),
+                    "tag": pa.array([], pa.int8()),
+                }
+            )
+        month = pc.floor_temporal(b["l_shipdate"], unit="month")
+        rev4 = round_half_away(
+            pc.multiply(
+                pc.multiply(b["l_extendedprice"], pc.subtract(1.0, b["l_discount"])),
+                10000.0,
+            ).to_numpy(),
+            0,
+        ).astype(np.int64)
+        t = pa.table(
+            {
+                "okey": pc.cast(b["l_orderkey"], pa.int64()),
+                "ship_month": pc.cast(month, pa.timestamp("us")),
+                "rev4": pa.array(rev4, pa.int64()),
+                "n_lines": pa.array(np.ones(len(rev4), np.int64)),
+            }
+        )
+        g = _agg_rename(
+            t.group_by(["okey", "ship_month"]).aggregate(
+                [("rev4", "sum"), ("n_lines", "sum")]
+            ),
+            {"rev4_sum": "rev4", "n_lines_sum": "n_lines"},
+        )
+        part = (g["okey"].to_numpy() % n_parts).astype(np.int32)
+        return g.append_column("part", pa.array(part)).append_column(
+            "tag", pa.array(np.zeros(g.num_rows, np.int8))
+        )
+
+    def key_rows(b: pa.Table) -> pa.Table:
+        okey = b["o_orderkey"].to_numpy().astype(np.int64)
+        n = len(okey)
+        return pa.table(
+            {
+                "okey": pa.array(okey),
+                "ship_month": pa.array([None] * n, pa.timestamp("us")),
+                "rev4": pa.array(np.zeros(n, np.int64)),
+                "n_lines": pa.array(np.zeros(n, np.int64)),
+                "part": pa.array((okey % n_parts).astype(np.int32)),
+                "tag": pa.array(np.ones(n, np.int8)),
+            }
+        )
+
+    survivors = li.map_batches(probe, batch_format="pyarrow")
+    keyed = qualifying.map_batches(key_rows, batch_format="pyarrow")
+
+    def verify_part(g: pd.DataFrame) -> pd.DataFrame:
+        keys = g.loc[g["tag"] == 1, "okey"].to_numpy()
+        surv = g[g["tag"] == 0]
+        surv = surv[np.isin(surv["okey"].to_numpy(), keys)]
+        if surv.empty:
+            return pd.DataFrame(
+                {
+                    "ship_month": pd.Series([], dtype="datetime64[us]"),
+                    "rev4": pd.Series([], dtype="int64"),
+                    "n_lines": pd.Series([], dtype="int64"),
+                }
+            )
+        out = (
+            surv.groupby("ship_month", as_index=False)[["rev4", "n_lines"]].sum()
+        )
+        return out[["ship_month", "rev4", "n_lines"]]
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        survivors.union(keyed)
+        .groupby("part")
+        .map_groups(verify_part, batch_format="pandas")
+        .groupby("ship_month")
+        .aggregate(Sum("rev4", alias_name="rev4"), Sum("n_lines", alias_name="n_lines"))
+    )
+
+    def finalize(b: pa.Table) -> pa.Table:
+        rev = round_half_away(
+            b["rev4"].to_numpy().astype(np.int64) / 10000.0, 2
+        )
+        return pa.table(
+            {
+                "ship_month": b["ship_month"],
+                "revenue": pa.array(rev, pa.float64()),
+                "n_lines": pc.cast(b["n_lines"], pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow")

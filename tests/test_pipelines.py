@@ -3482,3 +3482,168 @@ def test_source_cap_multiblock(ray_session):
     ).reset_index(drop=True)
     assert got[got.source == "s0"]["doc_id"].tolist() == [0, 2, 4]
     assert got[got.source == "s1"]["doc_id"].tolist() == [1, 3, 5]
+
+
+# -- wave 6: grouped OLS ------------------------------------------------------
+
+def test_brand_price_trend_exact_line(ray_session, tmp_path):
+    """Points on an exact line y = 300x + 500 (cents) recover slope and
+    intercept exactly through the integer sufficient-statistics path."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from high_performance_parallel_search_engine_ray.pipelines.relational import (
+        brand_price_trend,
+    )
+
+    li = [
+        {"l_partkey": 1, "l_quantity": float(q), "l_extendedprice": (300 * q + 500) / 100.0}
+        for q in range(1, 9)
+    ] + [
+        # constant x -> zero variance -> slope 0, intercept = mean(y)
+        {"l_partkey": 2, "l_quantity": 5.0, "l_extendedprice": 7.0}
+        for _ in range(4)
+    ]
+    pq.write_table(pa.Table.from_pandas(pd.DataFrame(li)), str(tmp_path / "lineitem.parquet"))
+    pq.write_table(
+        pa.Table.from_pandas(
+            pd.DataFrame(
+                [{"p_partkey": 1, "p_brand": "LINE"}, {"p_partkey": 2, "p_brand": "FLAT"}]
+            )
+        ),
+        str(tmp_path / "part.parquet"),
+    )
+    got = brand_price_trend(str(tmp_path)).to_pandas().set_index("p_brand")
+    assert got.loc["LINE", "slope_cents_per_qty"] == 300.0
+    assert got.loc["LINE", "intercept_cents"] == 500.0
+    assert got.loc["LINE", "n"] == 8
+    assert got.loc["FLAT", "slope_cents_per_qty"] == 0.0
+    assert got.loc["FLAT", "intercept_cents"] == 700.0
+
+
+# -- wave 6: bloom-pushdown semi-join -----------------------------------------
+
+def _bloom_fixture(tmp_path):
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    orders = pd.DataFrame(
+        {
+            "o_orderkey": list(range(1, 21)),
+            # orders 1-5 qualify (> 400000)
+            "o_totalprice": [500000.0] * 5 + [100000.0] * 15,
+        }
+    )
+    li = pd.DataFrame(
+        {
+            "l_orderkey": list(range(1, 21)) * 2,
+            "l_shipdate": pd.to_datetime(
+                ["2024-01-15"] * 20 + ["2024-02-10"] * 20
+            ).astype("datetime64[us]"),
+            "l_extendedprice": [100.0] * 40,
+            "l_discount": [0.0] * 40,
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(orders), str(tmp_path / "orders.parquet"))
+    pq.write_table(pa.Table.from_pandas(li), str(tmp_path / "lineitem.parquet"))
+
+
+def test_bloom_semi_join_exact(ray_session, tmp_path):
+    """Only lineitems of qualifying orders aggregate: 5 lines x 100.00 per
+    month."""
+    from high_performance_parallel_search_engine_ray.pipelines.relational import (
+        bloom_semi_join,
+    )
+
+    _bloom_fixture(tmp_path)
+    got = bloom_semi_join(str(tmp_path)).to_pandas().sort_values("ship_month")
+    assert list(got["n_lines"]) == [5, 5]
+    assert list(got["revenue"]) == [500.0, 500.0]
+
+
+def test_bloom_semi_join_false_positives_killed(ray_session, tmp_path):
+    """A deliberately tiny bloom (16 bits, 1 hash -> false positives near
+    certain) must give the IDENTICAL exact result: the partition-grouped
+    verify kills every false positive."""
+    from high_performance_parallel_search_engine_ray.pipelines.relational import (
+        bloom_semi_join,
+    )
+
+    _bloom_fixture(tmp_path)
+    got = (
+        bloom_semi_join(str(tmp_path), nbits=16, n_hashes=1)
+        .to_pandas()
+        .sort_values("ship_month")
+    )
+    assert list(got["n_lines"]) == [5, 5]
+    assert list(got["revenue"]) == [500.0, 500.0]
+
+
+# -- wave 6: leakage-safe split -----------------------------------------------
+
+def test_leakage_safe_split_dups_share_split(ray_session):
+    """Every exact copy of a text lands in the REPRESENTATIVE's split, and
+    unique texts match the plain per-id LCG assignment of their own id."""
+    import pandas as pd
+    import ray.data as rd
+
+    from high_performance_parallel_search_engine_ray.pipelines.dedup import (
+        leakage_safe_split,
+    )
+
+    # 30 duplicate groups of 4 copies each, ids interleaved so copies span
+    # blocks, plus 40 unique docs
+    rows = []
+    for g in range(30):
+        for c in range(4):
+            rows.append({"doc_id": g + 100 * c, "text": f"group text {g}"})
+    for u in range(40):
+        rows.append({"doc_id": 1000 + u, "text": f"unique text {u}"})
+    ds = rd.from_pandas(pd.DataFrame(rows)).repartition(6)
+    got = leakage_safe_split(ds).to_pandas()
+    assert len(got) == len(rows)
+
+    def lcg_split(rep: int) -> str:
+        r = ((rep * 2654435761 + 1013904223) % (2**32)) % 100
+        return "train" if r < 90 else ("val" if r < 95 else "test")
+
+    by_id = dict(zip(got["doc_id"], got["split"]))
+    for g in range(30):
+        rep = g  # min id of the group (c=0 copy)
+        expected = lcg_split(rep)
+        for c in range(4):
+            assert by_id[g + 100 * c] == expected
+    for u in range(40):
+        assert by_id[1000 + u] == lcg_split(1000 + u)
+
+
+# -- wave 6: source entropy ---------------------------------------------------
+
+def test_source_entropy_uniform_and_point_mass(ray_session):
+    """A uniform 4-term source has H = ln 4; a single-term source has H = 0."""
+    import math
+
+    import pandas as pd
+    import ray.data as rd
+
+    from high_performance_parallel_search_engine_ray.pipelines.index import (
+        source_entropy,
+    )
+
+    docs = pd.DataFrame(
+        [
+            {"source": "uni", "text": "alpha beta gamma delta alpha beta gamma delta"},
+            {"source": "point", "text": "word word word word word"},
+        ]
+    )
+    got = (
+        source_entropy(rd.from_pandas(docs).repartition(2))
+        .to_pandas()
+        .set_index("source")
+    )
+    assert got.loc["uni", "n_tokens"] == 8
+    assert got.loc["uni", "entropy_nats"] == round(math.log(4), 6)
+    assert got.loc["point", "n_tokens"] == 5
+    assert got.loc["point", "entropy_nats"] == 0.0

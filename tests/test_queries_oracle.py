@@ -156,6 +156,9 @@ def test_registry_ordering_contract():
         "containment_pairs", "events_anomalies", "rrf_fused",
         "jsonl_roundtrip", "order_reconcile", "events_mad_outliers",
         "source_cap",
+        # wave-6 additions (same rationale)
+        "brand_price_trend", "bloom_semi_revenue", "leakage_safe_split",
+        "source_entropy",
     }
     assert set(entry_mod.oracle_sql()) - overflow_ok <= first50
     for critical in (
