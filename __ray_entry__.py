@@ -906,6 +906,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "leakage_safe_split": lambda sf: dedup.leakage_safe_split(_docs(sf)),
         # wave 6: per-source Shannon entropy corpus-health gate
         "source_entropy": lambda sf: index.source_entropy(_docs_src(sf)),
+        # wave 7: exact distributed BFS (integer-exact iterative graph op,
+        # oracle-hashed against a recursive CTE — unlike float pagerank/hits)
+        "seed_hops": lambda sf: graph.seed_hops(
+            graph.synth_link_graph(_doc_ids(sf)), seeds=[1, 2, 3], max_hops=3
+        ),
+        # wave 7: mergeable HyperLogLog distinct sketch (rows-only; accuracy
+        # and merge invariance pinned by pytest)
+        "hll_distinct_users": relational.hll_distinct_users,
+        # wave 7: data-profiling pass (null rate + exact cardinality per column)
+        "profile_events": relational.profile_events,
     }
 
 
@@ -2555,6 +2565,33 @@ SELECT source, CAST(n_tokens AS BIGINT) AS n_tokens,
          AS entropy_nats
 FROM g
 """
+    # exact BFS hop distances over the synth link graph (edge rule mirrors
+    # graph.synth_link_graph: dst = (id*31 + 17j + 1) mod (max_id+1), self
+    # loops dropped); recursive expansion is bounded by hop < 3
+    sqls["seed_hops"] = """
+WITH RECURSIVE e AS (
+  SELECT doc_id AS src,
+         (doc_id * 31 + 17 * j + 1) % (SELECT max(doc_id) + 1 FROM documents)
+           AS dst
+  FROM documents, (VALUES (0), (1), (2)) t(j)
+),
+r(node, hop) AS (
+  SELECT node, 0 FROM (VALUES (1), (2), (3)) s(node)
+  UNION ALL
+  SELECT e.dst, r.hop + 1 FROM r JOIN e ON e.src = r.node
+  WHERE r.hop < 3 AND e.src <> e.dst
+)
+SELECT CAST(node AS BIGINT) AS node, CAST(min(hop) AS BIGINT) AS hop
+FROM r GROUP BY node
+"""
+    # per-column profile; COUNT(DISTINCT) excludes NULLs on both sides
+    sqls["profile_events"] = " UNION ALL ".join(
+        f"SELECT '{c}' AS \"column\", count(*) AS n_rows, "
+        f"CAST(count(*) FILTER (WHERE {c} IS NULL) AS BIGINT) AS n_null, "
+        f"CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct FROM events"
+        for c in ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    # hll_distinct_users: sketch estimate, not SQL-expressible -> rows-only
     return sqls
 
 

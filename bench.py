@@ -135,6 +135,10 @@ BENCH_QUERIES = [
     "bloom_semi_revenue",
     "leakage_safe_split",
     "source_entropy",
+    # wave-7 additions
+    "seed_hops",
+    "hll_distinct_users",
+    "profile_events",
 ]
 
 

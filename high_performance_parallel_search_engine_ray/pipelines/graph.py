@@ -651,3 +651,161 @@ def pagerank(
         )
 
     return state.drop_columns(["is_dangling"])
+
+
+def seed_hops(
+    edges,
+    seeds: list[int],
+    max_hops: int = 3,
+    inmemory_threshold: int = 2_000_000,
+):
+    """(node, hop): minimum hop distance from the seed set along directed
+    edges, for hop <= max_hops — exact distributed BFS, the iterative-graph
+    companion of `pagerank`/`hits` whose result is integer-exact (so it
+    oracle-hashes against a DuckDB recursive CTE, unlike the float-iterative
+    rank operators).
+
+    This is the crawl-analysis primitive "which pages are within k clicks
+    of the seeds" — the same frontier-expansion semantics the crawl engine
+    runs live (`pipelines/crawl.py` depth limits), expressed over a stored
+    edge table.
+
+    Cost-based, same policy as pagerank: at or below ``inmemory_threshold``
+    edges the graph is pulled ONCE and BFS runs as numpy searchsorted hops
+    (a Ray exchange costs seconds PER HOP of fixed setup — pure overhead on
+    small graphs). Above it, the distributed loop per hop:
+
+      1. frontier semi-join: `_attach_or_join(edges, src, frontier)` —
+         itself cost-based (frontier broadcast when small, hash-shuffle
+         join when a hop explodes), so no driver state ever exceeds the
+         broadcast threshold;
+      2. candidate dst's anti-join the reached set partition-grouped
+         (hash(node) % 64 union + per-partition np.isin — the
+         dedup_keep_first shape), so reached never leaves the cluster;
+      3. new nodes take hop h; reached = reached UNION new.
+
+    Per-hop cost is one edges pass + one bounded shuffle of (node, hop)
+    rows; edges are materialized once. max_hops bounds the iteration.
+    Returns a Dataset of (node, hop) for every node reachable in
+    <= max_hops hops (seeds at hop 0)."""
+    import pandas as pd
+    import ray
+
+    from .relational import _attach_or_join, _join_partitions
+
+    N_PARTS = 64
+    seeds_np = np.unique(np.asarray(list(seeds), dtype=np.int64))
+
+    edges = edges.materialize()
+    if edges.count() <= inmemory_threshold:
+        edf = edges.to_pandas()
+        src = edf["src"].to_numpy().astype(np.int64)
+        dst = edf["dst"].to_numpy().astype(np.int64)
+        order = np.argsort(src, kind="stable")
+        src_s, dst_s = src[order], dst[order]
+        dist: dict[int, int] = {int(s): 0 for s in seeds_np}
+        frontier = seeds_np
+        for h in range(1, max_hops + 1):
+            if frontier.size == 0:
+                break
+            lo = np.searchsorted(src_s, frontier, side="left")
+            hi = np.searchsorted(src_s, frontier, side="right")
+            if lo.size == 0:
+                break
+            nxt = np.unique(
+                np.concatenate(
+                    [dst_s[a:b] for a, b in zip(lo, hi) if b > a]
+                    or [np.array([], dtype=np.int64)]
+                )
+            )
+            new = np.array(
+                [v for v in nxt if int(v) not in dist], dtype=np.int64
+            )
+            for v in new:
+                dist[int(v)] = h
+            frontier = new
+        items = sorted(dist.items())
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "node": pa.array([k for k, _ in items], pa.int64()),
+                    "hop": pa.array([v for _, v in items], pa.int64()),
+                }
+            )
+        )
+
+    npart = _join_partitions(n_joins=1)
+
+    def tag_part(tag: int):
+        def f(b: pa.Table) -> pa.Table:
+            nodes = b["node"].to_numpy().astype(np.int64)
+            return pa.table(
+                {
+                    "node": pa.array(nodes),
+                    "hop": pc.cast(b["hop"], pa.int64())
+                    if "hop" in b.column_names
+                    else pa.array(np.zeros(len(nodes), np.int64)),
+                    "part": pa.array((nodes % N_PARTS).astype(np.int32)),
+                    "tag": pa.array(np.full(len(nodes), tag, np.int8)),
+                }
+            )
+
+        return f
+
+    reached = ray.data.from_arrow(
+        pa.table(
+            {
+                "node": pa.array(seeds_np, pa.int64()),
+                "hop": pa.array(np.zeros(len(seeds_np), np.int64)),
+            }
+        )
+    ).materialize()
+    frontier_ds = reached
+
+    for h in range(1, max_hops + 1):
+        if frontier_ds.count() == 0:
+            break
+        cand = _attach_or_join(
+            edges,
+            "src",
+            frontier_ds.map_batches(
+                lambda b: pa.table({"node": b["node"]}), batch_format="pyarrow"
+            ),
+            "node",
+            [],
+            npart,
+        ).map_batches(
+            lambda b: pa.table(
+                {"node": pc.cast(b["dst"], pa.int64())}
+            ),
+            batch_format="pyarrow",
+        )
+
+        def anti_part(g: pd.DataFrame) -> pd.DataFrame:
+            seen = g.loc[g["tag"] == 1, "node"].to_numpy()
+            cand_nodes = g.loc[g["tag"] == 0, "node"].to_numpy()
+            new = np.unique(cand_nodes[~np.isin(cand_nodes, seen)])
+            return pd.DataFrame({"node": new})
+
+        new_ds = (
+            cand.map_batches(tag_part(0), batch_format="pyarrow")
+            .union(reached.map_batches(tag_part(1), batch_format="pyarrow"))
+            .groupby("part")
+            .map_groups(anti_part, batch_format="pandas")
+            .map_batches(
+                lambda b, _h=h: pa.table(
+                    {
+                        "node": pc.cast(b["node"], pa.int64()),
+                        "hop": pa.array(
+                            np.full(b.num_rows, _h, np.int64)
+                        ),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+            .materialize()
+        )
+        reached = reached.union(new_ds).materialize()
+        frontier_ds = new_ds
+
+    return reached.sort("node")

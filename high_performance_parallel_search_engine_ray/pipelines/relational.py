@@ -2513,3 +2513,173 @@ def bloom_semi_join(
         )
 
     return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+# -- HyperLogLog distinct sketch ------------------------------------------------
+
+_HLL_P = 12          # 2^12 = 4096 registers, ~1.6% standard error
+_HLL_M = 1 << _HLL_P
+
+
+def _hll_partial(keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(register index, rho) per key — splitmix64 hash, top p bits pick the
+    register, rho = leading-zero run of the remaining 52 bits + 1. The
+    float64 exponent trick (np.frexp) gives exact bit lengths for w < 2^53,
+    so rho is deterministic and cross-run stable."""
+    h = _splitmix64_vec(keys.astype(np.uint64))
+    reg = (h >> np.uint64(64 - _HLL_P)).astype(np.int64)
+    w = (h & np.uint64((1 << (64 - _HLL_P)) - 1)).astype(np.float64)
+    bl = np.frexp(w)[1]  # bit length; 0 for w == 0
+    rho = (64 - _HLL_P) - bl + 1
+    return reg, rho.astype(np.int64)
+
+
+def hll_distinct_users(sf_dir: str):
+    """(event_type, n_users_est): per-type approximate distinct users via a
+    HyperLogLog sketch — the mergeable-register companion of the KMV sketch
+    (`kmv_distinct_users`), and the shape that answers per-group COUNT
+    DISTINCT at 100 TB without ever shuffling the group's members:
+
+      - per block: vectorized (register, rho) for each user hash, folded
+        to per-(type, register) maxima inside the block (<= types x 4096
+        rows leave any block, whatever its size);
+      - one groupby over (type, register) merges partials with MAX — the
+        HLL merge IS register-wise max, so the result is independent of
+        partitioning (a pytest asserts repartition invariance);
+      - per-type finalize applies the standard bias-corrected harmonic
+        estimate with the small-range linear-counting correction.
+
+    Deterministic (seedless splitmix64), so rows-only driver checks are
+    stable; accuracy is pinned by a tolerance pytest instead of an oracle
+    (the estimate is not SQL-expressible)."""
+    from ray.data.aggregate import Max
+
+    ev = _read(sf_dir, "events", ["event_type", "user_id"])
+
+    def partials(b: pa.Table) -> pa.Table:
+        reg, rho = _hll_partial(b["user_id"].to_numpy())
+        t = pa.table(
+            {
+                "event_type": b["event_type"],
+                "reg": pa.array(reg),
+                "rho": pa.array(rho),
+            }
+        )
+        return _agg_rename(
+            t.group_by(["event_type", "reg"]).aggregate([("rho", "max")]),
+            {"rho_max": "rho"},
+        )
+
+    merged = (
+        ev.map_batches(partials, batch_format="pyarrow")
+        .groupby(["event_type", "reg"])
+        .aggregate(Max("rho", alias_name="rho"))
+    )
+
+    def estimate(g: pd.DataFrame) -> pd.DataFrame:
+        regs = np.zeros(_HLL_M, dtype=np.float64)
+        regs[g["reg"].to_numpy()] = g["rho"].to_numpy()
+        m = float(_HLL_M)
+        alpha = 0.7213 / (1.0 + 1.079 / m)
+        e = alpha * m * m / np.sum(np.exp2(-regs))
+        zeros = float(np.count_nonzero(regs == 0))
+        if e <= 2.5 * m and zeros > 0:
+            e = m * np.log(m / zeros)
+        return pd.DataFrame(
+            {
+                "event_type": [g["event_type"].iloc[0]],
+                "n_users_est": np.array([round(e)], np.int64),
+            }
+        )
+
+    return merged.groupby("event_type").map_groups(
+        estimate, batch_format="pandas"
+    )
+
+
+# -- table profiling -------------------------------------------------------------
+
+def profile_events(sf_dir: str):
+    """(column, n_rows, n_null, n_distinct) for every events column — the
+    data-profiling pass a lake engine runs before ingesting a new feed
+    (null-rate and cardinality drive partition/encoding choices and catch
+    schema drift).
+
+    Scale shape: null/row counts are per-block integer partials; distinct
+    counts pre-dedup per block (each block emits only its OWN distinct
+    (column, value) pairs, values cast injectively to strings) before the
+    one groupby — the same per-block-partial rule as every aggregate here.
+    NULLs are excluded from n_distinct (SQL COUNT(DISTINCT) semantics).
+    For an unbounded-cardinality column at 100 TB you'd swap the exact
+    distinct for the HLL register shape above; exact is the oracle anchor."""
+    from ray.data.aggregate import Count, Sum
+
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    ev = _read(sf_dir, "events", cols)
+
+    def count_partials(b: pa.Table) -> pa.Table:
+        rows = []
+        for c in cols:
+            arr = b[c]
+            rows.append(
+                {
+                    "column": c,
+                    "n_rows": b.num_rows,
+                    "n_null": arr.null_count,
+                }
+            )
+        return pa.Table.from_pylist(rows)
+
+    counts = (
+        ev.map_batches(count_partials, batch_format="pyarrow")
+        .groupby("column")
+        .aggregate(
+            Sum("n_rows", alias_name="n_rows"),
+            Sum("n_null", alias_name="n_null"),
+        )
+    )
+
+    def distinct_partials(b: pa.Table) -> pa.Table:
+        out_col, out_val = [], []
+        for c in cols:
+            arr = b[c].combine_chunks()
+            if pa.types.is_timestamp(arr.type):
+                arr = pc.cast(arr, pa.int64())
+            vals = pc.unique(pc.cast(arr, pa.string()).drop_null())
+            out_col.extend([c] * len(vals))
+            out_val.extend(vals.to_pylist())
+        return pa.table(
+            {"column": pa.array(out_col, pa.string()),
+             "v": pa.array(out_val, pa.string())}
+        )
+
+    distincts = (
+        ev.map_batches(distinct_partials, batch_format="pyarrow")
+        .groupby(["column", "v"])
+        .aggregate(Count(alias_name="_dup"))
+        .map_batches(
+            lambda b: pa.table(
+                {"column": b["column"],
+                 "one": pa.array(np.ones(b.num_rows, np.int64))}
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("column")
+        .aggregate(Sum("one", alias_name="n_distinct"))
+    )
+
+    joined = _attach_or_join(
+        counts, "column", distincts, "column", ["n_distinct"],
+        _join_partitions(n_joins=1), launder_fact=True,
+    )
+    return joined.map_batches(
+        lambda b: pa.table(
+            {
+                "column": b["column"],
+                "n_rows": pc.cast(b["n_rows"], pa.int64()),
+                "n_null": pc.cast(b["n_null"], pa.int64()),
+                "n_distinct": pc.cast(b["n_distinct"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )

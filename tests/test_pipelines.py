@@ -3647,3 +3647,122 @@ def test_source_entropy_uniform_and_point_mass(ray_session):
     assert got.loc["uni", "entropy_nats"] == round(math.log(4), 6)
     assert got.loc["point", "n_tokens"] == 5
     assert got.loc["point", "entropy_nats"] == 0.0
+
+
+# -- wave 7: exact BFS hop distance --------------------------------------------
+
+def test_seed_hops_known_graph(ray_session):
+    """Hand-built chain/diamond graph: hops are the textbook BFS answer and
+    an unreachable node never appears."""
+    import pandas as pd
+    import ray.data as rd
+
+    from high_performance_parallel_search_engine_ray.pipelines.graph import seed_hops
+
+    # 0 -> 1 -> 2 -> 3, 0 -> 2 (shortcut), 9 isolated source: 5 -> 9
+    edges = rd.from_pandas(
+        pd.DataFrame({"src": [0, 1, 2, 0, 5], "dst": [1, 2, 3, 2, 9]})
+    )
+    got = (
+        seed_hops(edges, seeds=[0], max_hops=3)
+        .to_pandas()
+        .set_index("node")["hop"]
+        .to_dict()
+    )
+    assert got == {0: 0, 1: 1, 2: 1, 3: 2}
+
+
+def test_seed_hops_paths_equal(ray_session):
+    """The distributed loop (threshold 0) equals the in-memory BFS on the
+    synthetic link graph."""
+    import pandas as pd
+    import ray.data as rd
+
+    from high_performance_parallel_search_engine_ray.pipelines.graph import (
+        seed_hops,
+        synth_link_graph,
+    )
+
+    docs = rd.from_pandas(pd.DataFrame({"doc_id": list(range(120))})).repartition(4)
+    fast = seed_hops(
+        synth_link_graph(docs), seeds=[1, 2, 3], max_hops=3
+    ).to_pandas().sort_values("node").reset_index(drop=True)
+    dist = seed_hops(
+        synth_link_graph(docs), seeds=[1, 2, 3], max_hops=3, inmemory_threshold=0
+    ).to_pandas().sort_values("node").reset_index(drop=True)
+    assert fast.equals(dist)
+    assert (fast["hop"] <= 3).all() and (fast["hop"] >= 0).all()
+
+
+# -- wave 7: HyperLogLog sketch -------------------------------------------------
+
+def test_hll_distinct_users_tolerance_and_merge_invariance(ray_session, tmp_path):
+    """Estimate within 5% of exact at 4096 registers; identical whatever the
+    block layout (HLL merge = register max, associative + commutative)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from high_performance_parallel_search_engine_ray.pipelines.relational import (
+        hll_distinct_users,
+    )
+
+    rng = np.random.RandomState(7)
+    rows = pd.DataFrame(
+        {
+            "event_type": ["big"] * 40000 + ["small"] * 500,
+            "user_id": np.concatenate(
+                [rng.randint(0, 10_000, 40000), rng.randint(0, 37, 500)]
+            ),
+        }
+    )
+    exact = rows.groupby("event_type")["user_id"].nunique()
+    pq.write_table(pa.Table.from_pandas(rows), str(tmp_path / "events.parquet"))
+    got = hll_distinct_users(str(tmp_path)).to_pandas().set_index("event_type")
+    for t in ("big", "small"):
+        rel = abs(got.loc[t, "n_users_est"] - exact[t]) / exact[t]
+        assert rel < 0.05, (t, got.loc[t, "n_users_est"], exact[t])
+
+    # different physical layout -> identical estimates
+    shuf = rows.sample(frac=1.0, random_state=1).reset_index(drop=True)
+    pq.write_table(pa.Table.from_pandas(shuf), str(tmp_path / "events.parquet"))
+    got2 = hll_distinct_users(str(tmp_path)).to_pandas().set_index("event_type")
+    assert got2["n_users_est"].to_dict() == got["n_users_est"].to_dict()
+
+
+# -- wave 7: table profiling -----------------------------------------------------
+
+def test_profile_events_nulls_and_distincts(ray_session, tmp_path):
+    """Planted nulls and duplicates give exact null/distinct counts."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from high_performance_parallel_search_engine_ray.pipelines.relational import (
+        profile_events,
+    )
+
+    rows = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3, 4],
+            "ts": pd.to_datetime(
+                ["2024-01-01", "2024-01-01", "2024-01-02", "2024-01-02"]
+            ).astype("datetime64[us]"),
+            "user_id": [10, 10, 20, 30],
+            "event_type": ["a", "a", None, "b"],
+            "value": [1.5, None, None, 1.5],
+            "props": ["{}", "{}", "{}", None],
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(rows), str(tmp_path / "events.parquet"))
+    got = profile_events(str(tmp_path)).to_pandas().set_index("column")
+    assert (got["n_rows"] == 4).all()
+    assert got.loc["event_type", "n_null"] == 1
+    assert got.loc["event_type", "n_distinct"] == 2
+    assert got.loc["value", "n_null"] == 2
+    assert got.loc["value", "n_distinct"] == 1
+    assert got.loc["props", "n_null"] == 1
+    assert got.loc["props", "n_distinct"] == 1
+    assert got.loc["user_id", "n_distinct"] == 3
+    assert got.loc["ts", "n_distinct"] == 2

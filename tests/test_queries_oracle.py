@@ -159,6 +159,8 @@ def test_registry_ordering_contract():
         # wave-6 additions (same rationale)
         "brand_price_trend", "bloom_semi_revenue", "leakage_safe_split",
         "source_entropy",
+        # wave-7 additions (same rationale)
+        "seed_hops", "profile_events",
     }
     assert set(entry_mod.oracle_sql()) - overflow_ok <= first50
     for critical in (
