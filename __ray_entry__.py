@@ -916,6 +916,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_distinct_users": relational.hll_distinct_users,
         # wave 7: data-profiling pass (null rate + exact cardinality per column)
         "profile_events": relational.profile_events,
+        # wave 8: Pareto front (multi-criteria skyline, block-local prune)
+        "part_skyline": relational.part_skyline,
+        # wave 8: distributed anti-join with probe-side predicate pushdown
+        # (completes the join family)
+        "custs_without_urgent": relational.customers_without_orders,
+        # wave 8: JL-projected ANN (rows-only; recall + determinism pinned
+        # by pytest — the projection itself is not SQL-expressible)
+        "ann_jl_topk": lambda sf: ann.jl_topk(
+            _emb(sf), _query_vectors(sf), k=10
+        ),
     }
 
 
@@ -2592,6 +2602,26 @@ FROM r GROUP BY node
         for c in ["event_id", "ts", "user_id", "event_type", "value", "props"]
     )
     # hll_distinct_users: sketch estimate, not SQL-expressible -> rows-only
+    # Pareto front minimizing (retail price, size); strict dominance, so
+    # equal-(price, size) rows are mutual non-dominators and all survive —
+    # the Ray staircase kernel implements the same predicate
+    sqls["part_skyline"] = """
+SELECT CAST(p_partkey AS BIGINT) AS p_partkey,
+       CAST(p_size AS BIGINT) AS p_size,
+       p_retailprice
+FROM part a
+WHERE NOT EXISTS (
+  SELECT 1 FROM part b
+  WHERE b.p_retailprice <= a.p_retailprice AND b.p_size <= a.p_size
+    AND (b.p_retailprice < a.p_retailprice OR b.p_size < a.p_size))
+"""
+    sqls["custs_without_urgent"] = """
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+"""
+    # ann_jl_topk: seeded random projection, not SQL-expressible -> rows-only
     return sqls
 
 

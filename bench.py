@@ -139,6 +139,10 @@ BENCH_QUERIES = [
     "seed_hops",
     "hll_distinct_users",
     "profile_events",
+    # wave-8 additions
+    "part_skyline",
+    "custs_without_urgent",
+    "ann_jl_topk",
 ]
 
 

@@ -322,3 +322,77 @@ def rag_chunk_search(
         .sort(["score", "doc_id", "chunk_id"], descending=[True, False, False])
         .limit(k)
     )
+
+
+def _jl_matrix(in_dim: int, out_dim: int, seed: int) -> np.ndarray:
+    """Deterministic Gaussian JL projection, scaled 1/sqrt(out_dim) so
+    expected pairwise distances are preserved. The (in_dim x out_dim)
+    matrix is a few KB — regenerating it from the seed inside each task is
+    cheaper than a broadcast round-trip; for a large in_dim x out_dim
+    you'd generate once and ray.put it like the query matrix."""
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((in_dim, out_dim)) / np.sqrt(out_dim)
+
+
+def jl_project(
+    embeddings,
+    out_dim: int = 16,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Johnson–Lindenstrauss random projection of the embedding column to
+    ``out_dim`` dims — the cheapest dimensionality reducer that still
+    carries distance guarantees (distortion 1±eps with out_dim =
+    O(log n / eps^2), independent of the input dimension). At 100 TB this
+    is the pre-pass that makes every downstream geometric stage (ANN
+    probing, semdedup, kmeans assignment) 4-8x cheaper per batch: one
+    matmul per batch, no training pass, no shuffle, streaming-safe.
+
+    Deterministic (seeded matrix), vectorized (single BLAS matmul per
+    batch). Returns (id_col, embedding list<float>) with out_dim dims."""
+
+    def project(b: pa.Table) -> pa.Table:
+        m = _to_matrix(b[vec_col])
+        proj = m.astype(np.float64) @ _jl_matrix(m.shape[1], out_dim, seed)
+        flat = pa.array(
+            proj.astype(np.float32).ravel(), pa.float32()
+        )
+        return pa.table(
+            {
+                id_col: b[id_col],
+                vec_col: pa.FixedSizeListArray.from_arrays(flat, out_dim).cast(
+                    pa.list_(pa.float32())
+                ),
+            }
+        )
+
+    return embeddings.map_batches(project, batch_format="pyarrow")
+
+
+def jl_topk(
+    embeddings,
+    query_vectors: np.ndarray,
+    k: int = 10,
+    out_dim: int = 16,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Top-k cosine search in the JL-projected space: corpus and queries
+    go through the SAME seeded projection, then the exact brute-force
+    kernel runs over out_dim-wide vectors. Recall vs the full-dimension
+    search is measured in tests (clustered data: recall ~1.0; the 4x
+    per-batch FLOP reduction is the point at scale)."""
+    q = np.asarray(query_vectors, dtype=np.float64)
+    q_proj = q @ _jl_matrix(q.shape[1], out_dim, seed)
+    return brute_force_topk(
+        jl_project(
+            embeddings, out_dim=out_dim, seed=seed,
+            id_col=id_col, vec_col=vec_col,
+        ),
+        q_proj,
+        k=k,
+        id_col=id_col,
+        vec_col=vec_col,
+    )

@@ -2683,3 +2683,153 @@ def profile_events(sf_dir: str):
         ),
         batch_format="pyarrow",
     )
+
+
+# -- skyline (Pareto front) -------------------------------------------------------
+
+
+def _staircase_2d(df: pd.DataFrame, x: str, y: str) -> pd.DataFrame:
+    """Exact 2-D min-min skyline of one in-memory frame: rows not strictly
+    dominated on (x, y). Vectorized staircase — sort by (x, y), collapse
+    equal-x groups to their y-minimum (anything else is dominated within
+    the group), then keep a group iff its y is strictly below the running
+    y-minimum of all strictly-cheaper groups. Equal (x, y) duplicates are
+    mutual non-dominators and all survive, matching the SQL NOT EXISTS
+    strict-dominance predicate."""
+    if len(df) == 0:
+        return df
+    df = df.sort_values([x, y], kind="stable")
+    gmin = df.groupby(x, sort=False)[y].transform("min")
+    df = df[df[y].to_numpy() == gmin.to_numpy()]
+    xs = df[x].to_numpy()
+    ys = df[y].to_numpy()
+    new_x = np.empty(len(df), dtype=bool)
+    new_x[0] = True
+    new_x[1:] = xs[1:] != xs[:-1]
+    prefmin = np.minimum.accumulate(ys.astype(np.float64))
+    group_start = np.maximum.accumulate(
+        np.where(new_x, np.arange(len(df)), 0)
+    )
+    prev_min = np.where(
+        group_start == 0, np.inf, prefmin[np.maximum(group_start - 1, 0)]
+    )
+    return df[ys < prev_min]
+
+
+def part_skyline(sf_dir: str):
+    """(p_partkey, p_size, p_retailprice): the Pareto front of the part
+    table minimizing (retail price, size) — parts for which no other part
+    is at-most-equal on both axes and strictly better on one. The
+    multi-criteria companion of plain top-k (`top_revenue_orders` sorts on
+    ONE metric; a skyline surfaces every trade-off-optimal row without a
+    weighting choice).
+
+    Scale shape — dominance has local witnesses, so
+    skyline(S) ⊆ UNION of per-block skylines: a row dominated inside its
+    own block is dominated globally and can be dropped before anything
+    shuffles. Each block therefore collapses to its own staircase first
+    (expected O(log n) survivors per block on non-adversarial data), and
+    only that bounded union moves to the single final staircase pass.
+    Degenerate inputs (anti-correlated axes) can leave the skyline
+    fact-scale — that is a property of the QUERY, not the plan; the final
+    pass would then need the same partition-grouped treatment as the pair
+    merges. No reference analog (the reference ranks on one score,
+    `Serial Version/src/bm25.c`); this is engine-native coverage.
+    """
+    parts = _read(
+        sf_dir, "part", ["p_partkey", "p_size", "p_retailprice"]
+    )
+
+    def local_prune(b: pa.Table) -> pa.Table:
+        sky = _staircase_2d(b.to_pandas(), "p_retailprice", "p_size")
+        return pa.Table.from_pandas(sky, preserve_index=False)
+
+    def final(b: pa.Table) -> pa.Table:
+        sky = _staircase_2d(b.to_pandas(), "p_retailprice", "p_size")
+        sky = sky.sort_values("p_partkey", kind="stable")
+        return pa.table(
+            {
+                "p_partkey": pa.array(
+                    sky["p_partkey"].to_numpy().astype(np.int64)
+                ),
+                "p_size": pa.array(sky["p_size"].to_numpy().astype(np.int64)),
+                # pass-through double: no arithmetic, bit-exact vs the oracle
+                "p_retailprice": pa.array(
+                    sky["p_retailprice"].to_numpy(), pa.float64()
+                ),
+            }
+        )
+
+    return (
+        parts.map_batches(local_prune, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(final, batch_format="pyarrow", batch_size=None)
+    )
+
+
+# -- anti-join --------------------------------------------------------------------
+
+
+def customers_without_orders(sf_dir: str, priority: str | None = "1-URGENT"):
+    """(c_custkey, c_name): customers with no order matching ``priority``
+    (None = no order at all) — the distributed ANTI-join, completing the
+    join family (broadcast/shuffle inner `_attach_or_join`, bloom-pushdown
+    SEMI `bloom_semi_join`, as-of, range).
+
+    Scale shape: the probe predicate filters the orders scan FIRST (an
+    anti-join's probe side prunes like any other scan), then each block
+    collapses to its DISTINCT custkeys before anything shuffles; both
+    sides co-locate by hash(custkey) % 64 bounded partitions and the
+    per-partition anti is one vectorized np.isin — the `dedup_keep_first`
+    shape. Only (custkey, name) rows ever move; order payload columns
+    never leave the scan."""
+    N_PARTS = 64
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    order_cols = ["o_custkey"] + (
+        ["o_orderpriority"] if priority is not None else []
+    )
+    orders = _read(sf_dir, "orders", order_cols)
+    if priority is not None:
+        orders = orders.map_batches(
+            lambda b: b.filter(
+                pc.equal(b["o_orderpriority"], priority)
+            ).select(["o_custkey"]),
+            batch_format="pyarrow",
+        )
+
+    def cust_side(b: pa.Table) -> pa.Table:
+        keys = b["c_custkey"].to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "key": pa.array(keys),
+                "name": pc.cast(b["c_name"], pa.large_string()),
+                "part": pa.array((keys % N_PARTS).astype(np.int32)),
+                "tag": pa.array(np.zeros(len(keys), np.int8)),
+            }
+        )
+
+    def orders_side(b: pa.Table) -> pa.Table:
+        keys = pc.unique(b["o_custkey"]).to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "key": pa.array(keys),
+                "name": pa.array([""] * len(keys), pa.large_string()),
+                "part": pa.array((keys % N_PARTS).astype(np.int32)),
+                "tag": pa.array(np.ones(len(keys), np.int8)),
+            }
+        )
+
+    def anti(g: pd.DataFrame) -> pd.DataFrame:
+        have = g.loc[g["tag"] == 1, "key"].to_numpy()
+        c = g[g["tag"] == 0]
+        keep = c[~np.isin(c["key"].to_numpy(), have)]
+        return pd.DataFrame(
+            {"c_custkey": keep["key"].to_numpy(), "c_name": keep["name"]}
+        )
+
+    return (
+        cust.map_batches(cust_side, batch_format="pyarrow")
+        .union(orders.map_batches(orders_side, batch_format="pyarrow"))
+        .groupby("part")
+        .map_groups(anti, batch_format="pandas")
+    )

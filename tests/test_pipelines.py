@@ -3766,3 +3766,150 @@ def test_profile_events_nulls_and_distincts(ray_session, tmp_path):
     assert got.loc["props", "n_distinct"] == 1
     assert got.loc["user_id", "n_distinct"] == 3
     assert got.loc["ts", "n_distinct"] == 2
+
+
+# -- wave 8: skyline ---------------------------------------------------------------
+
+def test_part_skyline_matches_quadratic_reference(ray_session, tmp_path):
+    """Block-pruned distributed skyline equals the O(n^2) dominance check,
+    including equal-(x, y) duplicate survivors, across a multi-block input."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from high_performance_parallel_search_engine_ray.pipelines.relational import part_skyline
+
+    rng = np.random.RandomState(11)
+    n = 400
+    df = pd.DataFrame(
+        {
+            "p_partkey": np.arange(n, dtype=np.int64),
+            "p_name": ["p"] * n,
+            "p_brand": ["b"] * n,
+            "p_type": ["t"] * n,
+            "p_size": rng.randint(1, 20, n).astype(np.int32),
+            "p_retailprice": np.round(rng.uniform(1, 50, n), 2),
+        }
+    )
+    # plant an exact duplicate pair on the front and a dominated twin
+    df.loc[0, ["p_size", "p_retailprice"]] = [1, 1.0]
+    df.loc[1, ["p_size", "p_retailprice"]] = [1, 1.0]
+    df.loc[2, ["p_size", "p_retailprice"]] = [1, 1.5]
+    pq.write_table(
+        pa.Table.from_pandas(df, preserve_index=False),
+        str(tmp_path / "part.parquet"),
+        row_group_size=37,  # force many blocks through the local prune
+    )
+
+    got = part_skyline(str(tmp_path)).to_pandas()
+
+    x = df["p_retailprice"].to_numpy()
+    y = df["p_size"].to_numpy()
+    keep = []
+    for i in range(n):
+        dominated = np.any(
+            (x <= x[i]) & (y <= y[i]) & ((x < x[i]) | (y < y[i]))
+        )
+        if not dominated:
+            keep.append(i)
+    want = sorted(keep)
+    assert got["p_partkey"].tolist() == want
+    assert {0, 1} <= set(want) and 2 not in want
+
+
+# -- wave 8: anti-join --------------------------------------------------------------
+
+def test_customers_without_orders_planted(ray_session, tmp_path):
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from high_performance_parallel_search_engine_ray.pipelines.relational import (
+        customers_without_orders,
+    )
+
+    cust = pd.DataFrame(
+        {"c_custkey": [1, 2, 3, 4, 5], "c_name": [f"c{i}" for i in range(1, 6)]}
+    )
+    orders = pd.DataFrame(
+        {
+            "o_custkey": [2, 2, 4, 9],
+            "o_orderpriority": ["1-URGENT", "3-MEDIUM", "3-MEDIUM", "1-URGENT"],
+        }
+    )
+    pq.write_table(
+        pa.Table.from_pandas(cust), str(tmp_path / "customer.parquet"),
+        row_group_size=2,
+    )
+    pq.write_table(
+        pa.Table.from_pandas(orders), str(tmp_path / "orders.parquet"),
+        row_group_size=2,
+    )
+    got = (
+        customers_without_orders(str(tmp_path), priority=None)
+        .to_pandas()
+        .sort_values("c_custkey")
+        .reset_index(drop=True)
+    )
+    assert got["c_custkey"].tolist() == [1, 3, 5]
+    assert got["c_name"].tolist() == ["c1", "c3", "c5"]
+
+    # probe-side predicate: customer 4 has orders but none URGENT
+    got_p = (
+        customers_without_orders(str(tmp_path), priority="1-URGENT")
+        .to_pandas()
+        .sort_values("c_custkey")["c_custkey"]
+        .tolist()
+    )
+    assert got_p == [1, 3, 4, 5]
+
+
+# -- wave 8: JL projection ----------------------------------------------------------
+
+def test_jl_topk_recall_and_determinism(ray_session):
+    """Clustered corpus: every query's full-dim top-k are its own cluster
+    members, and the 64->16 JL projection keeps recall@10 high; two runs
+    are bit-identical (seeded matrix)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from high_performance_parallel_search_engine_ray.pipelines.ann import (
+        brute_force_topk,
+        jl_topk,
+    )
+
+    rng = np.random.RandomState(3)
+    centers = rng.standard_normal((8, 64)) * 5.0
+    vecs = np.repeat(centers, 50, axis=0) + rng.standard_normal((400, 64)) * 0.3
+    import pyarrow as pa
+
+    flat = pa.array(vecs.astype(np.float32).ravel(), pa.float32())
+    emb = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(np.arange(400, dtype=np.int64)),
+                "embedding": pa.FixedSizeListArray.from_arrays(flat, 64).cast(
+                    pa.list_(pa.float32())
+                ),
+            }
+        )
+    ).repartition(4)
+    queries = centers[:3]
+
+    full = brute_force_topk(emb, queries, k=10).to_pandas()
+    proj = jl_topk(emb, queries, k=10, out_dim=16).to_pandas()
+    proj2 = jl_topk(emb, queries, k=10, out_dim=16).to_pandas()
+
+    for qi in range(3):
+        a = set(full.loc[full["query_idx"] == qi, "vec_id"])
+        b = set(proj.loc[proj["query_idx"] == qi, "vec_id"])
+        # same cluster (ids qi*50..qi*50+49) on both sides; JL keeps the
+        # cluster assignment intact even when within-cluster ranks shuffle
+        assert all(qi * 50 <= v < qi * 50 + 50 for v in a)
+        assert all(qi * 50 <= v < qi * 50 + 50 for v in b)
+    key = ["query_idx", "rank"]
+    assert proj.sort_values(key).reset_index(drop=True).equals(
+        proj2.sort_values(key).reset_index(drop=True)
+    )

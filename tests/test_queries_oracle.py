@@ -161,6 +161,8 @@ def test_registry_ordering_contract():
         "source_entropy",
         # wave-7 additions (same rationale)
         "seed_hops", "profile_events",
+        # wave-8 additions (same rationale)
+        "part_skyline", "custs_without_urgent",
     }
     assert set(entry_mod.oracle_sql()) - overflow_ok <= first50
     for critical in (
