@@ -926,6 +926,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_jl_topk": lambda sf: ann.jl_topk(
             _emb(sf), _query_vectors(sf), k=10
         ),
+        # wave 9: exact triangle enumeration (wedge + co-located closure,
+        # non-iterative graph shape; denser synth graph so triangles exist)
+        "triangles": lambda sf: graph.triangle_list(
+            graph.synth_link_graph(_doc_ids(sf), out_deg=6)
+        ).sort(["a", "b", "c"]),
+        # wave 9: exact audience-overlap matrix (distinct-user intersection
+        # per event-type pair — the exact companion of the KMV/HLL sketches)
+        "event_type_overlap": relational.event_type_overlap,
     }
 
 
@@ -2622,6 +2630,32 @@ WHERE NOT EXISTS (
   WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
 """
     # ann_jl_topk: seeded random projection, not SQL-expressible -> rows-only
+    # every triangle a<b<c of the undirected out_deg=6 synth graph, emitted
+    # once: e1=(a,b), e2=(b,c) share b; e3 closes (a,c)
+    sqls["triangles"] = """
+WITH raw AS (
+  SELECT doc_id AS src,
+         (doc_id * 31 + 17 * j + 1) % (SELECT max(doc_id) + 1 FROM documents)
+           AS dst
+  FROM documents, (VALUES (0), (1), (2), (3), (4), (5)) t(j)
+),
+e AS (
+  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+  FROM raw WHERE src <> dst
+)
+SELECT CAST(e1.u AS BIGINT) AS a, CAST(e1.v AS BIGINT) AS b,
+       CAST(e2.v AS BIGINT) AS c
+FROM e e1
+JOIN e e2 ON e2.u = e1.v
+JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+"""
+    sqls["event_type_overlap"] = """
+WITH d AS (SELECT DISTINCT user_id, event_type FROM events)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM d a JOIN d b ON a.user_id = b.user_id AND a.event_type < b.event_type
+GROUP BY 1, 2
+"""
     return sqls
 
 

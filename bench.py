@@ -143,6 +143,9 @@ BENCH_QUERIES = [
     "part_skyline",
     "custs_without_urgent",
     "ann_jl_topk",
+    # wave-9 additions
+    "triangles",
+    "event_type_overlap",
 ]
 
 

@@ -2833,3 +2833,68 @@ def customers_without_orders(sf_dir: str, priority: str | None = "1-URGENT"):
         .groupby("part")
         .map_groups(anti, batch_format="pandas")
     )
+
+
+def event_type_overlap(sf_dir: str):
+    """(type_a, type_b, n_users): for every unordered pair of event types,
+    the number of DISTINCT users active in both — the audience-overlap
+    matrix behind cross-sell/funnel design, and the exact companion of the
+    sketch path (`kmv_distinct_users` / `hll_distinct_users` estimate one
+    set each; this intersects them exactly).
+
+    Scale shape: per-block DISTINCT (user, type) partials first (each block
+    emits at most its own distinct pairs), then ONE co-location by
+    hash(user) % 64 — after which the global distinct, the per-user
+    type-pair self-merge (bounded: #types is small, so <= C(#types, 2)
+    rows per user), and the per-pair partial counts all run inside the
+    partition. Only (pair, count) rows — a few dozen — reach the final
+    groupby. User ids never appear in the output; event payloads never
+    leave the scan."""
+    from ray.data.aggregate import Sum
+
+    N_PARTS = 64
+    ev = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def block_distinct(b: pa.Table) -> pa.Table:
+        t = b.group_by(["user_id", "event_type"]).aggregate([])
+        users = t["user_id"].to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "user_id": pa.array(users),
+                "event_type": t["event_type"],
+                "part": pa.array((users % N_PARTS).astype(np.int32)),
+            }
+        )
+
+    def pair_counts(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(["user_id", "event_type"])
+        m = d.merge(d, on="user_id", suffixes=("_a", "_b"))
+        m = m[m["event_type_a"] < m["event_type_b"]]
+        out = (
+            m.groupby(["event_type_a", "event_type_b"], sort=False)
+            .size()
+            .reset_index(name="n_users")
+        )
+        return out.rename(
+            columns={"event_type_a": "type_a", "event_type_b": "type_b"}
+        )
+
+    partials = (
+        ev.map_batches(block_distinct, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(pair_counts, batch_format="pandas")
+    )
+
+    agg = partials.groupby(["type_a", "type_b"]).aggregate(
+        Sum("n_users", alias_name="n_users")
+    )
+    return agg.map_batches(
+        lambda b: pa.table(
+            {
+                "type_a": b["type_a"],
+                "type_b": b["type_b"],
+                "n_users": pc.cast(b["n_users"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )

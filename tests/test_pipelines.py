@@ -3913,3 +3913,90 @@ def test_jl_topk_recall_and_determinism(ray_session):
     assert proj.sort_values(key).reset_index(drop=True).equals(
         proj2.sort_values(key).reset_index(drop=True)
     )
+
+
+# -- wave 9: triangle enumeration ----------------------------------------------------
+
+def test_triangle_list_known_graph(ray_session):
+    """Hand-built graph: K4 on {0,1,2,3} (4 triangles) plus a dangling
+    chain 4-5-6 (no triangle); duplicate and reversed edges collapse."""
+    import pandas as pd
+    import ray.data as rd
+
+    from high_performance_parallel_search_engine_ray.pipelines.graph import triangle_list
+
+    src = [0, 0, 0, 1, 1, 2, 4, 5, 1, 2]
+    dst = [1, 2, 3, 2, 3, 3, 5, 6, 0, 1]  # last two: reversed duplicates
+    edges = rd.from_pandas(pd.DataFrame({"src": src, "dst": dst})).repartition(3)
+    got = sorted(
+        map(tuple, triangle_list(edges).to_pandas()[["a", "b", "c"]].values.tolist())
+    )
+    assert got == [(0, 1, 2), (0, 1, 3), (0, 2, 3), (1, 2, 3)]
+
+
+def test_triangle_list_matches_bruteforce_on_synth(ray_session):
+    """Distributed enumeration equals the O(E*deg) in-memory count on the
+    dense synth graph."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from collections import defaultdict
+
+    from high_performance_parallel_search_engine_ray.pipelines.graph import (
+        synth_link_graph,
+        triangle_list,
+    )
+
+    docs = rd.from_pandas(pd.DataFrame({"doc_id": list(range(200))})).repartition(4)
+    edges = synth_link_graph(docs, out_deg=6)
+    got = sorted(
+        map(tuple, triangle_list(edges).to_pandas()[["a", "b", "c"]].values.tolist())
+    )
+
+    edf = edges.to_pandas()
+    E = set()
+    for s, d in zip(edf["src"], edf["dst"]):
+        E.add((min(s, d), max(s, d)))
+    adj = defaultdict(set)
+    for u, v in E:
+        adj[u].add(v)
+        adj[v].add(u)
+    want = sorted(
+        (a, b, c)
+        for a, b in E
+        for c in (adj[a] & adj[b])
+        if a < b < c
+    )
+    assert got == want and len(got) > 0
+
+
+# -- wave 9: audience overlap ---------------------------------------------------------
+
+def test_event_type_overlap_planted(ray_session, tmp_path):
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from high_performance_parallel_search_engine_ray.pipelines.relational import (
+        event_type_overlap,
+    )
+
+    rows = pd.DataFrame(
+        {
+            "user_id": [1, 1, 1, 2, 2, 3, 3, 3, 3, 4],
+            "event_type": [
+                "buy", "view", "view", "buy", "view",
+                "buy", "view", "cart", "cart", "cart",
+            ],
+        }
+    )
+    pq.write_table(
+        pa.Table.from_pandas(rows), str(tmp_path / "events.parquet"),
+        row_group_size=3,
+    )
+    got = {
+        (r.type_a, r.type_b): r.n_users
+        for r in event_type_overlap(str(tmp_path)).to_pandas().itertuples()
+    }
+    # buy&view: users 1,2,3; buy&cart: 3; cart&view: 3
+    assert got == {("buy", "view"): 3, ("buy", "cart"): 1, ("cart", "view"): 1}

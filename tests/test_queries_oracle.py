@@ -163,6 +163,8 @@ def test_registry_ordering_contract():
         "seed_hops", "profile_events",
         # wave-8 additions (same rationale)
         "part_skyline", "custs_without_urgent",
+        # wave-9 additions (same rationale)
+        "triangles", "event_type_overlap",
     }
     assert set(entry_mod.oracle_sql()) - overflow_ok <= first50
     for critical in (
