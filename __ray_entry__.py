@@ -934,6 +934,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # wave 9: exact audience-overlap matrix (distinct-user intersection
         # per event-type pair — the exact companion of the KMV/HLL sketches)
         "event_type_overlap": relational.event_type_overlap,
+        # wave 10: distributed window function — percent_rank over fact-scale
+        # partitions via the two-pass range-bucket plan (bounded grid +
+        # co-located exact ranks; no fact-scale map_groups, no global sort)
+        "order_percent_rank": relational.order_price_percent_rank,
     }
 
 
@@ -2655,6 +2659,13 @@ SELECT a.event_type AS type_a, b.event_type AS type_b,
        CAST(count(*) AS BIGINT) AS n_users
 FROM d a JOIN d b ON a.user_id = b.user_id AND a.event_type < b.event_type
 GROUP BY 1, 2
+"""
+    # wave 10: the canonical distributed window-function shape
+    sqls["order_percent_rank"] = """
+SELECT o_orderkey, o_orderpriority,
+       round(percent_rank() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY o_totalprice), 9) AS pr
+FROM orders
 """
     return sqls
 

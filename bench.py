@@ -146,6 +146,8 @@ BENCH_QUERIES = [
     # wave-9 additions
     "triangles",
     "event_type_overlap",
+    # wave-10 additions
+    "order_percent_rank",
 ]
 
 

@@ -2898,3 +2898,119 @@ def event_type_overlap(sf_dir: str):
         ),
         batch_format="pyarrow",
     )
+
+
+def order_price_percent_rank(sf_dir: str, bucket_cents: int = 10_000):
+    """(o_orderkey, o_orderpriority, pr): SQL
+    ``percent_rank() OVER (PARTITION BY o_orderpriority ORDER BY
+    o_totalprice)`` — the distributed WINDOW-FUNCTION shape. A naive plan
+    map_groups's five fact-scale priority partitions (one task each — the
+    exact anti-pattern the per-group tax rule forbids at fact scale); a
+    sort-based plan needs global block prefixes Ray Data doesn't expose.
+    This is the textbook two-pass range-bucket window instead:
+
+      pass 1 (bounded grid): prices live on the cents lattice; per-block
+        integer partials count (priority, cents // bucket_cents) — the
+        grid is value-range/bucket_cents × #priorities rows (~thousands),
+        NOT fact-scale. One groupby folds it; the driver pulls only the
+        grid, prefix-sums offsets per priority, and ray.put's the lookup.
+      pass 2 (co-located exact ranks): rows co-locate by
+        hash(priority, bucket) % 64 — ties share a cents value, so they
+        can never span buckets — and within a partition the per-bucket
+        min-ranks are one vectorized pandas groupby().rank(method="min").
+        global rank = bucket offset + local rank;
+        pr = (rank - 1) / (n_priority - 1), the identical expression DuckDB
+        evaluates, rounded 9dp on both sides.
+
+    Bucket skew (a single hot price value) concentrates one bucket's rows
+    in one partition — bounded by value-frequency, the same caveat as any
+    range partitioner; bucket_cents trades grid size against it."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    N_PARTS = 64
+    orders = _read(
+        sf_dir, "orders", ["o_orderkey", "o_orderpriority", "o_totalprice"]
+    )
+
+    def grid_partial(b: pa.Table) -> pa.Table:
+        cents = np.rint(
+            b["o_totalprice"].to_numpy() * 100.0
+        ).astype(np.int64)
+        t = pa.table(
+            {
+                "prio": b["o_orderpriority"],
+                "bucket": pa.array(cents // bucket_cents),
+                "n": pa.array(np.ones(len(cents), np.int64)),
+            }
+        )
+        return _agg_rename(
+            t.group_by(["prio", "bucket"]).aggregate([("n", "sum")]),
+            {"n_sum": "n"},
+        )
+
+    grid = (
+        orders.map_batches(grid_partial, batch_format="pyarrow")
+        .groupby(["prio", "bucket"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # bounded: priorities x (price range / bucket_cents)
+        .sort_values(["prio", "bucket"])
+    )
+    offsets: dict[tuple, int] = {}
+    totals: dict[str, int] = {}
+    for prio, g in grid.groupby("prio", sort=False):
+        run = 0
+        for bucket, n in zip(g["bucket"], g["n"]):
+            offsets[(prio, int(bucket))] = run
+            run += int(n)
+        totals[prio] = run
+    lookup_ref = ray.put((offsets, totals))
+
+    def rank_part(g: pd.DataFrame) -> pd.DataFrame:
+        offs, tots = ray.get(lookup_ref)
+        g = g.copy()
+        # min-rank within the bucket (ties share cents, so share rank)
+        g["local"] = (
+            g.groupby(["prio", "bucket"], sort=False)["cents"].rank(
+                method="min"
+            )
+            - 1.0
+        )
+        off = np.array(
+            [offs[(p, b)] for p, b in zip(g["prio"], g["bucket"])], np.int64
+        )
+        n = np.array([tots[p] for p in g["prio"]], np.int64)
+        rank = off + g["local"].to_numpy().astype(np.int64)  # 0-based
+        pr = np.where(n > 1, rank / (n - 1), 0.0)
+        return pd.DataFrame(
+            {
+                "o_orderkey": g["o_orderkey"],
+                "o_orderpriority": g["prio"],
+                "pr": round_half_away(pr, 9),
+            }
+        )
+
+    def tag(b: pa.Table) -> pa.Table:
+        cents = np.rint(b["o_totalprice"].to_numpy() * 100.0).astype(np.int64)
+        bucket = cents // bucket_cents
+        prio_codes = pc.index_in(
+            b["o_orderpriority"],
+            pa.array(sorted(totals.keys())),
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "o_orderkey": pc.cast(b["o_orderkey"], pa.int64()),
+                "prio": b["o_orderpriority"],
+                "cents": pa.array(cents),
+                "bucket": pa.array(bucket),
+                "part": pa.array(
+                    ((prio_codes * 131 + bucket) % N_PARTS).astype(np.int32)
+                ),
+            }
+        )
+
+    return (
+        orders.map_batches(tag, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(rank_part, batch_format="pandas")
+    )

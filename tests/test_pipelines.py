@@ -4000,3 +4000,82 @@ def test_event_type_overlap_planted(ray_session, tmp_path):
     }
     # buy&view: users 1,2,3; buy&cart: 3; cart&view: 3
     assert got == {("buy", "view"): 3, ("buy", "cart"): 1, ("cart", "view"): 1}
+
+
+# -- wave 10: distributed percent_rank window ----------------------------------------
+
+def test_order_percent_rank_ties_and_buckets(ray_session, tmp_path):
+    """Ties (shared cents value) must share a min-rank even when the rows
+    land in different blocks, and bucket offsets must compose into the
+    exact DuckDB percent_rank expression."""
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from high_performance_parallel_search_engine_ray.pipelines.relational import (
+        order_price_percent_rank,
+    )
+
+    rng_prices = [10.00, 10.00, 10.00, 25.50, 99.99, 150.00, 150.00,
+                  1000.01, 2000.00, 3333.33]
+    rows = pd.DataFrame(
+        {
+            "o_orderkey": list(range(1, 21)),
+            "o_orderpriority": ["1-URGENT"] * 10 + ["5-LOW"] * 10,
+            "o_totalprice": rng_prices + rng_prices[::-1],
+        }
+    )
+    path = tmp_path / "orders.parquet"
+    # row_group_size=3 -> many blocks; ties at 10.00/150.00 straddle blocks
+    pq.write_table(pa.Table.from_pandas(rows), str(path), row_group_size=3)
+
+    # tiny bucket so ties-within-bucket and multi-bucket offsets both fire
+    got = (
+        order_price_percent_rank(str(tmp_path), bucket_cents=5_000)
+        .to_pandas()
+        .sort_values("o_orderkey")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("orders_df", rows)
+    want = con.execute(
+        """
+        SELECT o_orderkey, o_orderpriority,
+               round(percent_rank() OVER (PARTITION BY o_orderpriority
+                                          ORDER BY o_totalprice), 9) AS pr
+        FROM orders_df ORDER BY o_orderkey
+        """
+    ).df()
+    con.close()
+    pd.testing.assert_frame_equal(got[sorted(got.columns)],
+                                  want[sorted(want.columns)])
+
+
+def test_order_percent_rank_single_row_partition(ray_session, tmp_path):
+    """A partition with n=1 must emit pr=0.0 (the n>1 guard), not NaN."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from high_performance_parallel_search_engine_ray.pipelines.relational import (
+        order_price_percent_rank,
+    )
+
+    rows = pd.DataFrame(
+        {
+            "o_orderkey": [1, 2, 3],
+            "o_orderpriority": ["1-URGENT", "5-LOW", "5-LOW"],
+            "o_totalprice": [42.42, 7.00, 9.00],
+        }
+    )
+    pq.write_table(
+        pa.Table.from_pandas(rows), str(tmp_path / "orders.parquet")
+    )
+    got = {
+        r.o_orderkey: r.pr
+        for r in order_price_percent_rank(str(tmp_path))
+        .to_pandas()
+        .itertuples()
+    }
+    assert got == {1: 0.0, 2: 0.0, 3: 1.0}

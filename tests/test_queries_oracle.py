@@ -165,6 +165,8 @@ def test_registry_ordering_contract():
         "part_skyline", "custs_without_urgent",
         # wave-9 additions (same rationale)
         "triangles", "event_type_overlap",
+        # wave-10 additions (same rationale)
+        "order_percent_rank",
     }
     assert set(entry_mod.oracle_sql()) - overflow_ok <= first50
     for critical in (
