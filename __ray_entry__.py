@@ -938,6 +938,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # partitions via the two-pass range-bucket plan (bounded grid +
         # co-located exact ranks; no fact-scale map_groups, no global sort)
         "order_percent_rank": relational.order_price_percent_rank,
+        # wave 10: Gopher repetition filters (top-2-gram char fraction +
+        # duplicate-2-gram fraction — the repetition companion of the
+        # structural gopher_gates rules; block-local, shuffle-free)
+        "repetition_screen": lambda sf: text.repetition_screen(_docs(sf)),
+        # wave 10: SymSpell-style did-you-mean over the corpus vocabulary
+        # (deletion-neighborhood candidates + exact ed<=1 verify; oracle via
+        # DuckDB levenshtein)
+        "spell_suggest": lambda sf: rank.spell_suggest(_docs(sf), "low", k=5),
+        # wave 10: MMR diversification over the exact distributed top-k pool
+        # (rows-only: greedy argmax chain is not SQL-expressible; hand-
+        # computed chain + lam=1 reduction pinned by pytest)
+        "mmr_rerank": lambda sf: ann.mmr_rerank(
+            _emb(sf), _query_vectors(sf)[0], k=10, pool=50
+        ),
     }
 
 
@@ -2666,6 +2680,47 @@ SELECT o_orderkey, o_orderpriority,
        round(percent_rank() OVER (PARTITION BY o_orderpriority
                                   ORDER BY o_totalprice), 9) AS pr
 FROM orders
+"""
+    # wave 10: Gopher repetition filters — word-2-gram stats per doc, the
+    # same int64-ratio/double-division op order as the Ray kernel
+    sqls["repetition_screen"] = r"""
+WITH t AS (SELECT doc_id, length(text) AS nch,
+                  regexp_extract_all(text, '\S+') AS arr
+           FROM documents),
+g AS (SELECT doc_id, nch, len(arr) - 1 AS ng, unnest(
+        list_transform(range(1, len(arr)), i -> arr[i] || ' ' || arr[i + 1])
+      ) AS gram
+      FROM t),
+c AS (SELECT doc_id, any_value(nch) AS nch, any_value(ng) AS ng, gram,
+             count(*) AS n
+      FROM g GROUP BY doc_id, gram),
+r AS (SELECT doc_id, nch, ng, gram, n,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY n DESC, gram) AS rn,
+             count(*) OVER (PARTITION BY doc_id) AS ndist
+      FROM c),
+f AS (SELECT d.doc_id,
+             CAST(coalesce(r.ng, 0) AS BIGINT) AS n_grams,
+             coalesce(r.gram, '') AS top_gram,
+             CAST(coalesce(r.n, 0) AS BIGINT) AS top_gram_n,
+             coalesce(round(CAST(r.n * length(r.gram) AS DOUBLE) / r.nch, 9),
+                      0.0) AS top_char_frac,
+             coalesce(round(CAST(r.ng - r.ndist AS DOUBLE) / r.ng, 9),
+                      0.0) AS dup_gram_frac
+      FROM documents d
+      LEFT JOIN (SELECT * FROM r WHERE rn = 1) r USING (doc_id))
+SELECT *, (top_char_frac <= 0.2 AND dup_gram_frac <= 0.6) AS rep_ok FROM f
+"""
+    # wave 10: did-you-mean — vocabulary terms within plain Levenshtein
+    # distance 1 of the query, df-desc/term-asc top-5
+    sqls["spell_suggest"] = f"""
+WITH {_TOKS_CTE},
+v AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term),
+m AS (SELECT term, CAST(df AS BIGINT) AS df FROM v
+      WHERE levenshtein(term, 'low') <= 1)
+SELECT term, df,
+       CAST(row_number() OVER (ORDER BY df DESC, term) AS BIGINT) AS rank
+FROM m ORDER BY rank LIMIT 5
 """
     return sqls
 

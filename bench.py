@@ -148,6 +148,9 @@ BENCH_QUERIES = [
     "event_type_overlap",
     # wave-10 additions
     "order_percent_rank",
+    "repetition_screen",
+    "spell_suggest",
+    "mmr_rerank",
 ]
 
 

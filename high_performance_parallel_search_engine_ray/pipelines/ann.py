@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..functions.rounding import round_half_away
 from ..functions.textstats import cosine_topk
@@ -395,4 +396,90 @@ def jl_topk(
         k=k,
         id_col=id_col,
         vec_col=vec_col,
+    )
+
+
+def mmr_rerank(
+    embeddings,
+    query_vector,
+    k: int = 10,
+    pool: int = 50,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein 1998):
+    greedily pick argmax lam*cos(q, d) - (1-lam)*max_{s in selected}
+    cos(d, s) — the serving-side diversifier that keeps a result page from
+    being k near-copies of one document (the retrieval companion of the
+    near-dup screens).
+
+    Distributed shape: the POOL comes from the exact distributed
+    ``brute_force_topk`` (per-block local top-k, tiny merge); only the
+    pool's <= ``pool`` vectors are pulled (bounded is_in semi-join filter —
+    never the embedding table); the inherently-sequential greedy loop runs
+    driver-side over a pool x pool cosine matrix. Ties break id-asc.
+    Returns (rank, id, cosine, mmr) with cosine/mmr rounded 6dp."""
+    import ray  # noqa: F401  (brute_force_topk owns the broadcast)
+
+    q = np.asarray(query_vector, dtype=np.float64)
+    cand = (
+        brute_force_topk(embeddings, q[None, :], k=pool, id_col=id_col, vec_col=vec_col)
+        .to_pandas()
+        .sort_values("rank")
+    )
+    ids = cand[id_col].to_numpy()
+    rel = cand["cosine"].to_numpy(dtype=np.float64)
+    if len(ids) == 0:
+        return pa.table(
+            {
+                "rank": pa.array([], pa.int64()),
+                id_col: pa.array([], pa.int64()),
+                "cosine": pa.array([], pa.float64()),
+                "mmr": pa.array([], pa.float64()),
+            }
+        )
+
+    idset = pa.array(ids)
+
+    def pool_vecs(b: pa.Table) -> pa.Table:
+        return b.filter(pc.is_in(b[id_col], value_set=idset)).select(
+            [id_col, vec_col]
+        )
+
+    rows = embeddings.map_batches(pool_vecs, batch_format="pyarrow").take_all()
+    vmap = {r[id_col]: np.asarray(r[vec_col], np.float64) for r in rows}
+    m = np.stack([vmap[i] for i in ids])
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    m = m / norms
+    sim = m @ m.T  # pool x pool, bounded
+
+    selected: list[int] = []
+    mmr_scores: list[float] = []
+    remaining = list(range(len(ids)))
+    while remaining and len(selected) < k:
+        if not selected:
+            best_j = 0  # pool is already (rel desc, id asc)-ordered
+            score = lam * rel[remaining[best_j]]
+        else:
+            r = np.asarray(remaining)
+            penal = sim[np.ix_(r, selected)].max(axis=1)
+            mmr = lam * rel[r] - (1.0 - lam) * penal
+            best_j = int(np.lexsort((ids[r], -mmr))[0])
+            score = float(mmr[best_j])
+        mmr_scores.append(score)
+        selected.append(remaining.pop(best_j))
+
+    from ..functions.rounding import round_half_away
+
+    return pa.table(
+        {
+            "rank": pa.array(range(1, len(selected) + 1), pa.int64()),
+            id_col: pa.array(ids[selected]),
+            "cosine": pa.array(round_half_away(rel[selected], 6), pa.float64()),
+            "mmr": pa.array(
+                round_half_away(np.asarray(mmr_scores), 6), pa.float64()
+            ),
+        }
     )

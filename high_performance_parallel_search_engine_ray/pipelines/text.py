@@ -2042,3 +2042,113 @@ def weighted_sample_topk(
 
     pruned = docs.map_batches(keys, batch_format="pyarrow")
     return pruned.sort(["sample_key", id_col], descending=[True, False]).limit(k)
+
+
+def repetition_screen(
+    docs,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_char_max: float = 0.2,
+    dup_gram_max: float = 0.6,
+):
+    """(doc_id, n_grams, top_gram, top_gram_n, top_char_frac, dup_gram_frac,
+    rep_ok) — the Gopher REPETITION filters (Rae et al. 2021 appendix A1.1:
+    "fraction of characters in the most frequent word 2-gram" and the
+    duplicate-2-gram fraction), the companion of the STRUCTURAL rules in
+    ``gopher_gates``: template/boilerplate pages repeat themselves long
+    before they fail a word-count band.
+
+    Per-doc, block-local (docs never span blocks), one vectorized pass:
+    regex split -> flattened token stream with doc indices -> adjacent-pair
+    2-grams where both sides share a doc -> one pandas (doc, gram) count ->
+    per-doc argmax with (count desc, gram asc) tie-break. No shuffle; the
+    only per-row Python is pandas' elementwise string concat for the gram
+    join (same cost class as the char-3-gram shingle kernels).
+
+      top_char_frac = top_gram_n * length(top_gram) / length(text)
+      dup_gram_frac = (n_grams - n_distinct_grams) / n_grams
+      rep_ok        = both rounded fractions within the thresholds
+
+    Fractions are exact int64 ratios evaluated in the identical double op
+    order as the SQL mirror, rounded 9dp BEFORE the threshold compare.
+    Docs with < 2 tokens emit the (0, '', 0, 0.0, 0.0, true) defaults."""
+    import numpy as np
+    import pandas as pd
+
+    def screen(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        txt = pc.fill_null(b[text_col], "")
+        nch = pc.utf8_length(txt).to_numpy(zero_copy_only=False).astype(np.int64)
+        toks = pc.split_pattern_regex(txt, r"\s+")
+        la = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+        counts = np.asarray(
+            pc.fill_null(pc.list_value_length(la), 0).to_numpy(
+                zero_copy_only=False
+            ),
+            dtype=np.int64,
+        )
+        vals = np.asarray(la.flatten().to_numpy(zero_copy_only=False), dtype=object)
+        di = np.repeat(np.arange(n, dtype=np.int64), counts)
+        keep = vals != ""  # split() edge artifacts; regexp_extract_all drops them
+        vals, di = vals[keep], di[keep]
+
+        ng = np.zeros(n, np.int64)
+        top_gram = np.full(n, "", dtype=object)
+        top_n = np.zeros(n, np.int64)
+        ndist = np.zeros(n, np.int64)
+        if len(vals) > 1:
+            adj = di[:-1] == di[1:]
+            if adj.any():
+                left = pd.Series(vals[:-1][adj], dtype=object)
+                right = pd.Series(vals[1:][adj], dtype=object)
+                gdi = di[:-1][adj]
+                grams = left.str.cat(right, sep=" ")
+                np.add.at(ng, gdi, 1)
+                cnt = (
+                    pd.DataFrame({"di": gdi, "g": grams.to_numpy()})
+                    .groupby(["di", "g"], sort=False)
+                    .size()
+                    .reset_index(name="n")
+                )
+                dist = cnt.groupby("di", sort=False).size()
+                ndist[dist.index.to_numpy()] = dist.to_numpy()
+                top = cnt.sort_values(
+                    ["di", "n", "g"],
+                    ascending=[True, False, True],
+                    kind="stable",
+                ).drop_duplicates("di")
+                ti = top["di"].to_numpy()
+                top_gram[ti] = top["g"].to_numpy()
+                top_n[ti] = top["n"].to_numpy()
+
+        glen = np.array([len(g) for g in top_gram], np.int64)
+        # identical double op order as the SQL: int64 product -> one division
+        tcf = np.divide(
+            (top_n * glen).astype(np.float64),
+            nch.astype(np.float64),
+            out=np.zeros(n, np.float64),
+            where=(nch > 0) & (ng > 0),
+        )
+        dgf = np.divide(
+            (ng - ndist).astype(np.float64),
+            ng.astype(np.float64),
+            out=np.zeros(n, np.float64),
+            where=ng > 0,
+        )
+        tcf = round_half_away(tcf, 9)
+        dgf = round_half_away(dgf, 9)
+        return pa.table(
+            {
+                id_col: b[id_col],
+                "n_grams": pa.array(ng, pa.int64()),
+                "top_gram": pa.array(top_gram, pa.string()),
+                "top_gram_n": pa.array(top_n, pa.int64()),
+                "top_char_frac": pa.array(tcf, pa.float64()),
+                "dup_gram_frac": pa.array(dgf, pa.float64()),
+                "rep_ok": pa.array(
+                    (tcf <= top_char_max) & (dgf <= dup_gram_max)
+                ),
+            }
+        )
+
+    return docs.map_batches(screen, batch_format="pyarrow")

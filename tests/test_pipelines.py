@@ -4079,3 +4079,129 @@ def test_order_percent_rank_single_row_partition(ray_session, tmp_path):
         .itertuples()
     }
     assert got == {1: 0.0, 2: 0.0, 3: 1.0}
+
+
+# -- wave 10: repetition screen / spell suggest / MMR --------------------------------
+
+def test_repetition_screen_planted(ray_session):
+    """Hand-checked fractions, lexicographic top-gram tie-break, <2-token
+    and empty-doc defaults — pinned against an inline DuckDB mirror."""
+    import duckdb
+    import pandas as pd
+
+    from high_performance_parallel_search_engine_ray.pipelines.text import (
+        repetition_screen,
+    )
+
+    rows = [
+        {"doc_id": 1, "text": "a a a a"},        # all grams 'a a' (3x)
+        {"doc_id": 2, "text": "w x y z"},        # 3 distinct grams, tie -> 'w x'
+        {"doc_id": 3, "text": "hello"},          # single token -> defaults
+        {"doc_id": 4, "text": ""},               # empty -> defaults
+        {"doc_id": 5, "text": "go go stop go go"},  # 'go go' twice of 4
+    ]
+    got = (
+        repetition_screen(rd.from_items(rows))
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert got.loc[1, "top_gram"] == "a a" and got.loc[1, "top_gram_n"] == 3
+    assert got.loc[1, "top_char_frac"] == round(3 * 3 / 7, 9)
+    assert got.loc[1, "dup_gram_frac"] == round(2 / 3, 9)
+    assert not got.loc[1, "rep_ok"]
+    assert got.loc[2, "top_gram"] == "w x" and got.loc[2, "dup_gram_frac"] == 0.0
+    for d in (3, 4):
+        assert got.loc[d, "top_gram"] == "" and got.loc[d, "n_grams"] == 0
+        assert got.loc[d, "top_char_frac"] == 0.0 and bool(got.loc[d, "rep_ok"])
+    assert got.loc[5, "top_gram"] == "go go" and got.loc[5, "top_gram_n"] == 2
+    # full-row parity against the oracle SQL shape over the same rows
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(rows))
+    want = con.execute(r"""
+WITH t AS (SELECT doc_id, length(text) AS nch,
+                  regexp_extract_all(text, '\S+') AS arr
+           FROM documents),
+g AS (SELECT doc_id, nch, len(arr) - 1 AS ng, unnest(
+        list_transform(range(1, len(arr)), i -> arr[i] || ' ' || arr[i + 1])
+      ) AS gram
+      FROM t),
+c AS (SELECT doc_id, any_value(nch) AS nch, any_value(ng) AS ng, gram,
+             count(*) AS n
+      FROM g GROUP BY doc_id, gram),
+r AS (SELECT doc_id, nch, ng, gram, n,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY n DESC, gram) AS rn,
+             count(*) OVER (PARTITION BY doc_id) AS ndist
+      FROM c),
+f AS (SELECT d.doc_id,
+             CAST(coalesce(r.ng, 0) AS BIGINT) AS n_grams,
+             coalesce(r.gram, '') AS top_gram,
+             CAST(coalesce(r.n, 0) AS BIGINT) AS top_gram_n,
+             coalesce(round(CAST(r.n * length(r.gram) AS DOUBLE) / r.nch, 9),
+                      0.0) AS top_char_frac,
+             coalesce(round(CAST(r.ng - r.ndist AS DOUBLE) / r.ng, 9),
+                      0.0) AS dup_gram_frac
+      FROM documents d
+      LEFT JOIN (SELECT * FROM r WHERE rn = 1) r USING (doc_id))
+SELECT *, (top_char_frac <= 0.2 AND dup_gram_frac <= 0.6) AS rep_ok FROM f
+ORDER BY doc_id
+""").df().set_index("doc_id")
+    con.close()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_spell_suggest_edit_classes(ray_session):
+    """All four ed<=1 classes match; the deletion-neighborhood superset's
+    ed=2 false candidates (shared deletions, e.g. transposition) are killed
+    by the exact verify; ranking is df desc then term asc."""
+    from high_performance_parallel_search_engine_ray.pipelines.rank import (
+        _ed_le1,
+        spell_suggest,
+    )
+
+    # df: color=3 docs, colon=2, post=1 (transposition trap for 'psot')
+    rows = [
+        {"doc_id": 1, "text": "color words color"},
+        {"doc_id": 2, "text": "color colon"},
+        {"doc_id": 3, "text": "color colon post"},
+    ]
+    docs = rd.from_items(rows)
+    got = spell_suggest(docs, "colot", k=5).to_pandas()
+    assert list(got["term"]) == ["color", "colon"]  # df 3 > df 2
+    assert list(got["rank"]) == [1, 2]
+    # exact-match + insertion + deletion classes
+    assert list(spell_suggest(docs, "color", k=5).to_pandas()["term"])[0] == "color"
+    assert "color" in set(spell_suggest(docs, "colors", k=5).to_pandas()["term"])
+    assert "color" in set(spell_suggest(docs, "colo", k=5).to_pandas()["term"])
+    # 'psot' shares deletions with 'post' but lev=2: must NOT match
+    assert len(spell_suggest(docs, "psot", k=5).to_pandas()) == 0
+    # the verify kernel itself
+    assert _ed_le1("post", "post") and _ed_le1("post", "pos")
+    assert _ed_le1("post", "posts") and _ed_le1("post", "past")
+    assert not _ed_le1("post", "psot") and not _ed_le1("ab", "ba")
+
+
+def test_mmr_rerank_diversifies(ray_session):
+    """lam=1 reduces to the exact brute-force order; a diversity-weighted
+    lam skips the planted near-duplicate in favor of the distant vector."""
+    from high_performance_parallel_search_engine_ray.pipelines.ann import (
+        brute_force_topk,
+        mmr_rerank,
+    )
+
+    q = np.array([1.0, 0.0], np.float64)
+    rows = [
+        {"vec_id": 1, "embedding": [1.0, 0.0]},
+        {"vec_id": 2, "embedding": [1.0, 0.0]},   # exact duplicate of 1
+        {"vec_id": 3, "embedding": [0.8, 0.6]},   # diverse
+    ]
+    emb = rd.from_items(rows)
+    pure = mmr_rerank(emb, q, k=3, pool=3, lam=1.0).to_pandas()
+    brute = brute_force_topk(emb, q[None, :], k=3).to_pandas().sort_values("rank")
+    assert list(pure["vec_id"]) == list(brute["vec_id"]) == [1, 2, 3]
+    div = mmr_rerank(emb, q, k=3, pool=3, lam=0.3).to_pandas()
+    # mmr(2) = 0.3*1 - 0.7*1 = -0.4 < mmr(3) = 0.3*0.8 - 0.7*0.8 = -0.32
+    assert list(div["vec_id"]) == [1, 3, 2]
+    assert abs(div["mmr"].iloc[1] - (-0.32)) < 1e-9
+    assert list(div["rank"]) == [1, 2, 3]

@@ -166,7 +166,7 @@ def test_registry_ordering_contract():
         # wave-9 additions (same rationale)
         "triangles", "event_type_overlap",
         # wave-10 additions (same rationale)
-        "order_percent_rank",
+        "order_percent_rank", "repetition_screen", "spell_suggest",
     }
     assert set(entry_mod.oracle_sql()) - overflow_ok <= first50
     for critical in (
