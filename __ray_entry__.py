@@ -98,6 +98,86 @@ def _incremental_dedup(sf_dir: str):
     return dedup.dedup_against_store(odd, store, est_threshold=0.5)
 
 
+def _pii_docs(sf_dir: str):
+    """Documents with DETERMINISTIC synthetic PII appended to 2/3 of the
+    rows (built from doc_id by the identical expression in the oracle SQL)
+    — the corpus itself is PII-free, so the injection is what makes the
+    redaction contract check non-degenerate."""
+    import pyarrow.compute as _pc
+
+    docs = _docs(sf_dir)
+
+    def inject(b):
+        import numpy as _np
+        import pyarrow as _pa
+
+        ids = b["doc_id"]
+        idn = ids.to_numpy(zero_copy_only=False).astype(_np.int64)
+        suffix = _pc.binary_join_element_wise(
+            " mail u",
+            _pc.cast(ids, _pa.string()),
+            "@ex.com ip 10.0.",
+            _pa.array((idn % 256).astype(str)),
+            ".7 tel 123456789",
+            "",
+        )
+        injected = _pc.binary_join_element_wise(b["text"], suffix, "")
+        keep_clean = _pa.array(idn % 3 == 0)
+        return _pa.table(
+            {
+                "doc_id": ids,
+                "text": _pc.if_else(keep_clean, b["text"], injected),
+            }
+        )
+
+    return docs.map_batches(inject, batch_format="pyarrow")
+
+
+def _csv_roundtrip(sf_dir: str):
+    """Write the corpus as CSV (quoted text with commas survives), read it
+    back with the CSV source, and aggregate the same per-source checksums
+    as the JSONL roundtrip — one oracle SQL serves both sinks."""
+    import tempfile
+
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    from high_performance_parallel_search_engine_ray.sources import io as hio
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "source", "n_chars", "text"],
+    )
+    out = tempfile.mkdtemp(prefix="hppse_csv_", dir="/tmp")
+    hio.write_csv_docs(docs, out)
+    back = hio.read_csv_docs(out)
+
+    def digest(b):
+        import hashlib
+
+        import pyarrow as pa
+
+        sums = [
+            int(hashlib.md5(t.encode()).hexdigest()[:8], 16)
+            for t in b["text"].to_pylist()
+        ]
+        return pa.table(
+            {
+                "source": b["source"],
+                "n_chars": b["n_chars"],
+                "text_md5_32": pa.array(sums, pa.int64()),
+            }
+        )
+
+    return back.map_batches(digest, batch_format="pyarrow").groupby(
+        "source"
+    ).aggregate(
+        Count(alias_name="n_docs"),
+        Sum("n_chars", alias_name="total_chars"),
+        Sum("text_md5_32", alias_name="text_checksum"),
+    )
+
+
 def _jsonl_roundtrip(sf_dir: str):
     """Write the corpus as JSONL (one object per line, one file per
     block), read it back with the JSONL source, and aggregate per source
@@ -952,6 +1032,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mmr_rerank": lambda sf: ann.mmr_rerank(
             _emb(sf), _query_vectors(sf)[0], k=10, pool=50
         ),
+        # wave 11: PII anonymization (emails/IPv4/long digit runs masked in
+        # a fixed order; counts on the original text; RE2 on both engines)
+        "pii_redact": lambda sf: text.pii_redact(_pii_docs(sf)),
+        # wave 11: exact distributed PCA (one moments row per block, driver
+        # eigh; rows-only — eigendecomposition is not SQL-expressible;
+        # numpy-equality + variance-order pinned by pytest)
+        "pca_project": lambda sf: ann.pca_project(_emb(sf), n_components=2),
+        # wave 11: CSV sink/source roundtrip (same checksum oracle as JSONL)
+        "csv_roundtrip": _csv_roundtrip,
     }
 
 
@@ -2722,6 +2811,31 @@ SELECT term, df,
        CAST(row_number() OVER (ORDER BY df DESC, term) AS BIGINT) AS rank
 FROM m ORDER BY rank LIMIT 5
 """
+    # wave 11: PII redaction — the injected-PII corpus and the nested
+    # regexp_replace chain mirror text.pii_redact exactly (RE2 both sides)
+    sqls["pii_redact"] = r"""
+WITH src AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN text
+              ELSE text || ' mail u' || doc_id || '@ex.com ip 10.0.' ||
+                   (doc_id % 256) || '.7 tel 123456789'
+         END AS text
+  FROM documents)
+SELECT doc_id,
+  regexp_replace(regexp_replace(regexp_replace(text,
+      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+      '\b\d{9,}\b', '<NUM>', 'g') AS redacted,
+  CAST(len(regexp_extract_all(text,
+      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+    AS n_emails,
+  CAST(len(regexp_extract_all(text,
+      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+  CAST(len(regexp_extract_all(text, '\b\d{9,}\b')) AS BIGINT) AS n_longnums
+FROM src
+"""
+    # wave 11: CSV roundtrip shares the JSONL checksum oracle
+    sqls["csv_roundtrip"] = sqls["jsonl_roundtrip"]
     return sqls
 
 

@@ -151,6 +151,9 @@ BENCH_QUERIES = [
     "repetition_screen",
     "spell_suggest",
     "mmr_rerank",
+    # wave-11 additions
+    "pii_redact",
+    "pca_project",
 ]
 
 

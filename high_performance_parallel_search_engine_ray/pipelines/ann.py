@@ -483,3 +483,73 @@ def mmr_rerank(
             ),
         }
     )
+
+
+def pca_fit(embeddings, n_components: int = 2, vec_col: str = "embedding"):
+    """Exact distributed PCA fit via the classic sufficient-moment plan:
+    each block emits ONE partial row (n, sum-vector, flattened sum of outer
+    products — d + d^2 doubles, constant in the row count), the driver sums
+    the block-count-bounded partials, forms the covariance C = M/n - mu
+    mu^T, and takes the top eigenvectors with numpy.linalg.eigh. The only
+    data movement is one partial row per block; the corpus never shuffles
+    and never lands on the driver. Deterministic sign fix: each component's
+    largest-|.|-coordinate is made positive. Returns (mu, components
+    [n_components x d], explained_variance)."""
+
+    def partials(b: pa.Table) -> pa.Table:
+        m = _to_matrix(b[vec_col]).astype(np.float64)
+        return pa.table(
+            {
+                "n": pa.array([m.shape[0]], pa.int64()),
+                "s": pa.array([m.sum(axis=0).tolist()]),
+                "m2": pa.array([(m.T @ m).ravel().tolist()]),
+            }
+        )
+
+    rows = embeddings.map_batches(partials, batch_format="pyarrow").take_all()
+    n = sum(r["n"] for r in rows)
+    if n == 0:
+        raise ValueError("pca_fit: empty embeddings dataset")
+    s = np.sum([np.asarray(r["s"]) for r in rows], axis=0)
+    m2 = np.sum([np.asarray(r["m2"]) for r in rows], axis=0)
+    d = s.shape[0]
+    mu = s / n
+    cov = m2.reshape(d, d) / n - np.outer(mu, mu)
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    idx = np.argsort(evals)[::-1][:n_components]
+    comps = evecs[:, idx].T
+    flip = np.sign(comps[np.arange(len(idx)), np.abs(comps).argmax(axis=1)])
+    flip[flip == 0] = 1.0
+    comps = comps * flip[:, None]
+    return mu, comps, evals[idx]
+
+
+def pca_project(
+    embeddings,
+    n_components: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+):
+    """(id, p0..p{k-1}): project every embedding onto the PCA basis fit by
+    ``pca_fit`` — the dimensionality-reduction pre-pass (companion of the
+    data-independent ``jl_project``: PCA buys the best linear compression
+    for one cheap extra moments pass). The (mu, W) model is broadcast once
+    via ray.put; projection is one BLAS matmul per batch, shuffle-free."""
+    import ray
+
+    mu, comps, _ = pca_fit(embeddings, n_components, vec_col)
+    model_ref = ray.put((mu, comps.T))  # d x k
+
+    def project(b: pa.Table) -> pa.Table:
+        mu_, w = ray.get(model_ref)
+        m = _to_matrix(b[vec_col]).astype(np.float64)
+        p = (m - mu_) @ w
+        cols = {id_col: b[id_col]}
+        for j in range(p.shape[1]):
+            cols[f"p{j}"] = pa.array(
+                round_half_away(p[:, j], round_to), pa.float64()
+            )
+        return pa.table(cols)
+
+    return embeddings.map_batches(project, batch_format="pyarrow")

@@ -2152,3 +2152,41 @@ def repetition_screen(
         )
 
     return docs.map_batches(screen, batch_format="pyarrow")
+
+
+# RE2-compatible on BOTH engines (Arrow's replace_substring_regex and
+# DuckDB's regexp_replace are RE2): dialect parity is part of the contract.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_LONGNUM_RE = r"\b\d{9,}\b"
+
+
+def pii_redact(docs, id_col: str = "doc_id", text_col: str = "text"):
+    """(doc_id, redacted, n_emails, n_ips, n_longnums) — the PII
+    anonymization stage every public curation stack runs (C4/Dolma/FineWeb
+    mask emails + IP addresses before release): emails -> <EMAIL>, IPv4
+    literals -> <IP>, 9+-digit runs (phone/SSN-shaped) -> <NUM>, applied in
+    that fixed order so the SQL mirror's nested regexp_replace composes
+    identically. Counts are measured on the ORIGINAL text. Pure vectorized
+    RE2 kernels per batch (count_substring_regex + replace_substring_regex)
+    — no per-row Python, no shuffle."""
+
+    def redact(b: pa.Table) -> pa.Table:
+        txt = pc.fill_null(b[text_col], "")
+        n_email = pc.count_substring_regex(txt, PII_EMAIL_RE).cast(pa.int64())
+        n_ip = pc.count_substring_regex(txt, PII_IPV4_RE).cast(pa.int64())
+        n_num = pc.count_substring_regex(txt, PII_LONGNUM_RE).cast(pa.int64())
+        red = pc.replace_substring_regex(txt, PII_EMAIL_RE, "<EMAIL>")
+        red = pc.replace_substring_regex(red, PII_IPV4_RE, "<IP>")
+        red = pc.replace_substring_regex(red, PII_LONGNUM_RE, "<NUM>")
+        return pa.table(
+            {
+                id_col: b[id_col],
+                "redacted": red,
+                "n_emails": n_email,
+                "n_ips": n_ip,
+                "n_longnums": n_num,
+            }
+        )
+
+    return docs.map_batches(redact, batch_format="pyarrow")

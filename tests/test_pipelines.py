@@ -4205,3 +4205,69 @@ def test_mmr_rerank_diversifies(ray_session):
     assert list(div["vec_id"]) == [1, 3, 2]
     assert abs(div["mmr"].iloc[1] - (-0.32)) < 1e-9
     assert list(div["rank"]) == [1, 2, 3]
+
+
+# -- wave 11: PII redaction / PCA / CSV roundtrip ------------------------------------
+
+def test_pii_redact_planted(ray_session):
+    """Each PII class masks with its own token, counts are measured on the
+    original text, clean docs pass through untouched, and the fixed
+    email->ip->longnum order composes (an IP inside an email is consumed
+    by the email mask first)."""
+    from high_performance_parallel_search_engine_ray.pipelines.text import pii_redact
+
+    rows = [
+        {"doc_id": 1, "text": "write to bob.smith+x@corp.example.org today"},
+        {"doc_id": 2, "text": "server 192.168.0.1 and 10.0.0.2 up"},
+        {"doc_id": 3, "text": "card 1234567890123456 short 12345678"},
+        {"doc_id": 4, "text": "clean text no pii"},
+        {"doc_id": 5, "text": "u@10.0.0.5.com then 10.1.2.3"},
+    ]
+    got = pii_redact(rd.from_items(rows)).to_pandas().set_index("doc_id")
+    assert got.loc[1, "redacted"] == "write to <EMAIL> today"
+    assert got.loc[1, "n_emails"] == 1 and got.loc[1, "n_ips"] == 0
+    assert got.loc[2, "redacted"] == "server <IP> and <IP> up"
+    assert got.loc[2, "n_ips"] == 2
+    # 16-digit card masked, 8-digit number under the 9-digit floor kept
+    assert got.loc[3, "redacted"] == "card <NUM> short 12345678"
+    assert got.loc[3, "n_longnums"] == 1
+    assert got.loc[4, "redacted"] == rows[3]["text"]
+    assert (
+        got.loc[4, ["n_emails", "n_ips", "n_longnums"]] == 0
+    ).all()
+    # email host that LOOKS like an ip: email pattern wins (applied first),
+    # the free-standing ip still masks
+    assert got.loc[5, "redacted"] == "<EMAIL> then <IP>"
+
+
+def test_pca_matches_numpy(ray_session):
+    """Distributed moments PCA == numpy eigh on the gathered matrix (same
+    sign convention), components ordered by explained variance, projection
+    deterministic across block layouts."""
+    from high_performance_parallel_search_engine_ray.pipelines.ann import (
+        pca_fit,
+        pca_project,
+    )
+
+    rng = np.random.default_rng(7)
+    # anisotropic cloud: dominant axis ~[3,1,0], second ~[-1,3,0.5]
+    base = rng.standard_normal((200, 3))
+    x = base @ np.array([[3.0, 1.0, 0.0], [-1.0, 3.0, 0.5], [0.1, 0.0, 0.3]])
+    rows = [
+        {"vec_id": i, "embedding": x[i].tolist()} for i in range(len(x))
+    ]
+    ds = rd.from_items(rows).repartition(7)  # multi-block: partials merge
+    mu, comps, ev = pca_fit(ds, n_components=2)
+    assert ev[0] >= ev[1] > 0
+    np.testing.assert_allclose(mu, x.mean(axis=0), atol=1e-9)
+    cov = np.cov(x.T, bias=True)
+    w, v = np.linalg.eigh(cov)
+    ref = v[:, np.argsort(w)[::-1][:2]].T
+    flip = np.sign(ref[np.arange(2), np.abs(ref).argmax(axis=1)])
+    ref = ref * flip[:, None]
+    np.testing.assert_allclose(comps, ref, atol=1e-8)
+    proj = pca_project(ds, n_components=2).to_pandas().sort_values("vec_id")
+    want = (x - x.mean(axis=0)) @ ref.T
+    np.testing.assert_allclose(
+        proj[["p0", "p1"]].to_numpy(), np.round(want, 6), atol=2e-6
+    )

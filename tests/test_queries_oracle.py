@@ -167,6 +167,8 @@ def test_registry_ordering_contract():
         "triangles", "event_type_overlap",
         # wave-10 additions (same rationale)
         "order_percent_rank", "repetition_screen", "spell_suggest",
+        # wave-11 additions (same rationale)
+        "pii_redact", "csv_roundtrip",
     }
     assert set(entry_mod.oracle_sql()) - overflow_ok <= first50
     for critical in (
