@@ -1041,6 +1041,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pca_project": lambda sf: ann.pca_project(_emb(sf), n_components=2),
         # wave 11: CSV sink/source roundtrip (same checksum oracle as JSONL)
         "csv_roundtrip": _csv_roundtrip,
+        # wave 12: positional phrase match (adjacent-token 2-gram), the step
+        # past boolean_and's bag-of-words; block-local, shuffle-free
+        "phrase_search": lambda sf: rank.phrase_search(_docs(sf), "hash join"),
+        # wave 12: query autocomplete over the index vocabulary (prefix
+        # top-k by df — the serving companion of spell_suggest)
+        "autocomplete": lambda sf: rank.autocomplete_prefix(_docs(sf), "s", k=10),
+        # wave 12: time-weighted average (ordering-dependent integral over
+        # irregular samples; two-level day-bucket plan, no type-skew sort)
+        "events_twap": relational.events_twap,
+        # wave 12: grouped MODE with deterministic tie-break (bounded-grid
+        # argmax; no fact row shuffles)
+        "mode_quantity": relational.returnflag_mode_quantity,
     }
 
 
@@ -2836,6 +2848,53 @@ FROM src
 """
     # wave 11: CSV roundtrip shares the JSONL checksum oracle
     sqls["csv_roundtrip"] = sqls["jsonl_roundtrip"]
+    # wave 12: adjacent-token phrase match over whitespace 2-grams
+    sqls["phrase_search"] = r"""
+WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS arr
+           FROM documents),
+g AS (SELECT doc_id, unnest(
+        list_transform(range(1, len(arr)), i -> arr[i] || ' ' || arr[i + 1])
+      ) AS gram
+      FROM t)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
+FROM g WHERE gram = 'hash join' GROUP BY doc_id
+"""
+    # wave 12: prefix autocomplete over the tokenized vocabulary
+    sqls["autocomplete"] = f"""
+WITH {_TOKS_CTE},
+v AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term)
+SELECT term, CAST(df AS BIGINT) AS df,
+       CAST(row_number() OVER (ORDER BY df DESC, term) AS BIGINT) AS rank
+FROM v WHERE term LIKE 's%' ORDER BY rank LIMIT 10
+"""
+    # wave 12: time-weighted average per event type (cents x epoch-ms exact
+    # int64 partials; identical final double expression as the Ray side)
+    sqls["events_twap"] = """
+WITH e AS (SELECT event_type, epoch_ms(ts) AS tms,
+                  CAST(round(value * 100, 0) AS BIGINT) AS vc, event_id
+           FROM events),
+o AS (SELECT event_type, vc, tms,
+             lead(tms) OVER (PARTITION BY event_type
+                             ORDER BY tms, event_id) AS nxt
+      FROM e)
+SELECT event_type,
+       round(CAST(sum(CASE WHEN nxt IS NULL THEN 0
+                           ELSE vc * (nxt - tms) END) AS DOUBLE)
+             / (100.0 * (max(tms) - min(tms))), 9) AS twap,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM o GROUP BY event_type HAVING count(*) >= 2
+"""
+    # wave 12: grouped mode with (count desc, value asc) tie-break
+    sqls["mode_quantity"] = """
+WITH c AS (SELECT l_returnflag,
+                  CAST(round(l_quantity) AS BIGINT) AS q, count(*) AS n
+           FROM lineitem GROUP BY 1, 2),
+r AS (SELECT *, row_number() OVER (PARTITION BY l_returnflag
+                                   ORDER BY n DESC, q) AS rn
+      FROM c)
+SELECT l_returnflag, q AS mode_quantity, CAST(n AS BIGINT) AS n
+FROM r WHERE rn = 1
+"""
     return sqls
 
 

@@ -154,6 +154,10 @@ BENCH_QUERIES = [
     # wave-11 additions
     "pii_redact",
     "pca_project",
+    # wave-12 additions
+    "phrase_search",
+    "events_twap",
+    "mode_quantity",
 ]
 
 

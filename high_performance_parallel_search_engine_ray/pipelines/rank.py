@@ -687,3 +687,74 @@ def spell_suggest(
             "rank": pa.array(range(1, len(hits) + 1), pa.int64()),
         }
     )
+
+
+def phrase_search(docs, phrase: str, id_col: str = "doc_id", text_col: str = "text"):
+    """(doc_id, n_hits) for every document containing the exact two-word
+    ``phrase`` as ADJACENT whitespace tokens (case-folded) — real phrase
+    match, the positional step past ``boolean_and_search``'s bag-of-words
+    conjunction. Block-local and shuffle-free: docs never span blocks, so
+    one vectorized pass (lower -> regex split -> flattened token stream
+    with doc indices -> adjacent-equality mask -> per-doc bincount) answers
+    the phrase query with zero data movement. Multi-word phrases chain the
+    same mask; two words is the oracle-anchored shape."""
+    import numpy as np
+
+    words = phrase.lower().split()
+    if len(words) != 2:
+        raise ValueError("phrase_search: exactly two words (the 2-gram anchor)")
+    w1, w2 = words
+
+    def hits(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        txt = pc.utf8_lower(pc.fill_null(b[text_col], ""))
+        toks = pc.split_pattern_regex(txt, r"\s+")
+        la = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+        counts = np.asarray(
+            pc.fill_null(pc.list_value_length(la), 0).to_numpy(zero_copy_only=False),
+            dtype=np.int64,
+        )
+        vals = np.asarray(la.flatten().to_numpy(zero_copy_only=False), dtype=object)
+        di = np.repeat(np.arange(n, dtype=np.int64), counts)
+        keep = vals != ""
+        vals, di = vals[keep], di[keep]
+        nh = np.zeros(n, np.int64)
+        if len(vals) > 1:
+            hit = (vals[:-1] == w1) & (vals[1:] == w2) & (di[:-1] == di[1:])
+            np.add.at(nh, di[:-1][hit], 1)
+        t = pa.table(
+            {id_col: b[id_col], "n_hits": pa.array(nh, pa.int64())}
+        )
+        return t.filter(pa.array(nh > 0))
+
+    return docs.map_batches(hits, batch_format="pyarrow")
+
+
+def autocomplete_prefix(
+    docs, prefix: str, k: int = 10, id_col: str = "doc_id", text_col: str = "text"
+):
+    """(term, df, rank): the k highest-df vocabulary terms starting with
+    ``prefix`` — query auto-complete over the live index vocabulary (the
+    serving companion of ``spell_suggest``). The vocab is the only thing
+    that moves; the prefix filter is a vectorized starts_with per block and
+    the global order is sort + limit over the filtered (tiny) slice."""
+    from .index import term_df
+
+    vocab = term_df(docs, id_col, text_col)
+
+    def pref(b: pa.Table) -> pa.Table:
+        return b.filter(pc.starts_with(b["term"], prefix))
+
+    top = (
+        vocab.map_batches(pref, batch_format="pyarrow")
+        .sort(["df", "term"], descending=[True, False])
+        .limit(k)
+        .take_all()
+    )
+    return pa.table(
+        {
+            "term": pa.array([r["term"] for r in top], pa.string()),
+            "df": pa.array([int(r["df"]) for r in top], pa.int64()),
+            "rank": pa.array(range(1, len(top) + 1), pa.int64()),
+        }
+    )

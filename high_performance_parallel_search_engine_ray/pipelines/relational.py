@@ -3014,3 +3014,158 @@ def order_price_percent_rank(sf_dir: str, bucket_cents: int = 10_000):
         .groupby("part")
         .map_groups(rank_part, batch_format="pandas")
     )
+
+
+def events_twap(sf_dir: str):
+    """(event_type, twap, n_events): TIME-WEIGHTED average value per event
+    type — the irregular-sampling mean (step-function integral / observed
+    span) behind TWAP/uptime/billing metrics, where the plain AVG
+    over-weights bursts. Ordering-dependent, so it can't be a plain
+    groupby; and event_type has ~5 values, so one map_groups per type is a
+    fact-scale single-task sort (the skew anti-pattern). Two-level exact
+    plan instead:
+
+      local: rows co-locate by hash(type, DAY) — within a partition one
+        vectorized sort + consecutive-pair product per (type, day) bucket
+        emits (inner int64 pair-sum, first/last boundary row) per bucket.
+        Ties order (tms, event_id), and a tie can never straddle buckets.
+      driver: the bounded (types x days) bucket rows chain in day order —
+        each bucket boundary adds last_vc[i] * (first_tms[i+1] -
+        last_tms[i]) — then ONE double division per type, the identical
+        expression the SQL lead() plan evaluates (value on the cents
+        lattice x epoch-ms ints = exact int64 partials, order-free).
+
+    Types with < 2 events carry no interval and are excluded (the
+    oracle's HAVING)."""
+    N_PARTS = 64
+    MS_PER_DAY = 86_400_000
+
+    events = _read(sf_dir, "events", ["event_type", "event_id", "ts", "value"])
+
+    def tag(b: pa.Table) -> pa.Table:
+        ts = (
+            b["ts"].to_numpy(zero_copy_only=False)
+            .astype("datetime64[ns]")
+            .astype(np.int64)
+        )
+        tms = ts // 1_000_000
+        day = tms // MS_PER_DAY
+        vc = np.rint(
+            b["value"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        tcodes = pd.util.hash_array(
+            b["event_type"].to_numpy(zero_copy_only=False), categorize=False
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "t": b["event_type"],
+                "eid": pc.cast(b["event_id"], pa.int64()),
+                "tms": pa.array(tms),
+                "day": pa.array(day),
+                "vc": pa.array(vc),
+                "part": pa.array(
+                    ((tcodes * 1_000_003 + day) % N_PARTS).astype(np.int32)
+                ),
+            }
+        )
+
+    def bucket_stats(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["t", "day", "tms", "eid"], kind="stable")
+        rows = []
+        # bounded loop: <= types x days buckets exist in the WHOLE dataset
+        for (t, day), sub in g.groupby(["t", "day"], sort=False):
+            tms = sub["tms"].to_numpy()
+            vc = sub["vc"].to_numpy()
+            inner = (
+                int(np.sum(vc[:-1] * (tms[1:] - tms[:-1])))
+                if len(tms) > 1
+                else 0
+            )
+            rows.append(
+                {
+                    "t": t,
+                    "day": int(day),
+                    "inner": inner,
+                    "first_tms": int(tms[0]),
+                    "last_tms": int(tms[-1]),
+                    "last_vc": int(vc[-1]),
+                    "n": len(tms),
+                }
+            )
+        return pd.DataFrame(
+            rows,
+            columns=["t", "day", "inner", "first_tms", "last_tms", "last_vc", "n"],
+        )
+
+    buckets = (
+        events.map_batches(tag, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(bucket_stats, batch_format="pandas")
+        .to_pandas()  # bounded: types x days rows
+        .sort_values(["t", "day"])
+    )
+    out_t, out_twap, out_n = [], [], []
+    for t, sub in buckets.groupby("t", sort=True):
+        n = int(sub["n"].sum())
+        if n < 2:
+            continue
+        total = int(sub["inner"].sum())
+        lv = sub["last_vc"].to_numpy()
+        lt = sub["last_tms"].to_numpy()
+        ft = sub["first_tms"].to_numpy()
+        if len(sub) > 1:
+            total += int(np.sum(lv[:-1] * (ft[1:] - lt[:-1])))
+        span = int(sub["last_tms"].iloc[-1] - sub["first_tms"].iloc[0])
+        out_t.append(t)
+        out_twap.append(round_half_away(float(total) / (100.0 * span), 9))
+        out_n.append(n)
+    return pa.table(
+        {
+            "event_type": pa.array(out_t, pa.string()),
+            "twap": pa.array(out_twap, pa.float64()),
+            "n_events": pa.array(out_n, pa.int64()),
+        }
+    )
+
+
+def returnflag_mode_quantity(sf_dir: str):
+    """(l_returnflag, mode_quantity, n): the MODAL order quantity per
+    return flag — grouped mode with the deterministic (count desc, value
+    asc) tie-break. The fact scan collapses to exact integer (flag,
+    quantity) counts per block (bounded grid: flags x distinct quantities
+    ~ 150 rows), one small groupby merges the partials, and the argmax
+    runs in one task over the grid — no fact row ever shuffles."""
+    from ray.data.aggregate import Sum
+
+    li = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "f": b["l_returnflag"],
+                "m": pc.cast(pc.round(b["l_quantity"]), pa.int64()),
+                "n": pa.array(np.ones(b.num_rows, np.int64)),
+            }
+        )
+        return _agg_rename(
+            t.group_by(["f", "m"]).aggregate([("n", "sum")]), {"n_sum": "n"}
+        )
+
+    grid = (
+        li.map_batches(partial, batch_format="pyarrow")
+        .groupby(["f", "m"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # bounded grid
+    )
+    top = grid.sort_values(
+        ["f", "n", "m"], ascending=[True, False, True], kind="stable"
+    ).drop_duplicates("f")
+    return pa.table(
+        {
+            "l_returnflag": pa.array(top["f"].to_numpy(), pa.string()),
+            "mode_quantity": pa.array(
+                top["m"].to_numpy().astype(np.int64), pa.int64()
+            ),
+            "n": pa.array(top["n"].to_numpy().astype(np.int64), pa.int64()),
+        }
+    )

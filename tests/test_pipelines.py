@@ -4271,3 +4271,124 @@ def test_pca_matches_numpy(ray_session):
     np.testing.assert_allclose(
         proj[["p0", "p1"]].to_numpy(), np.round(want, 6), atol=2e-6
     )
+
+
+# -- wave 12: phrase search / autocomplete / TWAP / grouped mode ----------------------
+
+def test_phrase_search_adjacency(ray_session):
+    """Only ADJACENT ordered token pairs hit; case folds; multiple and
+    overlapping occurrences count; bag-of-words co-occurrence does not."""
+    from high_performance_parallel_search_engine_ray.pipelines.rank import phrase_search
+
+    rows = [
+        {"doc_id": 1, "text": "the Hash Join wins"},           # 1 hit (case)
+        {"doc_id": 2, "text": "join hash and hash alone"},     # reversed: 0
+        {"doc_id": 3, "text": "hash join hash join"},          # 2 hits
+        {"doc_id": 4, "text": "hash hash join"},               # 1 hit
+        {"doc_id": 5, "text": "nothing here"},
+    ]
+    got = {
+        r["doc_id"]: r["n_hits"]
+        for r in phrase_search(rd.from_items(rows), "hash join").take_all()
+    }
+    assert got == {1: 1, 3: 2, 4: 1}
+
+
+def test_autocomplete_prefix_ranking(ray_session):
+    """df-desc then term-asc within the prefix; other prefixes excluded."""
+    from high_performance_parallel_search_engine_ray.pipelines.rank import (
+        autocomplete_prefix,
+    )
+
+    rows = [
+        {"doc_id": 1, "text": "scan sort scan"},
+        {"doc_id": 2, "text": "scan sample"},
+        {"doc_id": 3, "text": "sort table"},
+    ]
+    got = autocomplete_prefix(rd.from_items(rows), "s", k=10).to_pandas()
+    # df: scan=2 docs, sort=2, sample=1 -> scan before sort (term asc on tie)
+    assert list(got["term"]) == ["scan", "sort", "sample"]
+    assert list(got["df"]) == [2, 2, 1]
+    assert list(got["rank"]) == [1, 2, 3]
+    got2 = autocomplete_prefix(rd.from_items(rows), "ta", k=10).to_pandas()
+    assert list(got2["term"]) == ["table"]
+
+
+def test_events_twap_boundary_chain(ray_session, tmp_path):
+    """Hand-computed step integral including a CROSS-DAY boundary interval
+    and a same-timestamp tie (event_id order); single-event types drop."""
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from high_performance_parallel_search_engine_ray.pipelines.relational import (
+        events_twap,
+    )
+
+    rows = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3, 4, 5, 6],
+            "event_type": ["a", "a", "a", "a", "b", "a"],
+            # day 1: 00:00, 00:00 (tie), 06:00; day 2: 00:00 + one more
+            "ts": pd.to_datetime(
+                [
+                    "2024-01-01 00:00:00",
+                    "2024-01-01 00:00:00",
+                    "2024-01-01 06:00:00",
+                    "2024-01-02 00:00:00",
+                    "2024-01-05 12:00:00",
+                    "2024-01-02 12:00:00",
+                ]
+            ),
+            "value": [10.00, 20.00, 30.00, 40.00, 99.0, 50.0],
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(rows), str(tmp_path / "events.parquet"))
+    got = events_twap(str(tmp_path)).to_pandas().set_index("event_type")
+    # 'a' ordered: (t0,10),(t0,20),(t0+6h,30),(t1,40),(t1+12h,50)
+    # integral = 10*0 + 20*6h + 30*18h + 40*12h over span 36h
+    want = (20 * 6 + 30 * 18 + 40 * 12) / 36.0
+    assert got.loc["a", "twap"] == round(want, 9)
+    assert got.loc["a", "n_events"] == 5
+    assert "b" not in got.index  # single event: no interval
+    con = duckdb.connect()
+    con.register("events", rows)
+    oracle = con.execute("""
+WITH e AS (SELECT event_type, epoch_ms(ts) AS tms,
+                  CAST(round(value * 100, 0) AS BIGINT) AS vc, event_id
+           FROM events),
+o AS (SELECT event_type, vc, tms,
+             lead(tms) OVER (PARTITION BY event_type
+                             ORDER BY tms, event_id) AS nxt
+      FROM e)
+SELECT event_type,
+       round(CAST(sum(CASE WHEN nxt IS NULL THEN 0
+                           ELSE vc * (nxt - tms) END) AS DOUBLE)
+             / (100.0 * (max(tms) - min(tms))), 9) AS twap
+FROM o GROUP BY event_type HAVING count(*) >= 2
+""").df()
+    con.close()
+    assert got.loc["a", "twap"] == oracle.set_index("event_type").loc["a", "twap"]
+
+
+def test_mode_quantity_tiebreak(ray_session, tmp_path):
+    """Tied counts resolve to the SMALLEST quantity, per group."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from high_performance_parallel_search_engine_ray.pipelines.relational import (
+        returnflag_mode_quantity,
+    )
+
+    rows = pd.DataFrame(
+        {
+            "l_returnflag": ["A", "A", "A", "A", "R", "R"],
+            "l_quantity": [7.0, 7.0, 3.0, 3.0, 9.0, 9.0],
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(rows), str(tmp_path / "lineitem.parquet"))
+    got = returnflag_mode_quantity(str(tmp_path)).to_pandas()
+    got = {r.l_returnflag: (r.mode_quantity, r.n) for r in got.itertuples()}
+    assert got == {"A": (3, 2), "R": (9, 2)}

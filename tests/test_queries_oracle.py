@@ -169,6 +169,8 @@ def test_registry_ordering_contract():
         "order_percent_rank", "repetition_screen", "spell_suggest",
         # wave-11 additions (same rationale)
         "pii_redact", "csv_roundtrip",
+        # wave-12 additions (same rationale)
+        "phrase_search", "autocomplete", "events_twap", "mode_quantity",
     }
     assert set(entry_mod.oracle_sql()) - overflow_ok <= first50
     for critical in (
