@@ -550,6 +550,39 @@ def queries() -> dict[str, Callable[[str], Any]]:
         eng.shutdown()
         return pa.Table.from_pylist(rows)
 
+    def crawl_trap(sf_dir):
+        # trap screen over the smoke crawl's fetched URL set (sf-independent
+        # like crawl_smoke; rows-only — the crawl corpus is not a SQL view)
+        from high_performance_parallel_search_engine_ray.pipelines.crawl import (
+            CrawlConfig,
+            ShardedCrawl,
+            trap_screen,
+        )
+        from high_performance_parallel_search_engine_ray.sources.corpus import (
+            generate_corpus,
+        )
+
+        corpus = generate_corpus("t1-smoke", seed=42)
+        eng = ShardedCrawl(
+            CrawlConfig(
+                corpus_dir=corpus,
+                out_dir="/tmp/hppse_query_trap",
+                num_shards=4,
+                fetch_concurrency=2,
+                round_budget_ms=5000,
+                max_rounds=20,
+            )
+        )
+        eng.run()
+        out = (
+            trap_screen(eng.docs_dataset(), min_urls=10)
+            .to_pandas()
+            .sort_values("host")
+            .reset_index(drop=True)
+        )
+        eng.shutdown()
+        return out
+
     def crawl_exact_trace(sf_dir):
         import pyarrow as pa
         from high_performance_parallel_search_engine_ray.pipelines.crawl import (
@@ -1053,6 +1086,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # wave 12: grouped MODE with deterministic tie-break (bounded-grid
         # argmax; no fact row shuffles)
         "mode_quantity": relational.returnflag_mode_quantity,
+        # wave 13: FULL OUTER day alignment via tagged-union groupby (the
+        # join family's last shape; only day-bounded partials shuffle)
+        "daily_outer_join": relational.daily_outer_join,
+        # wave 13: crawl-trap screen over the smoke crawl's URL set (rows-
+        # only; template collapse + planted calendar-trap pinned by pytest)
+        "crawl_trap_screen": crawl_trap,
     }
 
 
@@ -2883,6 +2922,17 @@ SELECT event_type,
              / (100.0 * (max(tms) - min(tms))), 9) AS twap,
        CAST(count(*) AS BIGINT) AS n_events
 FROM o GROUP BY event_type HAVING count(*) >= 2
+"""
+    # wave 13: FULL OUTER day alignment (orders vs ships)
+    sqls["daily_outer_join"] = """
+WITH o AS (SELECT o_orderdate AS day, count(*) AS n_orders
+           FROM orders GROUP BY 1),
+l AS (SELECT l_shipdate AS day, count(*) AS n_ships
+      FROM lineitem GROUP BY 1)
+SELECT coalesce(o.day, l.day) AS day,
+       CAST(coalesce(o.n_orders, 0) AS BIGINT) AS n_orders,
+       CAST(coalesce(l.n_ships, 0) AS BIGINT) AS n_ships
+FROM o FULL OUTER JOIN l ON o.day = l.day
 """
     # wave 12: grouped mode with (count desc, value asc) tie-break
     sqls["mode_quantity"] = """

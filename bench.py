@@ -158,6 +158,8 @@ BENCH_QUERIES = [
     "phrase_search",
     "events_twap",
     "mode_quantity",
+    # wave-13 additions
+    "daily_outer_join",
 ]
 
 

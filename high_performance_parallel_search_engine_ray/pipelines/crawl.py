@@ -778,3 +778,119 @@ def crawl_exact(
             trace.virtual_ms += politeness.next_sleep_ms()
 
     return trace
+
+
+# -- crawl-trap screen ---------------------------------------------------------------
+
+URL_TEMPLATE_HEX_RE = r"[0-9a-f]{8,}"
+URL_TEMPLATE_NUM_RE = r"[0-9]+"
+URL_TEMPLATE_QVAL_RE = r"=[^&#]*"
+
+
+def url_template(urls: "pa.ChunkedArray | pa.Array") -> pa.Array:
+    """Collapse URLs onto their path TEMPLATE: long hex runs -> 'H', digit
+    runs -> 'N', query values stripped (param names kept). Calendar pages,
+    session ids, and paginators that generate unbounded URL spaces all
+    collapse onto a handful of templates; organic content does not. Pure
+    vectorized RE2 kernels."""
+    import pyarrow.compute as pc
+
+    t = pc.replace_substring_regex(urls, URL_TEMPLATE_HEX_RE, "H")
+    t = pc.replace_substring_regex(t, URL_TEMPLATE_NUM_RE, "N")
+    return pc.replace_substring_regex(t, URL_TEMPLATE_QVAL_RE, "=")
+
+
+def trap_screen(
+    urls_ds,
+    url_col: str = "url",
+    min_urls: int = 20,
+    dominance: float = 0.5,
+):
+    """(host, n_urls, n_templates, top_template, top_template_n, trapped):
+    per-host crawl-trap detector — flags hosts where one URL TEMPLATE
+    dominates (>= ``dominance`` of >= ``min_urls`` URLs), the signature of
+    calendar/session-id/paginator traps that flood a frontier with
+    unbounded synthetic URL spaces (the hygiene screen a frontier admits
+    against BEFORE politeness budgets are burned; the reference's crawler
+    has no such screen — its fixed seed list can't trap).
+
+    Scale shape: per-block (host, template) integer partials (URLs collapse
+    to templates before ANY shuffle) -> one groupby merge over the
+    template-bounded grid -> per-host argmax co-located by hash(host) % 64
+    with one vectorized pandas pass per partition. Only (host, template, n)
+    rows ever move."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    N_PARTS = 64
+
+    def partials(b: pa.Table) -> pa.Table:
+        urls = pc.fill_null(b[url_col], "")
+        host = pc.replace_substring_regex(
+            urls, r"^[a-z]+://([^/]+).*$", r"\1"
+        )
+        tmpl = url_template(urls)
+        t = pa.table(
+            {
+                "host": host,
+                "template": tmpl,
+                "n": pa.array(np.ones(b.num_rows, np.int64)),
+            }
+        )
+        g = t.group_by(["host", "template"]).aggregate([("n", "sum")])
+        # select by NAME (pyarrow emits aggregates before keys)
+        return pa.table(
+            {
+                "host": g["host"],
+                "template": g["template"],
+                "n": g["n_sum"],
+            }
+        )
+
+    grid = (
+        urls_ds.map_batches(partials, batch_format="pyarrow")
+        .groupby(["host", "template"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def add_part(b: pa.Table) -> pa.Table:
+        part = (
+            pd.util.hash_array(
+                b["host"].to_numpy(zero_copy_only=False), categorize=False
+            )
+            % N_PARTS
+        ).astype(np.int32)
+        return b.append_column("part", pa.array(part))
+
+    def screen_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["host", "n", "template"],
+            ascending=[True, False, True],
+            kind="stable",
+        )
+        tot = g.groupby("host", sort=False)["n"].transform("sum")
+        g = g.assign(n_urls=tot)
+        top = g.drop_duplicates("host").copy()
+        counts = g.groupby("host", sort=False).size()
+        top["n_templates"] = counts.loc[top["host"]].to_numpy()
+        top["trapped"] = (top["n_urls"] >= min_urls) & (
+            top["n"] / top["n_urls"] >= dominance
+        )
+        return pd.DataFrame(
+            {
+                "host": top["host"],
+                "n_urls": top["n_urls"].astype(np.int64),
+                "n_templates": top["n_templates"].astype(np.int64),
+                "top_template": top["template"],
+                "top_template_n": top["n"].astype(np.int64),
+                "trapped": top["trapped"],
+            }
+        )
+
+    return (
+        grid.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(screen_part, batch_format="pandas")
+    )

@@ -3169,3 +3169,62 @@ def returnflag_mode_quantity(sf_dir: str):
             "n": pa.array(top["n"].to_numpy().astype(np.int64), pa.int64()),
         }
     )
+
+
+def daily_outer_join(sf_dir: str):
+    """(day, n_orders, n_ships): daily order volume FULL OUTER JOINed with
+    daily ship volume — the join family's last missing shape (inner/_attach,
+    bloom SEMI, ANTI, as-of, range are covered elsewhere). The date ranges
+    genuinely differ (shipping trails ordering), so both null sides occur.
+
+    Scale shape: each fact table collapses to per-block (day, n) integer
+    partials BEFORE any shuffle; the tagged union of the two day-bounded
+    partial sets co-locates by day in ONE groupby-sum whose zero-fill IS
+    the outer join — no row-level join, no fact-scale exchange."""
+    from ray.data.aggregate import Sum
+
+    orders = _read(sf_dir, "orders", ["o_orderdate"])
+    ships = _read(sf_dir, "lineitem", ["l_shipdate"])
+
+    def day_partial(col: str, tag: int):
+        def f(b: pa.Table) -> pa.Table:
+            days = (
+                b[col].to_numpy(zero_copy_only=False)
+                .astype("datetime64[D]")
+                .astype(np.int64)
+            )
+            u, c = np.unique(days, return_counts=True)
+            zero = np.zeros(len(u), np.int64)
+            return pa.table(
+                {
+                    "day_i": pa.array(u),
+                    "n_orders": pa.array(c if tag == 0 else zero),
+                    "n_ships": pa.array(c if tag == 1 else zero),
+                }
+            )
+
+        return f
+
+    merged = (
+        orders.map_batches(day_partial("o_orderdate", 0), batch_format="pyarrow")
+        .union(
+            ships.map_batches(day_partial("l_shipdate", 1), batch_format="pyarrow")
+        )
+        .groupby("day_i")
+        .aggregate(
+            Sum("n_orders", alias_name="n_orders"),
+            Sum("n_ships", alias_name="n_ships"),
+        )
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        days = b["day_i"].to_numpy(zero_copy_only=False).astype("datetime64[D]")
+        return pa.table(
+            {
+                "day": pa.array(days.astype("datetime64[us]")),
+                "n_orders": pc.cast(b["n_orders"], pa.int64()),
+                "n_ships": pc.cast(b["n_ships"], pa.int64()),
+            }
+        )
+
+    return merged.map_batches(finish, batch_format="pyarrow")

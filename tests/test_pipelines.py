@@ -4392,3 +4392,75 @@ def test_mode_quantity_tiebreak(ray_session, tmp_path):
     got = returnflag_mode_quantity(str(tmp_path)).to_pandas()
     got = {r.l_returnflag: (r.mode_quantity, r.n) for r in got.itertuples()}
     assert got == {"A": (3, 2), "R": (9, 2)}
+
+
+# -- wave 13: full-outer day alignment / crawl-trap screen ----------------------------
+
+def test_daily_outer_join_null_sides(ray_session, tmp_path):
+    """Days present on only one side surface with the other side zero —
+    the FULL OUTER semantics, via the tagged-union groupby."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from high_performance_parallel_search_engine_ray.pipelines.relational import (
+        daily_outer_join,
+    )
+
+    orders = pd.DataFrame(
+        {"o_orderdate": pd.to_datetime(["2024-01-01", "2024-01-01", "2024-01-03"])}
+    )
+    ships = pd.DataFrame(
+        {"l_shipdate": pd.to_datetime(["2024-01-03", "2024-01-05"])}
+    )
+    pq.write_table(pa.Table.from_pandas(orders), str(tmp_path / "orders.parquet"))
+    pq.write_table(pa.Table.from_pandas(ships), str(tmp_path / "lineitem.parquet"))
+    got = (
+        daily_outer_join(str(tmp_path))
+        .to_pandas()
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    assert [str(d.date()) for d in got["day"]] == [
+        "2024-01-01", "2024-01-03", "2024-01-05",
+    ]
+    assert list(got["n_orders"]) == [2, 1, 0]
+    assert list(got["n_ships"]) == [0, 1, 1]
+
+
+def test_trap_screen_planted_calendar(ray_session):
+    """A calendar trap (one dominating URL template) flags; an organic host
+    with diverse templates does not; hex session ids collapse to H."""
+    from high_performance_parallel_search_engine_ray.pipelines.crawl import (
+        trap_screen,
+        url_template,
+    )
+    import pyarrow as pa
+
+    trap = [
+        {"url": f"http://cal.example.com/events/2024-01-{d:02d}?page={p}"}
+        for d in range(1, 11)
+        for p in range(1, 4)
+    ]
+    organic = [
+        {"url": "http://good.example.com/about"},
+        {"url": "http://good.example.com/contact"},
+        {"url": "http://good.example.com/blog/why-ray"},
+        {"url": "http://good.example.com/blog/arrow-tips"},
+        {"url": "http://good.example.com/docs/install"},
+    ]
+    got = (
+        trap_screen(rd.from_items(trap + organic), min_urls=10, dominance=0.5)
+        .to_pandas()
+        .set_index("host")
+    )
+    assert bool(got.loc["cal.example.com", "trapped"])
+    assert got.loc["cal.example.com", "n_templates"] == 1
+    assert (
+        got.loc["cal.example.com", "top_template"]
+        == "http://cal.example.com/events/N-N-N?page="
+    )
+    assert not bool(got.loc["good.example.com", "trapped"])
+    # hex run collapse
+    t = url_template(pa.array(["http://x.com/s/deadbeefcafe1234/p/42"]))
+    assert t[0].as_py() == "http://x.com/s/H/p/N"

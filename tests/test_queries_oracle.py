@@ -171,6 +171,8 @@ def test_registry_ordering_contract():
         "pii_redact", "csv_roundtrip",
         # wave-12 additions (same rationale)
         "phrase_search", "autocomplete", "events_twap", "mode_quantity",
+        # wave-13 additions (same rationale)
+        "daily_outer_join",
     }
     assert set(entry_mod.oracle_sql()) - overflow_ok <= first50
     for critical in (
