@@ -58,6 +58,19 @@ def _doc_ids(sf_dir: str):
     return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
 
 
+def _doc_ids_head(sf_dir: str, n: int):
+    import ray.data as rd
+
+    def head(b):
+        import pyarrow.compute as _pc
+
+        return b.filter(_pc.less(b["doc_id"], n))
+
+    return rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    ).map_batches(head, batch_format="pyarrow")
+
+
 def _docs_weighted(sf_dir: str):
     import ray.data as rd
 
@@ -1092,6 +1105,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # wave 13: crawl-trap screen over the smoke crawl's URL set (rows-
         # only; template collapse + planted calendar-trap pinned by pytest)
         "crawl_trap_screen": crawl_trap,
+        # wave 14: shuffle-key skew profile (exact Gini + top-k shares from
+        # a count-of-counts histogram — no sort of the key counts)
+        "key_skew": lambda sf: relational.key_skew_profile(sf),
+        # wave 14: k-core density screen (iterative peel fixpoint; rows-
+        # only — non-monotone, no recursive-CTE oracle; brute-peel pytest).
+        # Dense head (ids < 60, out_deg 12 both ways) over the sparse
+        # global graph: k=16 peels the tail and keeps exactly the head.
+        "kcore": lambda sf: graph.kcore(
+            graph.synth_link_graph(_doc_ids(sf), out_deg=6).union(
+                graph.synth_link_graph(_doc_ids_head(sf, 60), out_deg=12)
+            ),
+            k=16,
+        ).sort("node"),
     }
 
 
@@ -2933,6 +2959,28 @@ SELECT coalesce(o.day, l.day) AS day,
        CAST(coalesce(o.n_orders, 0) AS BIGINT) AS n_orders,
        CAST(coalesce(l.n_ships, 0) AS BIGINT) AS n_ships
 FROM o FULL OUTER JOIN l ON o.day = l.day
+"""
+    # wave 14: shuffle-key skew profile (histogram-folded exact Gini)
+    sqls["key_skew"] = """
+WITH c AS (SELECT l_partkey AS kk, count(*) AS n FROM lineitem GROUP BY 1),
+h AS (SELECT n, count(*) AS m FROM c GROUP BY n),
+r AS (SELECT n, m,
+             sum(m) OVER (ORDER BY n ROWS UNBOUNDED PRECEDING) AS cum
+      FROM h),
+agg AS (SELECT CAST(sum(m) AS BIGINT) AS n_keys,
+               CAST(sum(n * m) AS BIGINT) AS n_rows,
+               CAST(sum(n * (m * (cum - m) + (m * (m + 1)) // 2))
+                    AS BIGINT) AS s1
+        FROM r),
+t1 AS (SELECT max(n) AS top1 FROM c),
+t10 AS (SELECT CAST(sum(n) AS BIGINT) AS top10
+        FROM (SELECT n FROM c ORDER BY n DESC LIMIT 10))
+SELECT agg.n_keys, agg.n_rows,
+       round(CAST(t1.top1 AS DOUBLE) / agg.n_rows, 9) AS top1_share,
+       round(CAST(t10.top10 AS DOUBLE) / agg.n_rows, 9) AS top10_share,
+       round(2.0 * agg.s1 / (agg.n_keys * agg.n_rows)
+             - (agg.n_keys + 1.0) / agg.n_keys, 9) AS gini
+FROM agg, t1, t10
 """
     # wave 12: grouped mode with (count desc, value asc) tie-break
     sqls["mode_quantity"] = """

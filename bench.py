@@ -160,6 +160,9 @@ BENCH_QUERIES = [
     "mode_quantity",
     # wave-13 additions
     "daily_outer_join",
+    # wave-14 additions
+    "key_skew",
+    "kcore",
 ]
 
 

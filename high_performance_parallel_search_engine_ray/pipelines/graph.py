@@ -931,3 +931,182 @@ def triangle_list(edges):
         .groupby("part")
         .map_groups(close, batch_format="pandas")
     )
+
+
+def kcore(edges, k: int = 2, inmemory_threshold: int = 2_000_000, max_iters: int = 50):
+    """(node, deg): the k-CORE of the undirected graph — iteratively peel
+    nodes of degree < k until the fixpoint; `deg` is the node's degree
+    INSIDE the surviving subgraph. The classic graph-mining density screen
+    (spam farms and template link-rings survive high k; organic long-tail
+    pages don't) completing the iterative family: pagerank/hits (float),
+    seed_hops (traversal), triangles (local), kcore (global fixpoint).
+    Peeling is non-monotone, so no recursive-CTE oracle — exactness is
+    pinned by a brute-force peeling reference in pytest.
+
+    Edges are symmetrized, self-loops dropped, and parallel edges deduped
+    partition-grouped (hash(u) % 64 co-location, one vectorized
+    drop_duplicates per partition) before any degree counting.
+
+    Cost-based, same policy as pagerank/seed_hops: at or below
+    ``inmemory_threshold`` edges the peel runs as one numpy loop on the
+    driver (a Ray exchange per ITERATION is pure overhead on small
+    graphs). Above it, each iteration is:
+
+      1. degrees: per-block (node, 1) partials -> one groupby-sum
+         (node-bounded rows move, never edges);
+      2. survivors co-locate with edges by hash(endpoint) % 64 — one
+         marker-union + per-partition vectorized np.isin per ENDPOINT
+         (the dedup_keep_first shape) filters the edge set in place.
+
+    Iteration count is bounded by ``max_iters`` (each pass strictly
+    shrinks the node set or terminates)."""
+    import pandas as pd
+    import ray
+    from ray.data.aggregate import Sum
+
+    N_PARTS = 64
+
+    def symmetrize(b: pa.Table) -> pa.Table:
+        s = b["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = b["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+        u = np.concatenate([s, d])
+        v = np.concatenate([d, s])
+        keep = u != v
+        return pa.table(
+            {"u": pa.array(u[keep]), "v": pa.array(v[keep])}
+        )
+
+    und = edges.map_batches(symmetrize, batch_format="pyarrow")
+
+    def add_part_u(b: pa.Table) -> pa.Table:
+        part = (
+            b["u"].to_numpy(zero_copy_only=False).astype(np.int64) * 2654435761
+            % N_PARTS
+        ).astype(np.int32)
+        return b.append_column("part", pa.array(part))
+
+    def dedup_part(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["u", "v"])[["u", "v"]]
+
+    und = (
+        und.map_batches(add_part_u, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(dedup_part, batch_format="pandas")
+        .materialize()
+    )
+
+    if und.count() <= inmemory_threshold:
+        df = und.to_pandas()
+        u = df["u"].to_numpy().astype(np.int64)
+        v = df["v"].to_numpy().astype(np.int64)
+        for _ in range(max_iters):
+            if len(u) == 0:
+                break
+            nodes, deg = np.unique(u, return_counts=True)
+            dropped = nodes[deg < k]
+            if dropped.size == 0:
+                break
+            keep = ~np.isin(u, dropped) & ~np.isin(v, dropped)
+            u, v = u[keep], v[keep]
+        if len(u) == 0:
+            return ray.data.from_arrow(
+                pa.table(
+                    {"node": pa.array([], pa.int64()), "deg": pa.array([], pa.int64())}
+                )
+            )
+        nodes, deg = np.unique(u, return_counts=True)
+        return ray.data.from_arrow(
+            pa.table({"node": pa.array(nodes), "deg": pa.array(deg.astype(np.int64))})
+        )
+
+    def degrees(ds):
+        def partial(b: pa.Table) -> pa.Table:
+            n, c = np.unique(
+                b["u"].to_numpy(zero_copy_only=False).astype(np.int64),
+                return_counts=True,
+            )
+            return pa.table(
+                {"node": pa.array(n), "d": pa.array(c.astype(np.int64))}
+            )
+
+        return (
+            ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("node")
+            .aggregate(Sum("d", alias_name="deg"))
+        )
+
+    def filter_endpoint(ds, deg_ds, col: str):
+        # survivors co-locate with edges by hash(col) % 64: marker rows
+        # (u=node, v=-1) union in, one vectorized isin per partition
+        def surv_marker(b: pa.Table) -> pa.Table:
+            nodes = b["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+            keep = b["deg"].to_numpy(zero_copy_only=False).astype(np.int64) >= k
+            nodes = nodes[keep]
+            return pa.table(
+                {
+                    "u": pa.array(nodes if col == "u" else np.full(len(nodes), -1)),
+                    "v": pa.array(nodes if col == "v" else np.full(len(nodes), -1)),
+                    "is_marker": pa.array(np.ones(len(nodes), bool)),
+                }
+            )
+
+        def edge_rows(b: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "u": b["u"],
+                    "v": b["v"],
+                    "is_marker": pa.array(np.zeros(b.num_rows, bool)),
+                }
+            )
+
+        def add_part(b: pa.Table) -> pa.Table:
+            key = b[col].to_numpy(zero_copy_only=False).astype(np.int64)
+            return b.append_column(
+                "part", pa.array((key * 2654435761 % N_PARTS).astype(np.int32))
+            )
+
+        def keep_alive(g: pd.DataFrame) -> pd.DataFrame:
+            alive = g.loc[g["is_marker"], col].to_numpy()
+            e = g[~g["is_marker"]]
+            return e[np.isin(e[col].to_numpy(), alive)][["u", "v"]]
+
+        tagged = (
+            deg_ds.map_batches(surv_marker, batch_format="pyarrow")
+            .union(ds.map_batches(edge_rows, batch_format="pyarrow"))
+            .map_batches(add_part, batch_format="pyarrow")
+        )
+        return tagged.groupby("part").map_groups(keep_alive, batch_format="pandas")
+
+    cur = und
+    for _ in range(max_iters):
+        deg = degrees(cur).materialize()
+        n_dropped = deg.map_batches(
+            lambda b: pa.table(
+                {
+                    "x": pa.array(
+                        [
+                            int(
+                                (
+                                    b["deg"].to_numpy(zero_copy_only=False) < k
+                                ).sum()
+                            )
+                        ],
+                        pa.int64(),
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+        ).sum("x")
+        if not n_dropped:
+            break
+        cur = filter_endpoint(cur, deg, "u")
+        cur = filter_endpoint(cur, deg, "v").materialize()
+        if cur.count() == 0:
+            break
+    final = degrees(cur)
+    return final.map_batches(
+        lambda b: b.filter(
+            pa.array(b["deg"].to_numpy(zero_copy_only=False) >= k)
+        ),
+        batch_format="pyarrow",
+    )

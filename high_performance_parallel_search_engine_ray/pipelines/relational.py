@@ -3228,3 +3228,81 @@ def daily_outer_join(sf_dir: str):
         )
 
     return merged.map_batches(finish, batch_format="pyarrow")
+
+
+def key_skew_profile(sf_dir: str, table: str = "lineitem", key: str = "l_partkey"):
+    """One-row (n_keys, n_rows, top1_share, top10_share, gini): the
+    partition-skew profile of a shuffle key — the diagnostic behind every
+    "salt the hot keys / pick the partitioner" decision this engine makes
+    (the north rule's explicit-skew-handling story, measured rather than
+    assumed). Gini over per-key counts: 0 = perfectly balanced partitions,
+    →1 = one hot key owns the table.
+
+    Exact at scale without sorting the key counts: the (key, n) table
+    collapses to a COUNT-OF-COUNTS histogram (n, m) — bounded by the
+    number of DISTINCT count values, tiny in practice — and the Gini's
+    rank sum folds from the histogram with pure int64 arithmetic:
+    ascending-rank block starting after s keys contributes
+    n * (m*s + m*(m+1)//2). One final double expression, mirrored in SQL."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, table, [key])
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {"k": b[key], "n": pa.array(np.ones(b.num_rows, np.int64))}
+        )
+        return _agg_rename(
+            t.group_by(["k"]).aggregate([("n", "sum")]), {"n_sum": "n"}
+        )
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("k")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def hist_partial(b: pa.Table) -> pa.Table:
+        n = b["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        u, m = np.unique(n, return_counts=True)
+        return pa.table(
+            {"n": pa.array(u), "m": pa.array(m.astype(np.int64))}
+        )
+
+    hist = (
+        counts.map_batches(hist_partial, batch_format="pyarrow")
+        .groupby("n")
+        .aggregate(Sum("m", alias_name="m"))
+        .to_pandas()  # bounded: distinct count VALUES
+        .sort_values("n")
+    )
+    nvals = hist["n"].to_numpy().astype(np.int64)
+    mvals = hist["m"].to_numpy().astype(np.int64)
+    n_keys = int(mvals.sum())
+    n_rows = int((nvals * mvals).sum())
+    # exact rank sum over the ascending count multiset
+    starts = np.concatenate(([0], np.cumsum(mvals)[:-1]))
+    s1 = int(np.sum(nvals * (mvals * starts + mvals * (mvals + 1) // 2)))
+    gini = 2.0 * s1 / (n_keys * n_rows) - (n_keys + 1.0) / n_keys
+    # top-k shares from the histogram tail (largest counts first)
+    top1 = int(nvals[-1])
+    remaining, top10 = 10, 0
+    for n, m in zip(nvals[::-1], mvals[::-1]):
+        take = min(remaining, int(m))
+        top10 += int(n) * take
+        remaining -= take
+        if remaining == 0:
+            break
+    return pa.table(
+        {
+            "n_keys": pa.array([n_keys], pa.int64()),
+            "n_rows": pa.array([n_rows], pa.int64()),
+            "top1_share": pa.array(
+                [round_half_away(top1 / n_rows, 9)], pa.float64()
+            ),
+            "top10_share": pa.array(
+                [round_half_away(top10 / n_rows, 9)], pa.float64()
+            ),
+            "gini": pa.array([round_half_away(gini, 9)], pa.float64()),
+        }
+    )

@@ -4464,3 +4464,96 @@ def test_trap_screen_planted_calendar(ray_session):
     # hex run collapse
     t = url_template(pa.array(["http://x.com/s/deadbeefcafe1234/p/42"]))
     assert t[0].as_py() == "http://x.com/s/H/p/N"
+
+
+# -- wave 14: k-core / shuffle-key skew profile ---------------------------------------
+
+def _brute_kcore(pairs, k):
+    """Reference peel: repeat-drop nodes of undirected degree < k."""
+    import collections
+
+    edges = set()
+    for u, v in pairs:
+        if u != v:
+            edges.add((u, v))
+            edges.add((v, u))
+    while True:
+        deg = collections.Counter(u for u, _ in edges)
+        dropped = {n for n, d in deg.items() if d < k}
+        if not dropped:
+            break
+        edges = {(u, v) for u, v in edges if u not in dropped and v not in dropped}
+    deg = collections.Counter(u for u, _ in edges)
+    return dict(deg)
+
+
+def test_kcore_matches_brute_peel(ray_session):
+    """Cascading peel: the pendant chain hanging off a triangle must peel
+    hop by hop; parallel/self/reverse edges dedup; both cost paths agree."""
+    from high_performance_parallel_search_engine_ray.pipelines.graph import kcore
+
+    pairs = [
+        (1, 2), (2, 3), (3, 1),        # triangle = the 2-core
+        (3, 4), (4, 5), (5, 6),        # pendant chain: cascades away at k=2
+        (1, 2), (2, 1), (6, 6),        # parallel + reverse + self loop
+    ]
+    ds = rd.from_items([{"src": u, "dst": v} for u, v in pairs])
+    want = _brute_kcore(pairs, 2)
+    got = {r["node"]: r["deg"] for r in kcore(ds, k=2).take_all()}
+    assert got == want == {1: 2, 2: 2, 3: 2}
+    # forced distributed path must equal the in-memory path
+    got_dist = {
+        r["node"]: r["deg"]
+        for r in kcore(ds, k=2, inmemory_threshold=0).take_all()
+    }
+    assert got_dist == want
+    # k above the densest core: empty result, stable schema
+    assert kcore(ds, k=5).count() == 0
+
+
+def test_kcore_random_graph_both_paths(ray_session):
+    """Random graph: distributed filter loop == brute reference for several
+    k (the simultaneous-peel semantics are easy to get subtly wrong)."""
+    from high_performance_parallel_search_engine_ray.pipelines.graph import kcore
+
+    rng = np.random.default_rng(5)
+    pairs = [tuple(map(int, p)) for p in rng.integers(0, 40, size=(300, 2))]
+    ds = rd.from_items([{"src": u, "dst": v} for u, v in pairs]).repartition(5)
+    for k in (2, 4, 6):
+        want = _brute_kcore(pairs, k)
+        got = {r["node"]: r["deg"] for r in kcore(ds, k=k).take_all()}
+        assert got == want, k
+        got_dist = {
+            r["node"]: r["deg"]
+            for r in kcore(ds, k=k, inmemory_threshold=0).take_all()
+        }
+        assert got_dist == want, k
+
+
+def test_key_skew_profile_extremes(ray_session, tmp_path):
+    """Uniform keys -> gini 0; one hot key -> top1_share dominates and
+    gini is the hand-computed two-block value."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from high_performance_parallel_search_engine_ray.pipelines.relational import (
+        key_skew_profile,
+    )
+
+    uniform = pd.DataFrame({"l_partkey": list(range(10)) * 5})
+    pq.write_table(pa.Table.from_pandas(uniform), str(tmp_path / "lineitem.parquet"))
+    got = key_skew_profile(str(tmp_path)).to_pandas().iloc[0]
+    assert got["n_keys"] == 10 and got["n_rows"] == 50
+    assert got["gini"] == 0.0 and got["top1_share"] == round(5 / 50, 9)
+
+    skewed = pd.DataFrame({"l_partkey": [1] * 90 + list(range(2, 12))})
+    pq.write_table(
+        pa.Table.from_pandas(skewed), str(tmp_path / "lineitem.parquet")
+    )
+    got = key_skew_profile(str(tmp_path)).to_pandas().iloc[0]
+    assert got["n_keys"] == 11 and got["n_rows"] == 100
+    assert got["top1_share"] == 0.9
+    # gini by hand: counts asc = [1]*10 + [90]; s1 = sum(i*x_i) = 55 + 11*90
+    s1 = 55 + 11 * 90
+    assert got["gini"] == round(2.0 * s1 / (11 * 100) - 12.0 / 11, 9)

@@ -173,6 +173,8 @@ def test_registry_ordering_contract():
         "phrase_search", "autocomplete", "events_twap", "mode_quantity",
         # wave-13 additions (same rationale)
         "daily_outer_join",
+        # wave-14 additions (same rationale)
+        "key_skew",
     }
     assert set(entry_mod.oracle_sql()) - overflow_ok <= first50
     for critical in (
