@@ -58,6 +58,12 @@ def _doc_ids(sf_dir: str):
     return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
 
 
+def _read_table(sf_dir: str, table: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
 def _doc_ids_head(sf_dir: str, n: int):
     import ray.data as rd
 
@@ -1118,6 +1124,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ),
             k=16,
         ).sort("node"),
+        # wave 15: edit-distance SIMILARITY JOIN (SymSpell-blocked self-join
+        # + exact ed<=1 verify; oracle via DuckDB levenshtein self-join)
+        "fuzzy_name_pairs": lambda sf: dedup.fuzzy_name_pairs(
+            _read_table(sf, "part", ["p_partkey", "p_name"])
+        ),
+        # wave 15: SCD-2 validity intervals from the event stream (lead()
+        # window semantics, sentinel-closed tail)
+        "user_value_intervals": relational.user_value_intervals,
     }
 
 
@@ -2959,6 +2973,21 @@ SELECT coalesce(o.day, l.day) AS day,
        CAST(coalesce(o.n_orders, 0) AS BIGINT) AS n_orders,
        CAST(coalesce(l.n_ships, 0) AS BIGINT) AS n_ships
 FROM o FULL OUTER JOIN l ON o.day = l.day
+"""
+    # wave 15: edit-distance similarity self-join on part names
+    sqls["fuzzy_name_pairs"] = """
+SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS ed
+FROM part a JOIN part b ON a.p_partkey < b.p_partkey
+WHERE levenshtein(a.p_name, b.p_name) <= 1
+"""
+    # wave 15: SCD-2 validity intervals (lead() with sentinel-closed tail)
+    sqls["user_value_intervals"] = """
+SELECT user_id, ts AS valid_from,
+       coalesce(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                TIMESTAMP '9999-12-31') AS valid_to,
+       value
+FROM events
 """
     # wave 14: shuffle-key skew profile (histogram-folded exact Gini)
     sqls["key_skew"] = """

@@ -163,6 +163,9 @@ BENCH_QUERIES = [
     # wave-14 additions
     "key_skew",
     "kcore",
+    # wave-15 additions
+    "fuzzy_name_pairs",
+    "user_value_intervals",
 ]
 
 

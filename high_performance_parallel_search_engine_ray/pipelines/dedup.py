@@ -2102,3 +2102,123 @@ def leakage_safe_split(
         .map_groups(reps_part, batch_format="pandas")
         .map_batches(assign, batch_format="pyarrow")
     )
+
+
+def fuzzy_name_pairs(
+    ds,
+    id_col: str = "p_partkey",
+    name_col: str = "p_name",
+    max_bucket: int = 256,
+):
+    """(id_a, id_b, ed): every pair of rows whose names are within plain
+    Levenshtein distance 1 — the SIMILARITY JOIN completing the join
+    family (inner/_attach, bloom semi, anti, as-of, range, full outer,
+    now fuzzy); the entity-resolution screen for catalog variants
+    ('blue rod' vs 'blue rods').
+
+    SymSpell-blocked (Garbe 2012; the same deletion-neighborhood algebra
+    as ``rank.spell_suggest``, lifted from lookup to self-join): every
+    name emits its (len+1)-element deletion key set VECTORIZED (one
+    pandas slice-concat per deletion POSITION, never per-name Python);
+    candidate pairs can only share a key, so one hash(key) co-location
+    bounds the all-pairs expansion to within-bucket; shared deletions of
+    equal-length strings can be ed 2 ('ab'~'ba'), so an exact two-pointer
+    ed<=1 verify fires on each bounded candidate before it survives; a
+    second (id_a, id_b) co-location dedups pairs found under multiple
+    keys. Only (key-hash, id, name) rows ever shuffle.
+
+    Degenerate buckets (many IDENTICAL names share their full key set)
+    cap at ``max_bucket`` members — ids beyond the cap in one bucket pair
+    only with the kept head (exact-equal names are better handled by
+    ``exact_dedup``; the cap is the same policy as minhash_lsh_pairs)."""
+    from .rank import _ed_le1
+
+    N_PARTS = 64
+
+    def keys(b: pa.Table) -> pa.Table:
+        names = pd.Series(
+            b[name_col].to_numpy(zero_copy_only=False), dtype=object
+        )
+        ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        ln = names.str.len().to_numpy()
+        out_k, out_i, out_n = [names.to_numpy()], [ids], [names.to_numpy()]
+        for d in range(int(ln.max()) if len(ln) else 0):
+            has = ln > d
+            if not has.any():
+                break
+            sub = names[has]
+            out_k.append((sub.str.slice(0, d) + sub.str.slice(d + 1)).to_numpy())
+            out_i.append(ids[has])
+            out_n.append(sub.to_numpy())
+        k = np.concatenate(out_k)
+        # vectorized deterministic 64-bit key hash; hash collisions merely
+        # merge buckets — the exact verify kills any false pair they add
+        kh = pd.util.hash_array(k.astype(object), categorize=False).astype(
+            np.int64
+        )
+        return pa.table(
+            {
+                "kh": pa.array(kh.astype(np.int64)),
+                "id": pa.array(np.concatenate(out_i)),
+                "name": pa.array(np.concatenate(out_n), pa.string()),
+                "part": pa.array(
+                    (kh % N_PARTS).astype(np.int32)
+                ),
+            }
+        )
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["kh", "id"], kind="stable")
+        rows_a, rows_b, names_a, names_b = [], [], [], []
+        for _, sub in g.groupby("kh", sort=False):
+            sub = sub.drop_duplicates("id")
+            if len(sub) < 2:
+                continue
+            sub = sub.head(max_bucket)
+            ids = sub["id"].to_numpy()
+            nms = sub["name"].to_numpy()
+            iu, ju = np.triu_indices(len(ids), k=1)
+            rows_a.append(ids[iu]); rows_b.append(ids[ju])
+            names_a.append(nms[iu]); names_b.append(nms[ju])
+        if not rows_a:
+            return pd.DataFrame(
+                {"id_a": pd.Series([], dtype=np.int64),
+                 "id_b": pd.Series([], dtype=np.int64),
+                 "ed": pd.Series([], dtype=np.int64)}
+            )
+        a = np.concatenate(rows_a); bb = np.concatenate(rows_b)
+        na = np.concatenate(names_a); nb = np.concatenate(names_b)
+        # exact verify on the bounded candidates (kills ed-2 key-sharers)
+        keep = np.fromiter(
+            (_ed_le1(x, y) for x, y in zip(na, nb)), bool, len(na)
+        )
+        ed = np.fromiter(
+            (0 if x == y else 1 for x, y in zip(na[keep], nb[keep])),
+            np.int64,
+            int(keep.sum()),
+        )
+        return pd.DataFrame({"id_a": a[keep], "id_b": bb[keep], "ed": ed})
+
+    cands = (
+        ds.map_batches(keys, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(bucket_pairs, batch_format="pandas")
+    )
+
+    # pairs found under multiple shared keys: distinct, co-located by pair
+    def pair_part(b: pa.Table) -> pa.Table:
+        a = b["id_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bb = b["id_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return b.append_column(
+            "part2",
+            pa.array(((a * 1_000_003 + bb) % N_PARTS).astype(np.int32)),
+        )
+
+    def pair_dedup(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["id_a", "id_b"])[["id_a", "id_b", "ed"]]
+
+    return (
+        cands.map_batches(pair_part, batch_format="pyarrow")
+        .groupby("part2")
+        .map_groups(pair_dedup, batch_format="pandas")
+    )

@@ -3306,3 +3306,39 @@ def key_skew_profile(sf_dir: str, table: str = "lineitem", key: str = "l_partkey
             "gini": pa.array([round_half_away(gini, 9)], pa.float64()),
         }
     )
+
+
+def user_value_intervals(sf_dir: str):
+    """(user_id, valid_from, valid_to, value): the SCD-2 validity-interval
+    table built from the user's event stream — each event's value holds
+    from its timestamp until the user's next event; the open tail closes
+    at the 9999-12-31 sentinel (the standard warehouse idiom, and it keeps
+    the oracle compare null-free). Ordering ties break on event_id, the
+    same ORDER BY the SQL lead() evaluates.
+
+    Scale shape: users hash-partition (the `order_interarrival` plan); one
+    vectorized sort + grouped shift per partition; only (user, ts, value,
+    event_id) rows move, once."""
+    SENTINEL = np.datetime64("9999-12-31T00:00:00", "us")
+
+    ev = _read(sf_dir, "events", ["user_id", "event_id", "ts", "value"])
+
+    def intervals_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        # us precision: the 9999 sentinel overflows datetime64[ns]
+        ts_us = g["ts"].astype("datetime64[us]")
+        nxt = (
+            ts_us.groupby(g["user_id"].to_numpy(), sort=False)
+            .shift(-1)
+            .fillna(pd.Timestamp(SENTINEL))
+        )
+        return pd.DataFrame(
+            {
+                "user_id": g["user_id"],
+                "valid_from": ts_us,
+                "valid_to": nxt.astype("datetime64[us]"),
+                "value": g["value"],
+            }
+        )
+
+    return _by_partition(ev, "user_id", intervals_part)

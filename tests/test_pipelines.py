@@ -4557,3 +4557,66 @@ def test_key_skew_profile_extremes(ray_session, tmp_path):
     # gini by hand: counts asc = [1]*10 + [90]; s1 = sum(i*x_i) = 55 + 11*90
     s1 = 55 + 11 * 90
     assert got["gini"] == round(2.0 * s1 / (11 * 100) - 12.0 / 11, 9)
+
+
+# -- wave 15: fuzzy similarity join / SCD-2 intervals ---------------------------------
+
+def test_fuzzy_name_pairs_classes(ray_session):
+    """All ed<=1 pair classes surface exactly once; the ed-2 transposition
+    trap ('ab'/'ba' share deletions) is killed by the verify; identical
+    names pair at ed 0."""
+    from high_performance_parallel_search_engine_ray.pipelines.dedup import (
+        fuzzy_name_pairs,
+    )
+
+    rows = [
+        {"p_partkey": 1, "p_name": "blue rod"},
+        {"p_partkey": 2, "p_name": "blue rods"},   # insertion
+        {"p_partkey": 3, "p_name": "blue rod"},    # identical (ed 0)
+        {"p_partkey": 4, "p_name": "blue rad"},    # substitution
+        {"p_partkey": 5, "p_name": "ab"},
+        {"p_partkey": 6, "p_name": "ba"},          # ed 2: must NOT pair
+        {"p_partkey": 7, "p_name": "green gear"},
+    ]
+    got = fuzzy_name_pairs(rd.from_items(rows).repartition(3)).to_pandas()
+    pairs = {(a, b): e for a, b, e in zip(got["id_a"], got["id_b"], got["ed"])}
+    assert pairs == {
+        (1, 2): 1, (1, 3): 0, (1, 4): 1,
+        (2, 3): 1, (3, 4): 1,
+    }
+
+
+def test_user_value_intervals_scd2(ray_session, tmp_path):
+    """Intervals tile each user's timeline: valid_from = event ts,
+    valid_to = next event's ts, sentinel tail; ties order by event_id."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from high_performance_parallel_search_engine_ray.pipelines.relational import (
+        user_value_intervals,
+    )
+
+    rows = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3, 4],
+            "user_id": [7, 7, 7, 9],
+            "ts": pd.to_datetime(
+                ["2024-01-01", "2024-01-01", "2024-02-01", "2024-03-01"]
+            ),
+            "value": [1.0, 2.0, 3.0, 4.0],
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(rows), str(tmp_path / "events.parquet"))
+    got = (
+        user_value_intervals(str(tmp_path))
+        .to_pandas()
+        .sort_values(["user_id", "valid_from", "value"])
+        .reset_index(drop=True)
+    )
+    # tie on ts: event 1 precedes event 2 (event_id order)
+    assert list(got["value"]) == [1.0, 2.0, 3.0, 4.0]
+    assert got.loc[0, "valid_to"] == got.loc[0, "valid_from"]  # zero-length tie
+    assert got.loc[1, "valid_to"] == pd.Timestamp("2024-02-01")
+    assert got.loc[2, "valid_to"] == pd.Timestamp("9999-12-31")
+    assert got.loc[3, "valid_to"] == pd.Timestamp("9999-12-31")

@@ -175,6 +175,8 @@ def test_registry_ordering_contract():
         "daily_outer_join",
         # wave-14 additions (same rationale)
         "key_skew",
+        # wave-15 additions (same rationale)
+        "fuzzy_name_pairs", "user_value_intervals",
     }
     assert set(entry_mod.oracle_sql()) - overflow_ok <= first50
     for critical in (
