@@ -58,6 +58,43 @@ def _doc_ids(sf_dir: str):
     return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
 
 
+def _diff_docs(sf_dir: str):
+    """The deterministic 'second snapshot' for corpus_diff: doc_id%13
+    dropped (removed), doc_id%7 text-suffixed (changed), doc_id%11 cloned
+    to id+1e6 (added) — the same expressions the oracle SQL evaluates."""
+    import pyarrow.compute as _pc
+
+    docs = _docs(sf_dir)
+
+    def perturb(b):
+        import numpy as _np
+        import pyarrow as _pa
+
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(_np.int64)
+        txt = b["text"]
+        keep = ids % 13 != 0
+        changed = _pc.if_else(
+            _pa.array(ids % 7 == 0),
+            _pc.binary_join_element_wise(txt, " v2", ""),
+            txt,
+        )
+        base = _pa.table({"doc_id": b["doc_id"], "text": changed}).filter(
+            _pa.array(keep)
+        )
+        add_mask = ids % 11 == 0
+        added = _pa.table(
+            {
+                "doc_id": _pa.array(ids[add_mask] + 1_000_000),
+                "text": _pc.binary_join_element_wise(
+                    txt.filter(_pa.array(add_mask)), " new", ""
+                ),
+            }
+        )
+        return _pa.concat_tables([base, added])
+
+    return docs.map_batches(perturb, batch_format="pyarrow")
+
+
 def _read_table(sf_dir: str, table: str, columns=None):
     import ray.data as rd
 
@@ -1132,6 +1169,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # wave 15: SCD-2 validity intervals from the event stream (lead()
         # window semantics, sentinel-closed tail)
         "user_value_intervals": relational.user_value_intervals,
+        # wave 16: product-quantization ANN (FAISS-style ADC over uint8
+        # codes; rows-only — quantization error; recall pinned by pytest)
+        "ann_pq_topk": lambda sf: ann.pq_topk(_emb(sf), _query_vectors(sf), k=10),
+        # wave 16: corpus snapshot diff (CDC: added/removed/changed/
+        # unchanged vs a deterministically perturbed second version built
+        # by the identical expression in the oracle SQL)
+        "corpus_diff": lambda sf: dedup.corpus_diff(_docs(sf), _diff_docs(sf)),
     }
 
 
@@ -2973,6 +3017,23 @@ SELECT coalesce(o.day, l.day) AS day,
        CAST(coalesce(o.n_orders, 0) AS BIGINT) AS n_orders,
        CAST(coalesce(l.n_ships, 0) AS BIGINT) AS n_ships
 FROM o FULL OUTER JOIN l ON o.day = l.day
+"""
+    # wave 16: corpus snapshot diff vs the deterministic second version
+    sqls["corpus_diff"] = """
+WITH newd AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text
+  FROM documents WHERE doc_id % 13 <> 0
+  UNION ALL
+  SELECT doc_id + 1000000, text || ' new'
+  FROM documents WHERE doc_id % 11 = 0
+)
+SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+       CASE WHEN o.doc_id IS NULL THEN 'added'
+            WHEN n.doc_id IS NULL THEN 'removed'
+            WHEN o.text = n.text THEN 'unchanged'
+            ELSE 'changed' END AS status
+FROM documents o FULL OUTER JOIN newd n ON o.doc_id = n.doc_id
 """
     # wave 15: edit-distance similarity self-join on part names
     sqls["fuzzy_name_pairs"] = """

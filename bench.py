@@ -166,6 +166,9 @@ BENCH_QUERIES = [
     # wave-15 additions
     "fuzzy_name_pairs",
     "user_value_intervals",
+    # wave-16 additions
+    "ann_pq_topk",
+    "corpus_diff",
 ]
 
 

@@ -2222,3 +2222,70 @@ def fuzzy_name_pairs(
         .groupby("part2")
         .map_groups(pair_dedup, batch_format="pandas")
     )
+
+
+def corpus_diff(
+    old_ds,
+    new_ds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """(doc_id, status in {added, removed, changed, unchanged}): snapshot
+    diff between two corpus versions — the change-data-capture primitive
+    behind incremental recrawl/reindex decisions ("which docs does the
+    next index build actually need to touch?").
+
+    Scale shape: each side collapses to (id, md5-prefix int64, side-flag)
+    per block — text never shuffles; the tagged union co-locates by
+    hash(id) % 64 and one vectorized pandas pivot per partition assigns
+    the status. Only fixed-width rows move."""
+    N_PARTS = 64
+
+    def digest(side: int):
+        def f(b: pa.Table) -> pa.Table:
+            ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            sig = np.fromiter(
+                (
+                    int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
+                    for t in pc.fill_null(b[text_col], "").to_pylist()
+                ),
+                np.int64,
+                len(ids),
+            )
+            return pa.table(
+                {
+                    "id": pa.array(ids),
+                    "sig": pa.array(sig),
+                    "side": pa.array(np.full(len(ids), side, np.int8)),
+                    "part": pa.array(
+                        (ids * 2654435761 % N_PARTS).astype(np.int32)
+                    ),
+                }
+            )
+
+        return f
+
+    both = old_ds.map_batches(digest(0), batch_format="pyarrow").union(
+        new_ds.map_batches(digest(1), batch_format="pyarrow")
+    )
+
+    def classify(g: pd.DataFrame) -> pd.DataFrame:
+        p = g.pivot_table(
+            index="id", columns="side", values="sig", aggfunc="first"
+        )
+        old_sig = p[0] if 0 in p.columns else pd.Series(index=p.index, dtype="float64")
+        new_sig = p[1] if 1 in p.columns else pd.Series(index=p.index, dtype="float64")
+        status = np.where(
+            old_sig.isna(),
+            "added",
+            np.where(
+                new_sig.isna(),
+                "removed",
+                np.where(old_sig == new_sig, "unchanged", "changed"),
+            ),
+        )
+        return pd.DataFrame(
+            {"doc_id": p.index.to_numpy().astype(np.int64), "status": status}
+        )
+
+    return both.groupby("part").map_groups(classify, batch_format="pandas")

@@ -4620,3 +4620,68 @@ def test_user_value_intervals_scd2(ray_session, tmp_path):
     assert got.loc[1, "valid_to"] == pd.Timestamp("2024-02-01")
     assert got.loc[2, "valid_to"] == pd.Timestamp("9999-12-31")
     assert got.loc[3, "valid_to"] == pd.Timestamp("9999-12-31")
+
+
+# -- wave 16: product quantization / corpus snapshot diff -----------------------------
+
+def test_pq_topk_clustered_recall(ray_session):
+    """PQ on PLANTED angular clusters: cluster members are recalled (random
+    high-dim vectors have no structure for 4-bit codebooks — same testing
+    policy as the LSH recall test); codes are deterministic across runs;
+    encode emits one uint8 column per subspace."""
+    from high_performance_parallel_search_engine_ray.pipelines.ann import (
+        pq_encode,
+        pq_fit,
+        pq_topk,
+    )
+
+    rng = np.random.default_rng(11)
+    centers = rng.standard_normal((4, 32)) * 5
+    rows = []
+    vid = 0
+    for c in range(4):
+        for _ in range(50):
+            v = centers[c] + 0.05 * rng.standard_normal(32)
+            rows.append({"vec_id": vid, "embedding": v.tolist(), "cluster": c})
+            vid += 1
+    ds = rd.from_items(rows).repartition(4)
+    # queries = the four cluster centers
+    got = pq_topk(ds, centers, k=10, m=4, kbits=4).to_pandas()
+    cluster_of = {r["vec_id"]: r["cluster"] for r in rows}
+    for qi in range(4):
+        hits = got[got["query_idx"] == qi]["vec_id"].tolist()
+        assert len(hits) == 10
+        frac_own = np.mean([cluster_of[h] == qi for h in hits])
+        assert frac_own >= 0.9, (qi, frac_own)
+    # determinism + shape of the encode surface
+    cb = pq_fit(ds, m=4, kbits=4)
+    cb2 = pq_fit(ds, m=4, kbits=4)
+    np.testing.assert_array_equal(cb, cb2)
+    enc = pq_encode(ds, cb).to_pandas()
+    assert [f"code{j}" in enc.columns for j in range(4)] == [True] * 4
+    assert all(enc[f"code{j}"].between(0, 15).all() for j in range(4))
+
+
+def test_corpus_diff_statuses(ray_session):
+    """Every status class surfaces exactly where planted; ids co-locate
+    across block layouts."""
+    from high_performance_parallel_search_engine_ray.pipelines.dedup import corpus_diff
+
+    old = rd.from_items(
+        [
+            {"doc_id": 1, "text": "alpha"},
+            {"doc_id": 2, "text": "beta"},
+            {"doc_id": 3, "text": "gamma"},
+        ]
+    ).repartition(2)
+    new = rd.from_items(
+        [
+            {"doc_id": 1, "text": "alpha"},       # unchanged
+            {"doc_id": 2, "text": "beta prime"},  # changed
+            {"doc_id": 9, "text": "delta"},       # added
+        ]
+    ).repartition(3)
+    got = {
+        r["doc_id"]: r["status"] for r in corpus_diff(old, new).take_all()
+    }
+    assert got == {1: "unchanged", 2: "changed", 3: "removed", 9: "added"}

@@ -177,6 +177,8 @@ def test_registry_ordering_contract():
         "key_skew",
         # wave-15 additions (same rationale)
         "fuzzy_name_pairs", "user_value_intervals",
+        # wave-16 additions (same rationale)
+        "corpus_diff",
     }
     assert set(entry_mod.oracle_sql()) - overflow_ok <= first50
     for critical in (
