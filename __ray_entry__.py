@@ -95,6 +95,14 @@ def _diff_docs(sf_dir: str):
     return docs.map_batches(perturb, batch_format="pyarrow")
 
 
+def _docs_lang(sf_dir: str):
+    import ray.data as rd
+
+    return rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+
+
 def _read_table(sf_dir: str, table: str, columns=None):
     import ray.data as rd
 
@@ -1176,6 +1184,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # unchanged vs a deterministically perturbed second version built
         # by the identical expression in the oracle SQL)
         "corpus_diff": lambda sf: dedup.corpus_diff(_docs(sf), _diff_docs(sf)),
+        # wave 17: equi-height NTILE deciles at scale (two-pass range-
+        # bucket global row numbers; tie-break makes the order total)
+        "spend_deciles": relational.customer_spend_deciles,
+        # wave 17: langid confusion matrix vs the gold lang column (rows-
+        # only: the n-gram scorer is not SQL-expressible)
+        "lang_confusion": lambda sf: text.lang_confusion(_docs_lang(sf)),
     }
 
 
@@ -3017,6 +3031,22 @@ SELECT coalesce(o.day, l.day) AS day,
        CAST(coalesce(o.n_orders, 0) AS BIGINT) AS n_orders,
        CAST(coalesce(l.n_ships, 0) AS BIGINT) AS n_ships
 FROM o FULL OUTER JOIN l ON o.day = l.day
+"""
+    # wave 17: equi-height NTILE spend deciles
+    sqls["spend_deciles"] = """
+WITH po AS (SELECT l_orderkey AS okey,
+                   sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+                     AS cents
+            FROM lineitem GROUP BY 1),
+pcust AS (SELECT o.o_custkey AS cust, CAST(sum(po.cents) AS BIGINT) AS cents
+          FROM po JOIN orders o ON o.o_orderkey = po.okey
+          GROUP BY 1),
+t AS (SELECT cust, cents, ntile(10) OVER (ORDER BY cents, cust) AS decile
+      FROM pcust)
+SELECT CAST(decile AS BIGINT) AS decile,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       round(CAST(sum(cents) AS DOUBLE) / 100.0, 2) AS total_spend
+FROM t GROUP BY decile
 """
     # wave 16: corpus snapshot diff vs the deterministic second version
     sqls["corpus_diff"] = """

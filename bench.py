@@ -169,6 +169,9 @@ BENCH_QUERIES = [
     # wave-16 additions
     "ann_pq_topk",
     "corpus_diff",
+    # wave-17 additions
+    "spend_deciles",
+    "lang_confusion",
 ]
 
 

@@ -3342,3 +3342,141 @@ def user_value_intervals(sf_dir: str):
         )
 
     return _by_partition(ev, "user_id", intervals_part)
+
+
+def customer_spend_deciles(sf_dir: str, tiles: int = 10):
+    """(decile, n_customers, total_spend): customers bucketed into
+    equal-height spend deciles (SQL NTILE) and aggregated — the
+    distributed EQUI-HEIGHT bucketing shape (percent_rank's sibling:
+    NTILE needs global ROW numbers, not min-ranks, so the tie-break
+    (spend, custkey) makes the order total and row_number == rank).
+
+    Plan: lineitem collapses to exact per-customer spend cents via the
+    orders join (cost-based `_attach_or_join`); the two-pass range-bucket
+    window then runs on the CUSTOMER-scale table: bounded spend-cents
+    grid -> driver prefix offsets -> hash(bucket) co-location where each
+    partition computes exact global row numbers vectorized; ntile =
+    (rank0 * tiles) // n + 1 reproduces SQL NTILE's earlier-tiles-bigger
+    split. The final decile aggregate is tiles-bounded."""
+    from ray.data.aggregate import Sum
+
+    N_PARTS = 64
+    BUCKET = 1_000_000  # cents per grid cell
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice"])
+
+    def li_partial(b: pa.Table) -> pa.Table:
+        cents = np.rint(
+            b["l_extendedprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        t = pa.table({"o_orderkey": b["l_orderkey"], "cents": pa.array(cents)})
+        return _agg_rename(
+            t.group_by(["o_orderkey"]).aggregate([("cents", "sum")]),
+            {"cents_sum": "cents"},
+        )
+
+    per_order = (
+        li.map_batches(li_partial, batch_format="pyarrow")
+        .groupby("o_orderkey")
+        .aggregate(Sum("cents", alias_name="cents"))
+    )
+    with_cust = _attach_or_join(
+        per_order,
+        "o_orderkey",
+        orders,
+        "o_orderkey",
+        ["o_custkey"],
+        _join_partitions(n_joins=1),
+        launder_fact=True,
+        dim_count_hint=_table_rows(sf_dir, "orders"),
+    )
+    spend = (
+        with_cust.map_batches(
+            lambda b: pa.table(
+                {"cust": b["o_custkey"], "cents": b["cents"]}
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("cust")
+        .aggregate(Sum("cents", alias_name="cents"))
+    ).materialize()
+
+    # pass 1: bounded (bucket, count) grid -> offsets
+    def grid_partial(b: pa.Table) -> pa.Table:
+        bu = b["cents"].to_numpy(zero_copy_only=False).astype(np.int64) // BUCKET
+        u, c = np.unique(bu, return_counts=True)
+        return pa.table({"bucket": pa.array(u), "n": pa.array(c.astype(np.int64))})
+
+    grid = (
+        spend.map_batches(grid_partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+        .sort_values("bucket")
+    )
+    offsets = dict(
+        zip(
+            grid["bucket"].astype(int),
+            np.concatenate(([0], np.cumsum(grid["n"].to_numpy())[:-1])).astype(int),
+        )
+    )
+    n_total = int(grid["n"].sum())
+    off_ref = ray.put(offsets)
+
+    def tag(b: pa.Table) -> pa.Table:
+        cents = b["cents"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bu = cents // BUCKET
+        return pa.table(
+            {
+                "cust": pc.cast(b["cust"], pa.int64()),
+                "cents": pa.array(cents),
+                "bucket": pa.array(bu),
+                "part": pa.array((bu * 2654435761 % N_PARTS).astype(np.int32)),
+            }
+        )
+
+    def rank_part(g: pd.DataFrame) -> pd.DataFrame:
+        offs = ray.get(off_ref)
+        g = g.sort_values(["bucket", "cents", "cust"], kind="stable")
+        local = g.groupby("bucket", sort=False).cumcount().to_numpy()
+        base = np.array([offs[int(x)] for x in g["bucket"]], np.int64)
+        rank0 = base + local
+        # SQL NTILE split: first (n % k) tiles carry one extra row
+        q, r = divmod(n_total, tiles)
+        cut = r * (q + 1)
+        in_big = rank0 // (q + 1)  # tiles of size q+1
+        in_small = r + np.maximum(rank0 - cut, 0) // max(q, 1)
+        decile = np.where(rank0 < cut, in_big, in_small) + 1
+        return pd.DataFrame(
+            {
+                "decile": decile.astype(np.int64),
+                "n_customers": np.ones(len(g), np.int64),
+                "cents": g["cents"].to_numpy(),
+            }
+        )
+
+    per_tile = (
+        spend.map_batches(tag, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(rank_part, batch_format="pandas")
+        .groupby("decile")
+        .aggregate(
+            Sum("n_customers", alias_name="n_customers"),
+            Sum("cents", alias_name="cents"),
+        )
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        cents = b["cents"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "decile": pc.cast(b["decile"], pa.int64()),
+                "n_customers": pc.cast(b["n_customers"], pa.int64()),
+                "total_spend": pa.array(
+                    round_half_away(cents / 100.0, 2), pa.float64()
+                ),
+            }
+        )
+
+    return per_tile.map_batches(finish, batch_format="pyarrow")

@@ -2190,3 +2190,55 @@ def pii_redact(docs, id_col: str = "doc_id", text_col: str = "text"):
         )
 
     return docs.map_batches(redact, batch_format="pyarrow")
+
+
+class _LangConfusionStage:
+    """Actor-pool stage: run the langid kernel on the batch and emit
+    (gold, pred, n) partial counts — gold and text live in the same row,
+    so the confusion matrix needs NO join; profiles build once per actor
+    (the LangIdStage state, reused)."""
+
+    def __init__(self):
+        self._stage = LangIdStage()
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        import numpy as np
+        import pandas as pd
+
+        pred = self._stage(b)["lang_pred"].to_numpy(zero_copy_only=False)
+        gold = b["lang"].to_numpy(zero_copy_only=False)
+        cnt = (
+            pd.DataFrame({"gold": gold, "pred": pred})
+            .groupby(["gold", "pred"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        return pa.table(
+            {
+                "gold": pa.array(cnt["gold"].to_numpy(), pa.string()),
+                "pred": pa.array(cnt["pred"].to_numpy(), pa.string()),
+                "n": pa.array(cnt["n"].to_numpy().astype(np.int64), pa.int64()),
+            }
+        )
+
+
+def lang_confusion(docs, concurrency: int = 2):
+    """(gold, pred, n): confusion matrix of the heuristic language
+    identifier against the gold ``lang`` column — the eval harness every
+    classifier-gated curation stage needs before its predictions gate real
+    data. Per-block (gold, pred) integer partials over the langid actor
+    kernel (state per actor, work vectorized); one languages²-bounded
+    groupby merges. Rows-only at the driver (the n-gram scorer is not
+    SQL-expressible); the planted-fixture pytest pins the kernel."""
+    from ray.data.aggregate import Sum
+
+    return (
+        docs.map_batches(
+            _LangConfusionStage,
+            batch_format="pyarrow",
+            concurrency=concurrency,
+            num_cpus=1,
+        )
+        .groupby(["gold", "pred"])
+        .aggregate(Sum("n", alias_name="n"))
+    )

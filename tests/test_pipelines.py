@@ -4685,3 +4685,82 @@ def test_corpus_diff_statuses(ray_session):
         r["doc_id"]: r["status"] for r in corpus_diff(old, new).take_all()
     }
     assert got == {1: "unchanged", 2: "changed", 3: "removed", 9: "added"}
+
+
+# -- wave 17: NTILE deciles / langid confusion matrix ---------------------------------
+
+def test_spend_deciles_ntile_split(ray_session, tmp_path):
+    """The q/r NTILE split (earlier tiles one row bigger) matches DuckDB
+    on a remainder-heavy size, ties break (cents, cust)-deterministically,
+    and fewer rows than tiles assigns consecutive tiles."""
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from high_performance_parallel_search_engine_ray.pipelines.relational import (
+        customer_spend_deciles,
+    )
+
+    # 23 customers, one order of one lineitem each -> n=23, k=10: 3 tiles
+    # of 3 rows then 7 of 2
+    n = 23
+    orders = pd.DataFrame(
+        {"o_orderkey": range(1, n + 1), "o_custkey": range(101, 101 + n)}
+    )
+    li = pd.DataFrame(
+        {
+            "l_orderkey": range(1, n + 1),
+            # two tied spend values to exercise the cust tie-break
+            "l_extendedprice": [10.0] * 5 + [float(i) for i in range(20, 20 + n - 5)],
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(orders), str(tmp_path / "orders.parquet"))
+    pq.write_table(pa.Table.from_pandas(li), str(tmp_path / "lineitem.parquet"))
+    got = (
+        customer_spend_deciles(str(tmp_path))
+        .to_pandas()
+        .sort_values("decile")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("orders", orders)
+    con.register("lineitem", li)
+    want = con.execute("""
+WITH po AS (SELECT l_orderkey AS okey,
+                   sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS cents
+            FROM lineitem GROUP BY 1),
+pcust AS (SELECT o.o_custkey AS cust, CAST(sum(po.cents) AS BIGINT) AS cents
+          FROM po JOIN orders o ON o.o_orderkey = po.okey GROUP BY 1),
+t AS (SELECT cust, cents, ntile(10) OVER (ORDER BY cents, cust) AS decile
+      FROM pcust)
+SELECT CAST(decile AS BIGINT) AS decile,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       round(CAST(sum(cents) AS DOUBLE) / 100.0, 2) AS total_spend
+FROM t GROUP BY decile ORDER BY decile
+""").df()
+    con.close()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert list(got["n_customers"]) == [3, 3, 3] + [2] * 7
+
+
+def test_lang_confusion_planted(ray_session):
+    """Diagonal for clean fixtures; the matrix is exact counts."""
+    from high_performance_parallel_search_engine_ray.pipelines.text import (
+        lang_confusion,
+    )
+
+    rows = [
+        {"doc_id": 1, "lang": "en",
+         "text": "the cat is on the mat and it was there for a while"},
+        {"doc_id": 2, "lang": "en",
+         "text": "this is the house that jack built with his own hands"},
+        {"doc_id": 3, "lang": "de",
+         "text": "der hund ist nicht auf der matte und das ist auch gut"},
+        {"doc_id": 4, "lang": "de", "text": "xyzzy qwerty 12345"},  # und
+    ]
+    got = {
+        (r["gold"], r["pred"]): r["n"]
+        for r in lang_confusion(rd.from_items(rows)).take_all()
+    }
+    assert got == {("en", "en"): 2, ("de", "de"): 1, ("de", "und"): 1}

@@ -179,6 +179,8 @@ def test_registry_ordering_contract():
         "fuzzy_name_pairs", "user_value_intervals",
         # wave-16 additions (same rationale)
         "corpus_diff",
+        # wave-17 additions (same rationale)
+        "spend_deciles",
     }
     assert set(entry_mod.oracle_sql()) - overflow_ok <= first50
     for critical in (
