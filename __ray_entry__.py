@@ -1190,6 +1190,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # wave 17: langid confusion matrix vs the gold lang column (rows-
         # only: the n-gram scorer is not SQL-expressible)
         "lang_confusion": lambda sf: text.lang_confusion(_docs_lang(sf)),
+        # wave 18: phrase query served FROM the positional inverted index
+        # (same oracle as the scan-based phrase_search — the index must
+        # answer identically)
+        "phrase_from_index": lambda sf: rank.phrase_search_indexed(
+            index.positional_postings(_docs(sf)), "hash join"
+        ),
     }
 
 
@@ -2996,6 +3002,9 @@ g AS (SELECT doc_id, unnest(
 SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
 FROM g WHERE gram = 'hash join' GROUP BY doc_id
 """
+    # wave 18: the positional index must answer the phrase query with the
+    # exact scan-path result
+    sqls["phrase_from_index"] = sqls["phrase_search"]
     # wave 12: prefix autocomplete over the tokenized vocabulary
     sqls["autocomplete"] = f"""
 WITH {_TOKS_CTE},

@@ -172,6 +172,8 @@ BENCH_QUERIES = [
     # wave-17 additions
     "spend_deciles",
     "lang_confusion",
+    # wave-18 additions
+    "phrase_from_index",
 ]
 
 

@@ -758,3 +758,46 @@ def autocomplete_prefix(
             "rank": pa.array(range(1, len(top) + 1), pa.int64()),
         }
     )
+
+
+def phrase_search_indexed(postings, phrase: str, id_col: str = "doc_id"):
+    """(doc_id, n_hits): answer the adjacent-token phrase query FROM a
+    positional postings Dataset (``index.positional_postings``) — the
+    index-served counterpart of the scan-based ``phrase_search`` (pinned
+    equal by a cross-operator test; the reason a search engine builds a
+    positional index is exactly this query).
+
+    Only the TWO query terms' postings are pulled out of the index
+    (vectorized is_in filter — bytes, however big the corpus), co-located
+    per doc driver-side over the bounded candidate slice, and the
+    adjacency test is one vectorized searchsorted per doc pair."""
+    import numpy as np
+
+    words = phrase.lower().split()
+    if len(words) != 2:
+        raise ValueError("phrase_search_indexed: exactly two words")
+    w1, w2 = words
+    term_set = pa.array(sorted({w1, w2}))
+
+    rows = postings.map_batches(
+        lambda b: b.filter(pc.is_in(b["term"], value_set=term_set)),
+        batch_format="pyarrow",
+    ).take_all()  # bounded: two terms' postings
+    p1 = {r[id_col]: np.asarray(r["positions"], np.int64) for r in rows if r["term"] == w1}
+    p2 = {r[id_col]: np.asarray(r["positions"], np.int64) for r in rows if r["term"] == w2}
+    out_ids, out_n = [], []
+    for d in sorted(set(p1) & set(p2)):
+        a, bpos = p1[d], p2[d]
+        # w1 at position p counts iff w2 sits at p+1
+        hits = np.isin(a + 1, bpos, assume_unique=True).sum()
+        if w1 == w2:
+            hits = np.isin(a + 1, a, assume_unique=True).sum()
+        if hits:
+            out_ids.append(int(d))
+            out_n.append(int(hits))
+    return pa.table(
+        {
+            id_col: pa.array(out_ids, pa.int64()),
+            "n_hits": pa.array(out_n, pa.int64()),
+        }
+    )

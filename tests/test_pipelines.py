@@ -4764,3 +4764,44 @@ def test_lang_confusion_planted(ray_session):
         for r in lang_confusion(rd.from_items(rows)).take_all()
     }
     assert got == {("en", "en"): 2, ("de", "de"): 1, ("de", "und"): 1}
+
+
+# -- wave 18: positional index + index-served phrase query ----------------------------
+
+def test_phrase_index_equals_scan(ray_session):
+    """The positional index must answer the phrase query with the exact
+    scan-path result (cross-operator pin), including repeated-word
+    phrases and multi-block corpora; postings positions are 0-based
+    whitespace-token ordinals."""
+    from high_performance_parallel_search_engine_ray.pipelines.index import (
+        positional_postings,
+    )
+    from high_performance_parallel_search_engine_ray.pipelines.rank import (
+        phrase_search,
+        phrase_search_indexed,
+    )
+
+    rows = [
+        {"doc_id": 1, "text": "the Hash Join wins"},
+        {"doc_id": 2, "text": "join hash and hash alone"},
+        {"doc_id": 3, "text": "hash join hash join"},
+        {"doc_id": 4, "text": "hash hash join"},
+        {"doc_id": 5, "text": "go go go"},           # repeated-word phrase
+    ]
+    docs = rd.from_items(rows).repartition(3)
+    post = positional_postings(docs).materialize()
+    for phrase in ("hash join", "go go"):
+        scan = {
+            r["doc_id"]: r["n_hits"] for r in phrase_search(docs, phrase).take_all()
+        }
+        served = {
+            r["doc_id"]: r["n_hits"]
+            for r in phrase_search_indexed(post, phrase).to_pylist()
+        }
+        assert served == scan, phrase
+    # postings shape: positions are ordered 0-based ordinals
+    p = {
+        (r["term"], r["doc_id"]): r["positions"] for r in post.take_all()
+    }
+    assert p[("hash", 3)] == [0, 2] and p[("join", 3)] == [1, 3]
+    assert p[("go", 5)] == [0, 1, 2]

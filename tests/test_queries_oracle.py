@@ -181,6 +181,8 @@ def test_registry_ordering_contract():
         "corpus_diff",
         # wave-17 additions (same rationale)
         "spend_deciles",
+        # wave-18 additions (same rationale)
+        "phrase_from_index",
     }
     assert set(entry_mod.oracle_sql()) - overflow_ok <= first50
     for critical in (
