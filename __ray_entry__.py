@@ -95,6 +95,25 @@ def _diff_docs(sf_dir: str):
     return docs.map_batches(perturb, batch_format="pyarrow")
 
 
+def _retrieval_eval(sf_dir: str):
+    """NDCG@10 / recall@10 of brute-force cosine against the label oracle
+    (docs sharing the query vector's label are the relevant set)."""
+    import pyarrow.parquet as pq
+
+    from high_performance_parallel_search_engine_ray.pipelines import ann, rank
+
+    lbl = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "label"]
+    )
+    lab = dict(zip(lbl["vec_id"].to_pylist(), lbl["label"].to_pylist()))
+    relevant = {
+        qi: {v for v, l in lab.items() if l == lab[qi] and v != qi}
+        for qi in range(5)
+    }
+    res = ann.brute_force_topk(_emb(sf_dir), _query_vectors(sf_dir), k=10)
+    return rank.eval_ndcg(res, relevant, k=10, id_col="vec_id")
+
+
 def _docs_lang(sf_dir: str):
     import ray.data as rd
 
@@ -1196,6 +1215,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phrase_from_index": lambda sf: rank.phrase_search_indexed(
             index.positional_postings(_docs(sf)), "hash join"
         ),
+        # wave 19: proximity query ("hash NEAR join") from the positional
+        # index — window-count via sorted-range subtraction
+        "proximity_search": lambda sf: rank.proximity_search(
+            index.positional_postings(_docs(sf)), "hash", "join", window=3
+        ),
+        # wave 19: offline retrieval eval (NDCG@10/recall@10 of the exact
+        # ANN results against the label-relevance oracle; rows-only —
+        # hand-computed fixture pinned by pytest)
+        "retrieval_eval": _retrieval_eval,
     }
 
 
@@ -3005,6 +3033,19 @@ FROM g WHERE gram = 'hash join' GROUP BY doc_id
     # wave 18: the positional index must answer the phrase query with the
     # exact scan-path result
     sqls["phrase_from_index"] = sqls["phrase_search"]
+    # wave 19: proximity window count over zipped-unnest token positions
+    sqls["proximity_search"] = r"""
+WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS arr
+           FROM documents),
+p AS (SELECT doc_id, unnest(arr) AS term,
+             unnest(range(0, len(arr))) AS pos
+      FROM t)
+SELECT a.doc_id, CAST(count(*) AS BIGINT) AS n_pairs
+FROM p a JOIN p b ON a.doc_id = b.doc_id
+      AND a.term = 'hash' AND b.term = 'join'
+      AND abs(a.pos - b.pos) <= 3
+GROUP BY a.doc_id
+"""
     # wave 12: prefix autocomplete over the tokenized vocabulary
     sqls["autocomplete"] = f"""
 WITH {_TOKS_CTE},

@@ -174,6 +174,9 @@ BENCH_QUERIES = [
     "lang_confusion",
     # wave-18 additions
     "phrase_from_index",
+    # wave-19 additions
+    "proximity_search",
+    "retrieval_eval",
 ]
 
 

@@ -801,3 +801,80 @@ def phrase_search_indexed(postings, phrase: str, id_col: str = "doc_id"):
             "n_hits": pa.array(out_n, pa.int64()),
         }
     )
+
+
+def proximity_search(
+    postings, term_a: str, term_b: str, window: int = 3, id_col: str = "doc_id"
+):
+    """(doc_id, n_pairs): count of (pos_a, pos_b) pairs with
+    |pos_a - pos_b| <= ``window`` — proximity ranking's raw signal ("hash
+    NEAR join"), served FROM the positional index like
+    ``phrase_search_indexed`` (phrase = the window-1 ordered special
+    case). Only the two terms' postings leave the index; the window count
+    per doc is two vectorized searchsorted probes (|a - b| <= w  <=>
+    b in [a-w, a+w] — count via sorted-range subtraction, never an
+    all-pairs expansion)."""
+    import numpy as np
+
+    ta, tb = term_a.lower(), term_b.lower()
+    term_set = pa.array(sorted({ta, tb}))
+    rows = postings.map_batches(
+        lambda b: b.filter(pc.is_in(b["term"], value_set=term_set)),
+        batch_format="pyarrow",
+    ).take_all()
+    p1 = {r[id_col]: np.asarray(r["positions"], np.int64) for r in rows if r["term"] == ta}
+    p2 = {r[id_col]: np.asarray(r["positions"], np.int64) for r in rows if r["term"] == tb}
+    out_ids, out_n = [], []
+    for d in sorted(set(p1) & set(p2)):
+        a, b = p1[d], np.sort(p2[d])
+        n = int(
+            (np.searchsorted(b, a + window, side="right")
+             - np.searchsorted(b, a - window, side="left")).sum()
+        )
+        if ta == tb:
+            n -= len(a)  # drop the zero-distance self pairs
+        if n:
+            out_ids.append(int(d))
+            out_n.append(n)
+    return pa.table(
+        {
+            id_col: pa.array(out_ids, pa.int64()),
+            "n_pairs": pa.array(out_n, pa.int64()),
+        }
+    )
+
+
+def eval_ndcg(
+    results,
+    relevant: dict[int, set],
+    k: int = 10,
+    id_col: str = "doc_id",
+):
+    """(query_idx, ndcg, recall): NDCG@k and recall@k of a ranked result
+    table (columns query_idx, doc_id/vec_id, rank) against a relevance
+    oracle — the offline eval every ranking change ships behind. Binary
+    gains; IDCG over min(k, |relevant|). Driver-side over the bounded
+    result set (k rows per query by construction)."""
+    import numpy as np
+    import pandas as pd
+
+    df = results.to_pandas() if not isinstance(results, pd.DataFrame) else results
+    out_q, out_ndcg, out_rec = [], [], []
+    for qi, g in df.groupby("query_idx", sort=True):
+        rel = relevant.get(int(qi), set())
+        g = g.sort_values("rank").head(k)
+        gains = np.array([1.0 if d in rel else 0.0 for d in g[id_col]])
+        disc = 1.0 / np.log2(np.arange(2, len(gains) + 2))
+        dcg = float((gains * disc).sum())
+        ideal_n = min(k, len(rel))
+        idcg = float(disc[:ideal_n].sum()) if ideal_n else 0.0
+        out_q.append(int(qi))
+        out_ndcg.append(round(dcg / idcg, 6) if idcg else 0.0)
+        out_rec.append(round(gains.sum() / len(rel), 6) if rel else 0.0)
+    return pa.table(
+        {
+            "query_idx": pa.array(out_q, pa.int64()),
+            "ndcg": pa.array(out_ndcg, pa.float64()),
+            "recall": pa.array(out_rec, pa.float64()),
+        }
+    )

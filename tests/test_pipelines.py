@@ -4805,3 +4805,60 @@ def test_phrase_index_equals_scan(ray_session):
     }
     assert p[("hash", 3)] == [0, 2] and p[("join", 3)] == [1, 3]
     assert p[("go", 5)] == [0, 1, 2]
+
+
+# -- wave 19: proximity search / retrieval eval ---------------------------------------
+
+def test_proximity_search_window(ray_session):
+    """Window counts match the all-pairs definition; same-term queries
+    drop self pairs; phrase (ordered, dist 1) is a stricter subset."""
+    from high_performance_parallel_search_engine_ray.pipelines.index import (
+        positional_postings,
+    )
+    from high_performance_parallel_search_engine_ray.pipelines.rank import (
+        proximity_search,
+    )
+
+    rows = [
+        {"doc_id": 1, "text": "hash x x join"},       # dist 3 -> in window
+        {"doc_id": 2, "text": "hash x x x join"},     # dist 4 -> out
+        {"doc_id": 3, "text": "join hash"},           # unordered counts
+        {"doc_id": 4, "text": "hash join hash"},      # 2 'hash' x 1 'join'
+        {"doc_id": 5, "text": "go x go"},             # same-term, dist 2
+    ]
+    post = positional_postings(rd.from_items(rows).repartition(2)).materialize()
+    got = {
+        r["doc_id"]: r["n_pairs"]
+        for r in proximity_search(post, "hash", "join", window=3).to_pylist()
+    }
+    assert got == {1: 1, 3: 1, 4: 2}
+    same = {
+        r["doc_id"]: r["n_pairs"]
+        for r in proximity_search(post, "go", "go", window=3).to_pylist()
+    }
+    assert same == {5: 2}  # (0,2) and (2,0); self pairs dropped
+
+
+def test_eval_ndcg_hand_computed(ray_session):
+    """Binary NDCG@k and recall against a hand-worked fixture."""
+    import pandas as pd
+
+    from high_performance_parallel_search_engine_ray.pipelines.rank import eval_ndcg
+
+    df = pd.DataFrame(
+        {
+            "query_idx": [0, 0, 0, 1, 1, 1],
+            "doc_id": [10, 11, 12, 20, 21, 22],
+            "rank": [1, 2, 3, 1, 2, 3],
+        }
+    )
+    rel = {0: {11, 12, 99}, 1: set()}
+    got = eval_ndcg(df, rel, k=3).to_pandas().set_index("query_idx")
+    import numpy as np
+
+    # q0: gains (0,1,1), dcg = 1/log2(3) + 1/log2(4); idcg = 1 + 1/log2(3) + 1/log2(4)
+    dcg = 1 / np.log2(3) + 0.5
+    idcg = 1 + 1 / np.log2(3) + 0.5
+    assert got.loc[0, "ndcg"] == round(dcg / idcg, 6)
+    assert got.loc[0, "recall"] == round(2 / 3, 6)
+    assert got.loc[1, "ndcg"] == 0.0 and got.loc[1, "recall"] == 0.0

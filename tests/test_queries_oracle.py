@@ -183,6 +183,8 @@ def test_registry_ordering_contract():
         "spend_deciles",
         # wave-18 additions (same rationale)
         "phrase_from_index",
+        # wave-19 additions (same rationale)
+        "proximity_search",
     }
     assert set(entry_mod.oracle_sql()) - overflow_ok <= first50
     for critical in (
