@@ -25,17 +25,21 @@ SF0001 = "/root/testdata/sf0.001"
 # Serial-tokenizer delimiter class for RE2 (used verbatim in oracle SQL).
 _TOKEN_RE_SQL = r"[ \t\n\r.,;:!?\"()\[\]{}<>]+"
 
-_TOKS_CTE = f"""
+def _toks_cte(src: str = "documents") -> str:
+    return f"""
 toks AS (
   SELECT doc_id, t AS term FROM (
     SELECT doc_id,
            unnest(regexp_split_to_array(lower(text), '{_TOKEN_RE_SQL}')) AS t
-    FROM documents
+    FROM {src}
   )
   WHERE t <> '' AND length(t) <= 62
     AND t NOT IN ('the','a','an','in','of')
 )
 """
+
+
+_TOKS_CTE = _toks_cte()
 
 
 def _docs(sf_dir: str):
@@ -595,6 +599,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
             os.path.normpath(sf_dir)
         )
         index.write_term_index(_docs(sf_dir), idx)
+        return rank.bm25_from_index(idx, "hash join", k=10)
+
+    def _bm25_after_update(sf_dir):
+        import os
+        import shutil
+
+        idx = "/tmp/hppse_term_index_upd_" + os.path.basename(
+            os.path.normpath(sf_dir)
+        )
+        shutil.rmtree(idx, ignore_errors=True)
+        index.write_term_index(_docs(sf_dir), idx)
+        index.update_term_index(_docs(sf_dir), _diff_docs(sf_dir), idx)
         return rank.bm25_from_index(idx, "hash join", k=10)
 
     def crawl_smoke(sf_dir):
@@ -1224,6 +1240,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ANN results against the label-relevance oracle; rows-only —
         # hand-computed fixture pinned by pytest)
         "retrieval_eval": _retrieval_eval,
+        # wave 20: tombstone-aware incremental reindex — build the index
+        # on snapshot v1, fold the v2 diff in (adds+edits+deletes), serve
+        # BM25 from the UPDATED index; the oracle is a fresh-rebuild BM25
+        # over v2, so equality proves update == rebuild.
+        "bm25_after_update": _bm25_after_update,
+        # wave 20: delta+varint postings compression — encode then decode
+        # must restore the postings bit-exactly (oracle = the plain
+        # term_doc_tf SQL through the binary roundtrip)
+        "postings_roundtrip": lambda sf: index.decode_postings_varint(
+            index.encode_postings_varint(index.term_doc_tf(_docs(sf)))
+        ),
+        # wave 20: pseudo-relevance-feedback expansion — top-5 feedback
+        # docs vote 3 expansion terms, final ranking is BM25 of the
+        # expanded query (both rounds share one tokenize pass)
+        "prf_expanded": lambda sf: rank.prf_expand_topk(
+            _docs(sf), "hash join", k=10, fb_docs=5, fb_terms=3
+        ),
     }
 
 
@@ -3098,6 +3131,82 @@ SELECT CAST(decile AS BIGINT) AS decile,
        round(CAST(sum(cents) AS DOUBLE) / 100.0, 2) AS total_spend
 FROM t GROUP BY decile
 """
+    # wave 20: incremental reindex == fresh rebuild — BM25 over the v2
+    # snapshot (same newd CTE as corpus_diff); the Ray side serves from a
+    # v1-built index updated via tombstones + gen-stamped appends.
+    sqls["bm25_after_update"] = _bm25_sql(
+        ["hash", "join"],
+        src="newd",
+        pre_ctes="""newd AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text
+  FROM documents WHERE doc_id % 13 <> 0
+  UNION ALL
+  SELECT doc_id + 1000000, text || ' new'
+  FROM documents WHERE doc_id % 11 = 0
+),
+""",
+    )
+    # wave 20: varint roundtrip restores exactly the term_doc_tf table
+    sqls["postings_roundtrip"] = sqls["term_doc_tf"]
+    # wave 20: PRF expansion — base round picks 5 feedback docs on raw
+    # doubles (same tie rule), feedback votes 3 terms (tf-sum desc, term
+    # asc), final = BM25 of the expanded term set, rounded like every
+    # other bm25 oracle
+    sqls["prf_expanded"] = f"""
+WITH {_TOKS_CTE},
+tf AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT count(*) FROM toks) * 1.0 /
+         (SELECT count(*) FROM documents) AS avgdl
+),
+df0 AS (SELECT term, count(*) AS df FROM tf
+        WHERE term IN ('hash', 'join') GROUP BY term),
+base AS (
+  SELECT tf.doc_id,
+         sum( ln((stats.n - df0.df + 0.5) / (df0.df + 0.5) + 1.0)
+              * (tf.tf * 2.5)
+              / (tf.tf + 1.5 * (0.25 + 0.75 * dl.dl / stats.avgdl)) ) AS score
+  FROM tf
+  JOIN df0 ON df0.term = tf.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats
+  GROUP BY tf.doc_id
+  ORDER BY score DESC, tf.doc_id
+  LIMIT 5
+),
+fb AS (
+  SELECT tf.term, sum(tf.tf) AS w
+  FROM tf JOIN base ON base.doc_id = tf.doc_id
+  WHERE tf.term NOT IN ('hash', 'join')
+  GROUP BY tf.term
+  ORDER BY w DESC, term ASC
+  LIMIT 3
+),
+qterms AS (
+  SELECT 'hash' AS term UNION ALL SELECT 'join' UNION ALL
+  SELECT term FROM fb
+),
+dfq AS (SELECT term, count(*) AS df FROM tf
+        WHERE term IN (SELECT term FROM qterms) GROUP BY term),
+scores AS (
+  SELECT tf.doc_id,
+         sum( ln((stats.n - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0)
+              * (tf.tf * 2.5)
+              / (tf.tf + 1.5 * (0.25 + 0.75 * dl.dl / stats.avgdl)) ) AS score
+  FROM tf
+  JOIN dfq ON dfq.term = tf.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(score, 6) AS score FROM scores
+WHERE score > 0
+ORDER BY score DESC, doc_id
+LIMIT 10
+"""
     # wave 16: corpus snapshot diff vs the deterministic second version
     sqls["corpus_diff"] = """
 WITH newd AS (
@@ -3166,16 +3275,16 @@ FROM r WHERE rn = 1
     return sqls
 
 
-def _bm25_sql(terms: list[str]) -> str:
+def _bm25_sql(terms: list[str], src: str = "documents", pre_ctes: str = "") -> str:
     terms_sql = ", ".join(f"'{t}'" for t in terms)
     return f"""
-WITH {_TOKS_CTE},
+WITH {pre_ctes}{_toks_cte(src)},
 tf AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2),
 dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
 stats AS (
-  SELECT (SELECT count(*) FROM documents) AS n,
+  SELECT (SELECT count(*) FROM {src}) AS n,
          (SELECT count(*) FROM toks) * 1.0 /
-         (SELECT count(*) FROM documents) AS avgdl
+         (SELECT count(*) FROM {src}) AS avgdl
 ),
 df AS (SELECT term, count(*) AS df FROM tf
        WHERE term IN ({terms_sql}) GROUP BY term),

@@ -177,6 +177,9 @@ BENCH_QUERIES = [
     # wave-19 additions
     "proximity_search",
     "retrieval_eval",
+    "bm25_after_update",
+    "postings_roundtrip",
+    "prf_expanded",
 ]
 
 

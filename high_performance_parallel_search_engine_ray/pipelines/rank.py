@@ -149,12 +149,16 @@ def bm25_from_index(
     stats from the manifest — zero corpus passes per query, the serving
     shape the reference's query loop uses against its in-memory index.
     Value-identical to ``bm25_topk`` over the same corpus (oracle-checked
-    via the bm25_served entry)."""
+    via the bm25_served entry). Tombstones left by
+    `index.update_term_index` are honored: dead (doc, gen) rows are
+    dropped from the tiny query-terms slice before scoring, so an updated
+    index serves the new snapshot without waiting for compaction."""
     import pandas as pd
     import pyarrow.dataset as pads
     import ray.data as rd
 
     from ..sources.io import read_manifest
+    from .index import live_postings_mask, read_tombstones
 
     man = read_manifest(index_dir)
     if man is None:
@@ -176,14 +180,23 @@ def bm25_from_index(
         for b in buckets
         for f in sorted(glob.glob(f"{index_dir}/postings/bucket={b}/*.parquet"))
     ]
+    tomb = read_tombstones(index_dir)
     if not paths:
         tf_q = None
     else:
+        cols = ["term", id_col, "tf", "dl"] + (["gen"] if tomb else [])
         tf_q = rd.read_parquet(
             paths,
-            columns=["term", id_col, "tf", "dl"],
+            columns=cols,
             filter=pads.field("term").isin(uniq),
         ).materialize()
+        if tomb is not None:
+            tf_q = tf_q.map_batches(
+                lambda b: b.filter(
+                    pa.array(live_postings_mask(b, tomb, id_col))
+                ).select(["term", id_col, "tf", "dl"]),
+                batch_format="pyarrow",
+            ).materialize()
     if tf_q is None or tf_q.count() == 0:
         id_type = pa.int64()
         return pa.schema([(id_col, id_type), ("score", pa.float64())]).empty_table()
@@ -877,4 +890,68 @@ def eval_ndcg(
             "ndcg": pa.array(out_ndcg, pa.float64()),
             "recall": pa.array(out_rec, pa.float64()),
         }
+    )
+
+
+def prf_expand_topk(
+    docs,
+    query: str,
+    k: int = 10,
+    fb_docs: int = 5,
+    fb_terms: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_to: int | None = 6,
+):
+    """Pseudo-relevance-feedback retrieval (Rocchio/RM3 family, unweighted
+    expansion): round 1 ranks the original query, the top ``fb_docs``
+    results vote expansion terms (highest summed tf inside the feedback
+    set, excluding the query's own terms; ties break term-asc), and the
+    final ranking is plain BM25 of the expanded query — the principled
+    big sibling of the reference's hardcoded plural/singular retry
+    (`OpenMP Version/src/ranking.c:110-150`), which re-runs the query
+    with one morphological variant when recall disappoints.
+
+    Scale shape: ONE shared tokenize pass (`tf` materialized once) feeds
+    both rounds; the feedback slice is ``fb_docs`` documents' tf rows (a
+    bounded is_in filter), so the driver-side term vote is feedback-sized,
+    never corpus-sized. Assumes the query string has no repeated terms
+    (expansion weights are occurrence counts; the oracle SQL mirrors the
+    distinct-term form)."""
+    import pandas as pd
+
+    from .index import term_doc_tf
+
+    tf = term_doc_tf(docs, id_col, text_col).materialize()
+    # round 1 unrounded: only the ORDER feeds the feedback cut, and the
+    # oracle's base CTE orders on raw doubles
+    base = bm25_topk(
+        docs, query, k=fb_docs, id_col=id_col, text_col=text_col,
+        round_to=None, tf=tf,
+    )
+    fb_ids = base[id_col].to_pylist()
+    qterms = tokenize_query(query)
+    if not fb_ids:
+        return bm25_topk(
+            docs, query, k=k, id_col=id_col, text_col=text_col,
+            round_to=round_to, tf=tf,
+        )
+    idset = pa.array(fb_ids)
+    cand = tf.map_batches(
+        lambda b: b.filter(pc.is_in(b[id_col], value_set=idset)),
+        batch_format="pyarrow",
+    ).take_all()  # bounded: sum of fb_docs documents' vocabularies
+    votes = (
+        pd.DataFrame(cand)
+        .groupby("term", as_index=False)["tf"]
+        .sum()
+    )
+    votes = votes[~votes["term"].isin(set(qterms))]
+    votes = votes.sort_values(
+        ["tf", "term"], ascending=[False, True], kind="stable"
+    ).head(fb_terms)
+    expanded = " ".join(list(dict.fromkeys(qterms)) + votes["term"].tolist())
+    return bm25_topk(
+        docs, expanded, k=k, id_col=id_col, text_col=text_col,
+        round_to=round_to, tf=tf,
     )

@@ -1417,6 +1417,233 @@ def test_compact_term_index_preserves_serving(docs, tmp_path):
     assert (again["n_files_before"] <= 1).all()
 
 
+def _v2_snapshot(docs):
+    """Deterministic second snapshot with all three churn kinds: doc_id%5
+    REMOVED, doc_id%3 CHANGED to a full text replacement (old terms must
+    vanish, not just gain a suffix), doc_id%4 cloned to id+100000 (ADDED)."""
+    import pyarrow as _pa
+    import pyarrow.compute as _pc
+
+    def perturb(b):
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = ids % 5 != 0
+        changed = _pc.if_else(
+            _pa.array(ids % 3 == 0),
+            _pa.array(
+                ["replacement window sort text number %d" % i for i in ids],
+                type=b["text"].type,
+            ),
+            b["text"],
+        )
+        base = _pa.table({"doc_id": b["doc_id"], "text": changed}).filter(
+            _pa.array(keep)
+        )
+        add = ids % 4 == 0
+        added = _pa.table(
+            {
+                "doc_id": _pa.array(ids[add] + 100_000),
+                "text": _pc.binary_join_element_wise(
+                    b["text"].filter(_pa.array(add)), " extra hash", ""
+                ),
+            }
+        )
+        return _pa.concat_tables([base, added])
+
+    return docs.map_batches(perturb, batch_format="pyarrow")
+
+
+def test_update_term_index_equals_rebuild(docs, tmp_path):
+    """Tombstone-aware incremental reindex: build on v1, fold the v2 diff
+    in — manifest stats and served BM25 equal a FRESH rebuild over v2,
+    both before compaction (tombstones filtered at serving time) and after
+    (tombstones applied physically and removed)."""
+    import glob
+
+    from high_performance_parallel_search_engine_ray.pipelines import index as ix
+    from high_performance_parallel_search_engine_ray.pipelines import rank as rk
+
+    v2 = _v2_snapshot(docs)
+    idx = str(tmp_path / "idx_upd")
+    ix.write_term_index(docs, idx)
+    man = ix.update_term_index(docs, v2, idx)
+    fresh_idx = str(tmp_path / "idx_fresh")
+    fman = ix.write_term_index(v2, fresh_idx)
+    assert man["n_docs"] == fman["n_docs"]
+    assert man["total_tokens"] == fman["total_tokens"]
+    assert man["avgdl"] == pytest.approx(fman["avgdl"])
+    assert man["n_removed"] > 0 and man["n_added"] > 0 and man["n_changed"] > 0
+    assert glob.glob(f"{idx}/tombstones/*.parquet")
+
+    # a changed doc's OLD terms must be gone: doc 3 changed, its old text
+    # no longer scores under queries its new text lacks
+    for q in ("hash join", "window sort", "replacement number"):
+        served = rk.bm25_from_index(idx, q, k=10).to_pandas()
+        fresh = rk.bm25_from_index(fresh_idx, q, k=10).to_pandas()
+        assert served.equals(fresh), q
+
+    stats = ix.compact_term_index(idx)
+    assert stats["compacted"].any()
+    assert not glob.glob(f"{idx}/tombstones/*.parquet")  # applied + cleared
+    for d in glob.glob(f"{idx}/postings/bucket=*"):
+        assert len(glob.glob(f"{d}/*.parquet")) == 1, d
+    for q in ("hash join", "window sort", "replacement number"):
+        served = rk.bm25_from_index(idx, q, k=10).to_pandas()
+        fresh = rk.bm25_from_index(fresh_idx, q, k=10).to_pandas()
+        assert served.equals(fresh), q
+
+
+def test_update_term_index_sequential_updates(docs, tmp_path):
+    """Two updates in a row (v1 -> v2 -> v1 again): generations stack, the
+    per-doc MAX before_gen wins, and serving round-trips back to the v1
+    result without any compaction in between."""
+    from high_performance_parallel_search_engine_ray.pipelines import index as ix
+    from high_performance_parallel_search_engine_ray.pipelines import rank as rk
+
+    v2 = _v2_snapshot(docs)
+    idx = str(tmp_path / "idx_seq")
+    ix.write_term_index(docs, idx)
+    m1 = ix.update_term_index(docs, v2, idx)
+    m2 = ix.update_term_index(v2, docs, idx)  # revert to v1
+    assert (m1["gen"], m2["gen"]) == (1, 2)
+    fresh_idx = str(tmp_path / "idx_v1")
+    fman = ix.write_term_index(docs, fresh_idx)
+    assert m2["n_docs"] == fman["n_docs"]
+    assert m2["total_tokens"] == fman["total_tokens"]
+    for q in ("hash join", "window sort"):
+        served = rk.bm25_from_index(idx, q, k=10).to_pandas()
+        fresh = rk.bm25_topk(docs, q, k=10).to_pandas()
+        assert served.equals(fresh), q
+
+
+def test_update_term_index_no_churn_is_noop(docs, tmp_path):
+    """Updating with an identical snapshot writes no tombstones, appends
+    no postings, and leaves the manifest stats unchanged (gen advances)."""
+    import glob
+
+    from high_performance_parallel_search_engine_ray.pipelines import index as ix
+
+    idx = str(tmp_path / "idx_noop")
+    m0 = ix.write_term_index(docs, idx)
+    m1 = ix.update_term_index(docs, docs, idx)
+    assert not glob.glob(f"{idx}/tombstones/*.parquet")
+    assert m1["n_docs"] == m0["n_docs"]
+    assert m1["total_tokens"] == m0["total_tokens"]
+    assert (m1["n_added"], m1["n_changed"], m1["n_removed"]) == (0, 0, 0)
+
+
+def test_prf_expansion_recalls_feedback_neighbors(ray_session):
+    """PRF: docs sharing only the feedback docs' vocabulary (none of the
+    original query terms) enter the final ranking; the tie-broken
+    expansion choice is deterministic; a no-hit query degrades to the
+    plain (empty) result."""
+    from high_performance_parallel_search_engine_ray.pipelines import rank as rk
+
+    rows = [
+        {"doc_id": 1, "text": "hash join algorithm database"},
+        {"doc_id": 2, "text": "hash join systems merge"},
+        {"doc_id": 3, "text": "merge algorithm database systems"},
+        {"doc_id": 4, "text": "unrelated words entirely banana"},
+    ]
+    ds = rd.from_items(rows)
+    plain = rk.bm25_topk(ds, "hash join", k=10)["doc_id"].to_pylist()
+    assert 3 not in plain  # round 1 cannot see doc 3
+    out = rk.prf_expand_topk(ds, "hash join", k=10, fb_docs=2, fb_terms=3)
+    ids = out["doc_id"].to_pylist()
+    assert {1, 2, 3} <= set(ids) and 4 not in ids
+    again = rk.prf_expand_topk(ds, "hash join", k=10, fb_docs=2, fb_terms=3)
+    assert out.equals(again)
+    empty = rk.prf_expand_topk(ds, "nosuchterm", k=10)
+    assert empty.num_rows == 0
+
+
+def test_publish_index_blue_green(docs, tmp_path):
+    """Atomic publish lifecycle: build in staging -> publish v1 -> serve
+    through CURRENT -> rebuild (updated corpus) -> publish v2 -> serving
+    flips; GC drops the old version but never the live one."""
+    from high_performance_parallel_search_engine_ray.pipelines import index as ix
+    from high_performance_parallel_search_engine_ray.pipelines import rank as rk
+
+    root = str(tmp_path / "pub")
+    assert ix.current_index_dir(root) is None
+
+    stage1 = str(tmp_path / "stage1")
+    ix.write_term_index(docs, stage1)
+    v1 = ix.publish_index(root, stage1)
+    assert ix.current_index_dir(root) == v1
+    fresh = rk.bm25_topk(docs, "hash join", k=10).to_pandas()
+    assert rk.bm25_from_index(v1, "hash join", k=10).to_pandas().equals(fresh)
+
+    v2docs = _v2_snapshot(docs)
+    stage2 = str(tmp_path / "stage2")
+    ix.write_term_index(v2docs, stage2)
+    v2 = ix.publish_index(root, stage2)
+    assert ix.current_index_dir(root) == v2
+    fresh2 = rk.bm25_topk(v2docs, "hash join", k=10).to_pandas()
+    served2 = rk.bm25_from_index(
+        ix.current_index_dir(root), "hash join", k=10
+    ).to_pandas()
+    assert served2.equals(fresh2)
+
+    removed = ix.gc_index_versions(root, keep=1)
+    assert removed == [v1]
+    assert ix.current_index_dir(root) == v2
+    # GC can never remove the live version even with keep=0
+    assert ix.gc_index_versions(root, keep=0) == []
+    assert ix.current_index_dir(root) == v2
+
+
+def test_varint_codec_roundtrip_fuzz():
+    """LEB128 flat codec: random widths up to 2^62, zeros, empties — decode
+    restores encode's input exactly and offsets account for every byte."""
+    from high_performance_parallel_search_engine_ray.pipelines.index import (
+        _varint_decode_flat,
+        _varint_encode_flat,
+    )
+
+    rng = np.random.RandomState(7)
+    cases = [
+        rng.randint(0, 2 ** rng.randint(1, 63), size=rng.randint(0, 200)).astype(
+            np.uint64
+        )
+        for _ in range(25)
+    ]
+    cases += [np.array(v, np.uint64) for v in ([0, 0, 0], [2**62, 1, 0], [])]
+    for vals in cases:
+        flat, off = _varint_encode_flat(vals)
+        assert len(off) == len(vals) + 1 and off[-1] == len(flat)
+        assert np.array_equal(_varint_decode_flat(flat.tobytes()), vals)
+
+
+def test_postings_varint_roundtrip_and_ratio(docs):
+    """encode->decode restores (term, doc_id, tf, dl) bit-exactly, and the
+    varint payloads actually compress: total payload bytes land well under
+    the 24 raw int64 bytes/posting they replace."""
+    from high_performance_parallel_search_engine_ray.pipelines import index as ix
+
+    tf = ix.term_doc_tf(docs).materialize()
+    enc = ix.encode_postings_varint(tf).materialize()
+    dec = ix.decode_postings_varint(enc)
+    want = (
+        tf.to_pandas()
+        .sort_values(["term", "doc_id"])
+        .reset_index(drop=True)
+    )
+    got = (
+        dec.to_pandas()
+        .sort_values(["term", "doc_id"])
+        .reset_index(drop=True)[want.columns.tolist()]
+    )
+    assert got.equals(want)
+    e = enc.to_pandas()
+    assert int(e["n"].sum()) == len(want)
+    payload = int(
+        e["doc_bytes"].str.len().sum()
+        + e["tf_bytes"].str.len().sum()
+        + e["dl_bytes"].str.len().sum()
+    )
+    assert payload < 24 * len(want) / 3  # >3x under raw int64 postings
+
+
 def test_bm25_served_equals_fresh(docs, tmp_path):
     """The persisted-index serving path returns exactly what a fresh
     corpus-pass BM25 returns, for multiple queries over one build."""

@@ -185,6 +185,8 @@ def test_registry_ordering_contract():
         "phrase_from_index",
         # wave-19 additions (same rationale)
         "proximity_search",
+        # wave-20 additions (same rationale)
+        "bm25_after_update", "postings_roundtrip", "prf_expanded",
     }
     assert set(entry_mod.oracle_sql()) - overflow_ok <= first50
     for critical in (
