@@ -1257,6 +1257,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "prf_expanded": lambda sf: rank.prf_expand_topk(
             _docs(sf), "hash join", k=10, fb_docs=5, fb_terms=3
         ),
+        # wave 21: watermark-gated streaming tumbling window — synthetic
+        # hash-jitter arrivals, drop-late policy, per-window on-time/late
+        # counts + exact cent sums; no global sort (bucket+halo plan)
+        "events_watermark": lambda sf: relational.events_watermark_agg(sf),
     }
 
 
@@ -3149,6 +3153,32 @@ FROM t GROUP BY decile
     )
     # wave 20: varint roundtrip restores exactly the term_doc_tf table
     sqls["postings_roundtrip"] = sqls["term_doc_tf"]
+    # wave 21: watermark semantics as a running max over arrival order —
+    # an event is late iff the max arrival among strictly-preceding
+    # events (arr, event_id lex order) already passed its window end +
+    # watermark; jitter/lattice expressions mirror the Ray side exactly
+    sqls["events_watermark"] = """
+WITH e AS (
+  SELECT event_id,
+         CAST(round(value * 100, 0) AS BIGINT) AS v100,
+         epoch_ms(ts) + (event_id * 2654435761) % 5400000 AS arr,
+         (epoch_ms(ts) // 3600000) * 3600000 AS ws
+  FROM events
+),
+flag AS (
+  SELECT *, coalesce(
+      max(arr) OVER (ORDER BY arr, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      >= ws + 5400000, FALSE) AS late
+  FROM e
+)
+SELECT ws AS window_start_ms,
+       CAST(count(*) FILTER (WHERE NOT late) AS BIGINT) AS n_on_time,
+       CAST(count(*) FILTER (WHERE late) AS BIGINT) AS n_late,
+       CAST(coalesce(sum(v100) FILTER (WHERE NOT late), 0) AS BIGINT)
+         AS sum_v100
+FROM flag GROUP BY ws
+"""
     # wave 20: PRF expansion — base round picks 5 feedback docs on raw
     # doubles (same tie rule), feedback votes 3 terms (tf-sum desc, term
     # asc), final = BM25 of the expanded term set, rounded like every

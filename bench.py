@@ -180,6 +180,7 @@ BENCH_QUERIES = [
     "bm25_after_update",
     "postings_roundtrip",
     "prf_expanded",
+    "events_watermark",
 ]
 
 

@@ -3480,3 +3480,141 @@ def customer_spend_deciles(sf_dir: str, tiles: int = 10):
         )
 
     return per_tile.map_batches(finish, batch_format="pyarrow")
+
+
+# -- watermark-gated streaming window (late-data policy) ----------------------
+
+def events_watermark_agg(
+    sf_dir: str,
+    window_min: int = 60,
+    watermark_min: int = 30,
+    max_late_ms: int = 5_400_000,
+):
+    """Streaming tumbling-window aggregate with WATERMARK semantics on a
+    batch engine: each event gets a deterministic synthetic arrival time
+    (event-time + a hash jitter ≤ ``max_late_ms`` — the out-of-order
+    delivery a real ingest pipeline sees), the watermark is the max
+    arrival seen so far minus ``watermark_min``, a window FIRES when the
+    watermark passes its end, and events arriving after their window
+    fired are LATE — excluded from the aggregate and counted, the
+    drop-late policy of every streaming engine. Deterministic given the
+    total arrival order (ties break by event_id), so the whole semantics
+    is exactly SQL-checkable via a running-max window function.
+
+    Scale shape (no global sort, no fact-scale window function): an event
+    is late iff SOME strictly-earlier arrival already carried the
+    watermark past its window end — i.e. iff an arrival exists in
+    [t_fire(e), arr(e)) (plus the arr-tie/id rule). That probe range is
+    bounded by the jitter bound, so arrivals are announced to their own
+    and the NEXT ``max_late_ms`` bucket (duplication ×2 of (arr, id)
+    pairs only), queries co-locate with their own bucket, and one
+    vectorized searchsorted pass per partition (disjoint virtual
+    segments per bucket, dense composite ranks for the tie rule) flags
+    every event. Per-partition integer partials then one tiny
+    (windows × partitions)-bounded groupby-sum finish it."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    WIN = window_min * 60_000
+    FIRE = WIN + watermark_min * 60_000
+    B = max_late_ms  # probe width arr-t_fire < max_late - watermark < B
+    N_PARTS = 64
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "value"])
+
+    def expand(b: pa.Table) -> pa.Table:
+        ids = b["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        tms = (
+            b["ts"].to_numpy().astype("datetime64[ms]").astype(np.int64)
+        )
+        v100 = round_half_away(
+            pc.multiply(b["value"], 100.0).to_numpy(), 0
+        ).astype(np.int64)
+        arr = tms + (ids * 2654435761) % B
+        ws = tms // WIN * WIN
+        t_fire = ws + FIRE
+        bkt = arr // B
+        n = len(ids)
+        # query rows (role 0) to their own bucket; arrival announcements
+        # (role 1) to own and next bucket
+        return pa.table(
+            {
+                "bkt": pa.array(np.concatenate([bkt, bkt, bkt + 1])),
+                "part": pa.array(
+                    (np.concatenate([bkt, bkt, bkt + 1]) % N_PARTS).astype(
+                        np.int32
+                    )
+                ),
+                "role": pa.array(
+                    np.concatenate(
+                        [np.zeros(n, np.int8), np.ones(2 * n, np.int8)]
+                    )
+                ),
+                "arr": pa.array(np.concatenate([arr, arr, arr])),
+                "event_id": pa.array(np.concatenate([ids, ids, ids])),
+                "t_fire": pa.array(
+                    np.concatenate([t_fire, np.zeros(2 * n, np.int64)])
+                ),
+                "ws": pa.array(
+                    np.concatenate([ws, np.zeros(2 * n, np.int64)])
+                ),
+                "v100": pa.array(
+                    np.concatenate([v100, np.zeros(2 * n, np.int64)])
+                ),
+            }
+        )
+
+    def flag_part(g: pd.DataFrame) -> pd.DataFrame:
+        stride = 3 * B
+        is_q = g["role"].to_numpy() == 0
+        bkt = g["bkt"].to_numpy().astype(np.int64)
+        arr = g["arr"].to_numpy().astype(np.int64)
+        ids = g["event_id"].to_numpy().astype(np.int64)
+        virt = bkt * stride + (arr - (bkt - 1) * B)
+        q_virt, q_ids = virt[is_q], ids[is_q]
+        t_virt = bkt[is_q] * stride + (
+            g["t_fire"].to_numpy().astype(np.int64)[is_q] - (bkt[is_q] - 1) * B
+        )
+        a_virt, a_ids = virt[~is_q], ids[~is_q]
+        # dense composite ranks so the (virt, id) lex order searchsorts as
+        # ONE int64 key (virt*const would overflow on epoch-scale values)
+        vpool = np.unique(np.concatenate([a_virt, q_virt, t_virt]))
+        ipool = np.unique(np.concatenate([a_ids, q_ids]))
+        M = len(ipool) + 1
+        a_key = np.searchsorted(vpool, a_virt) * M + (
+            np.searchsorted(ipool, a_ids) + 1
+        )
+        q_key = np.searchsorted(vpool, q_virt) * M + (
+            np.searchsorted(ipool, q_ids) + 1
+        )
+        t_key = np.searchsorted(vpool, t_virt) * M  # id = -inf
+        a_key.sort()
+        ins = np.searchsorted(a_key, q_key, side="left")
+        lo = np.searchsorted(a_key, t_key, side="left")
+        late = ins > lo
+        ws = g["ws"].to_numpy().astype(np.int64)[is_q]
+        v100 = g["v100"].to_numpy().astype(np.int64)[is_q]
+        out = pd.DataFrame(
+            {
+                "window_start_ms": ws,
+                "n_on_time": (~late).astype(np.int64),
+                "n_late": late.astype(np.int64),
+                "sum_v100": np.where(late, 0, v100),
+            }
+        )
+        return (
+            out.groupby("window_start_ms", as_index=False)[
+                ["n_on_time", "n_late", "sum_v100"]
+            ].sum()
+        )
+
+    partials = (
+        ev.map_batches(expand, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(flag_part, batch_format="pandas")
+    )
+    return partials.groupby("window_start_ms").aggregate(
+        Sum("n_on_time", alias_name="n_on_time"),
+        Sum("n_late", alias_name="n_late"),
+        Sum("sum_v100", alias_name="sum_v100"),
+    )

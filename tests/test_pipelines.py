@@ -1531,6 +1531,58 @@ def test_update_term_index_no_churn_is_noop(docs, tmp_path):
     assert (m1["n_added"], m1["n_changed"], m1["n_removed"]) == (0, 0, 0)
 
 
+def test_events_watermark_matches_global_sort_reference(ray_session):
+    """The bucket+halo watermark plan equals an independent brute-force
+    reference (true global arrival sort + running prev-max) on the real
+    sf0.001 events — covering bucket boundaries, arr ties, and the
+    id tie-break; both late and on-time classes must be populated."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from high_performance_parallel_search_engine_ray.pipelines import (
+        relational as rel,
+    )
+
+    got = (
+        rel.events_watermark_agg(SF)
+        .to_pandas()
+        .sort_values("window_start_ms")
+        .reset_index(drop=True)
+    )
+
+    ev = pq.read_table(
+        f"{SF}/events.parquet", columns=["event_id", "ts", "value"]
+    ).to_pandas()
+    tms = ev["ts"].to_numpy().astype("datetime64[ms]").astype(np.int64)
+    ids = ev["event_id"].to_numpy().astype(np.int64)
+    arr = tms + (ids * 2654435761) % 5_400_000
+    ws = tms // 3_600_000 * 3_600_000
+    v100 = np.round(ev["value"].to_numpy() * 100.0).astype(np.int64)
+    order = np.lexsort((ids, arr))
+    prevmax = np.concatenate(
+        [[np.iinfo(np.int64).min], np.maximum.accumulate(arr[order])[:-1]]
+    )
+    late_sorted = prevmax >= (ws[order] + 5_400_000)
+    late = np.empty(len(arr), bool)
+    late[order] = late_sorted
+    want = (
+        pd.DataFrame(
+            {
+                "window_start_ms": ws,
+                "n_on_time": (~late).astype(np.int64),
+                "n_late": late.astype(np.int64),
+                "sum_v100": np.where(late, 0, v100),
+            }
+        )
+        .groupby("window_start_ms", as_index=False)
+        .sum()
+        .sort_values("window_start_ms")
+        .reset_index(drop=True)
+    )
+    assert int(want["n_late"].sum()) > 0 and int(want["n_on_time"].sum()) > 0
+    assert got[want.columns.tolist()].equals(want)
+
+
 def test_prf_expansion_recalls_feedback_neighbors(ray_session):
     """PRF: docs sharing only the feedback docs' vocabulary (none of the
     original query terms) enter the final ranking; the tie-broken

@@ -187,6 +187,8 @@ def test_registry_ordering_contract():
         "proximity_search",
         # wave-20 additions (same rationale)
         "bm25_after_update", "postings_roundtrip", "prf_expanded",
+        # wave-21 additions (same rationale)
+        "events_watermark",
     }
     assert set(entry_mod.oracle_sql()) - overflow_ok <= first50
     for critical in (
