@@ -1261,6 +1261,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # hash-jitter arrivals, drop-late policy, per-window on-time/late
         # counts + exact cent sums; no global sort (bucket+halo plan)
         "events_watermark": lambda sf: relational.events_watermark_agg(sf),
+        # wave 22: "more like this" — top-k TF-IDF-cosine neighbors of a
+        # seed document; per-doc norms and seed dots complete inside one
+        # map_batches (docs never split across batches), zero extra shuffles
+        "more_like_this": lambda sf: rank.more_like_this(_docs(sf), 42, k=10),
     }
 
 
@@ -3235,6 +3239,33 @@ scores AS (
 SELECT doc_id, round(score, 6) AS score FROM scores
 WHERE score > 0
 ORDER BY score DESC, doc_id
+LIMIT 10
+"""
+    # wave 22: TF-IDF cosine neighbors of seed doc 42 (raw weights in the
+    # products, one final round — structurally the Ray expression)
+    sqls["more_like_this"] = f"""
+WITH {_TOKS_CTE},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(DISTINCT doc_id) AS n FROM tf),
+w AS (
+  SELECT tf.doc_id, tf.term, tf.tf * ln(n.n * 1.0 / df.df) AS w
+  FROM tf JOIN df ON df.term = tf.term CROSS JOIN n
+),
+seed AS (SELECT term, w FROM w WHERE doc_id = 42),
+norms AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY 1),
+dots AS (
+  SELECT w.doc_id, sum(w.w * seed.w) AS dot
+  FROM w JOIN seed ON seed.term = w.term
+  WHERE w.doc_id <> 42
+  GROUP BY 1
+)
+SELECT d.doc_id,
+       round(d.dot / (nm.nrm * (SELECT nrm FROM norms WHERE doc_id = 42)),
+             6) AS cos_sim
+FROM dots d JOIN norms nm ON nm.doc_id = d.doc_id
+WHERE d.dot > 0
+ORDER BY cos_sim DESC, d.doc_id
 LIMIT 10
 """
     # wave 16: corpus snapshot diff vs the deterministic second version

@@ -181,6 +181,7 @@ BENCH_QUERIES = [
     "postings_roundtrip",
     "prf_expanded",
     "events_watermark",
+    "more_like_this",
 ]
 
 

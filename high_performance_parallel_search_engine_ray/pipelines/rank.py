@@ -955,3 +955,102 @@ def prf_expand_topk(
         docs, expanded, k=k, id_col=id_col, text_col=text_col,
         round_to=round_to, tf=tf,
     )
+
+
+def more_like_this(
+    docs,
+    seed_doc_id: int,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_to: int | None = 6,
+):
+    """Related-documents serving ("more like this"): top-k docs by TF-IDF
+    cosine similarity to a seed document — the content-based neighbor
+    query every result page and recommendation sidebar runs, and the
+    sparse lexical complement of the dense `ann.brute_force_topk` path.
+
+    Scale shape (ZERO extra shuffles past the shared tokenize pass):
+    `term_doc_tf` keeps each document's rows inside one batch, so per-doc
+    norms AND seed-dot partials are both complete within map_batches —
+    no per-doc groupby ever runs. The df model and the seed's (term,
+    weight) vector are vocab-/doc-bounded broadcasts (`ray.put` once,
+    searchsorted lookup per batch); only (doc_id, cos) survivor rows
+    reach the final sort/limit."""
+    import ray
+    from ray.data.aggregate import Count
+
+    from .index import term_doc_tf
+
+    tf = term_doc_tf(docs, id_col, text_col).materialize()
+    df_rows = tf.groupby("term").aggregate(Count(alias_name="df")).take_all()
+    terms = np.array([r["term"] for r in df_rows])
+    dfs = np.array([r["df"] for r in df_rows], dtype=np.float64)
+    order = np.argsort(terms)
+    terms, dfs = terms[order], dfs[order]
+    n_docs = float(
+        tf.map_batches(
+            lambda b: pa.table({id_col: pc.unique(b[id_col])}),
+            batch_format="pyarrow",
+        )
+        .groupby(id_col)
+        .count()
+        .count()
+    )
+
+    seed_rows = tf.map_batches(
+        lambda b: b.filter(pc.equal(b[id_col], seed_doc_id)),
+        batch_format="pyarrow",
+    ).take_all()
+    out_schema = pa.schema([(id_col, pa.int64()), ("cos_sim", pa.float64())])
+    if not seed_rows:
+        return out_schema.empty_table()
+    s_terms = np.array([r["term"] for r in seed_rows])
+    s_w = np.array([r["tf"] for r in seed_rows], np.float64) * np.log(
+        n_docs / dfs[np.searchsorted(terms, s_terms)]
+    )
+    s_order = np.argsort(s_terms)
+    s_terms, s_w = s_terms[s_order], s_w[s_order]
+    s_norm = float(np.sqrt(np.sum(s_w * s_w)))
+    model_ref = ray.put((terms, dfs, s_terms, s_w))
+
+    def score(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        t_s, df_s, st, sw = ray.get(model_ref)
+        tt = b["term"].to_numpy(zero_copy_only=False)
+        w = b["tf"].to_numpy(zero_copy_only=False) * np.log(
+            n_docs / df_s[np.searchsorted(t_s, tt)]
+        )
+        pos = np.clip(np.searchsorted(st, tt), 0, len(st) - 1)
+        in_seed = st[pos] == tt
+        dot_part = np.where(in_seed, w * sw[pos], 0.0)
+        d = pd.DataFrame(
+            {
+                "id": b[id_col].to_numpy(zero_copy_only=False),
+                "dot": dot_part,
+                "n2": w * w,
+            }
+        )
+        agg = d.groupby("id", as_index=False, sort=False).sum()
+        agg = agg[(agg["dot"] > 0) & (agg["id"] != seed_doc_id)]
+        cos = agg["dot"].to_numpy() / (np.sqrt(agg["n2"].to_numpy()) * s_norm)
+        if round_to is not None:
+            cos = round_half_away(cos, round_to)
+        return pa.table(
+            {
+                id_col: pa.array(agg["id"].to_numpy().astype(np.int64)),
+                "cos_sim": pa.array(cos, pa.float64()),
+            }
+        )
+
+    sims = tf.map_batches(score, batch_format="pyarrow")
+    rows = (
+        sims.sort(["cos_sim", id_col], descending=[True, False])
+        .limit(k)
+        .take_all()
+    )
+    return pa.Table.from_pylist(
+        [{id_col: r[id_col], "cos_sim": r["cos_sim"]} for r in rows],
+        schema=out_schema,
+    )

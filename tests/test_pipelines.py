@@ -1531,6 +1531,28 @@ def test_update_term_index_no_churn_is_noop(docs, tmp_path):
     assert (m1["n_added"], m1["n_changed"], m1["n_removed"]) == (0, 0, 0)
 
 
+def test_more_like_this_planted(ray_session):
+    """An exact copy of the seed ranks first at cos 1.0, a partial overlap
+    ranks between, a disjoint doc never appears, the seed itself is
+    excluded, and a missing seed returns the empty schema."""
+    from high_performance_parallel_search_engine_ray.pipelines import rank as rk
+
+    rows = [
+        {"doc_id": 1, "text": "alpha beta gamma delta"},
+        {"doc_id": 2, "text": "alpha beta gamma delta"},   # exact copy
+        {"doc_id": 3, "text": "alpha beta zzz yyy"},        # partial
+        {"doc_id": 4, "text": "totally disjoint words here"},
+    ]
+    ds = rd.from_items(rows)
+    out = rk.more_like_this(ds, 1, k=10).to_pandas()
+    assert out["doc_id"].tolist()[0] == 2
+    assert out["cos_sim"].iloc[0] == pytest.approx(1.0)
+    assert set(out["doc_id"]) == {2, 3}  # no seed, no disjoint doc
+    assert (out["cos_sim"].iloc[1:] < 1.0).all()
+    empty = rk.more_like_this(ds, 999, k=10)
+    assert empty.num_rows == 0
+
+
 def test_events_watermark_matches_global_sort_reference(ray_session):
     """The bucket+halo watermark plan equals an independent brute-force
     reference (true global arrival sort + running prev-max) on the real

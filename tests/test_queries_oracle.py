@@ -189,6 +189,8 @@ def test_registry_ordering_contract():
         "bm25_after_update", "postings_roundtrip", "prf_expanded",
         # wave-21 additions (same rationale)
         "events_watermark",
+        # wave-22 additions (same rationale)
+        "more_like_this",
     }
     assert set(entry_mod.oracle_sql()) - overflow_ok <= first50
     for critical in (
