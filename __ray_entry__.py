@@ -1265,6 +1265,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # seed document; per-doc norms and seed dots complete inside one
         # map_batches (docs never split across batches), zero extra shuffles
         "more_like_this": lambda sf: rank.more_like_this(_docs(sf), 42, k=10),
+        # wave 23: document-level co-occurrence lift against a focal term
+        # ("searches related to ..."); focal doc-id set broadcast, one
+        # groupby over the focal postings slice
+        "related_terms": lambda sf: rank.related_terms(_docs(sf), "hash", k=10),
+        # wave 23: partitioned-write -> pruned-read roundtrip — lineitem
+        # written one dir per ship month, a 3-month range answered from
+        # only those partitions; shared rollup kernel proves no loss
+        "pruned_monthly_revenue": lambda sf: relational.partitioned_pruned_revenue(sf),
     }
 
 
@@ -3267,6 +3275,39 @@ FROM dots d JOIN norms nm ON nm.doc_id = d.doc_id
 WHERE d.dot > 0
 ORDER BY cos_sim DESC, d.doc_id
 LIMIT 10
+"""
+    # wave 23: co-occurrence lift for focal term 'hash' (tf rows are
+    # distinct (term, doc) pairs, so count(*) is the co-document count)
+    sqls["related_terms"] = f"""
+WITH {_TOKS_CTE},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(DISTINCT doc_id) AS n FROM tf),
+fdocs AS (SELECT DISTINCT doc_id FROM tf WHERE term = 'hash'),
+co AS (
+  SELECT tf.term, count(*) AS co_df
+  FROM tf JOIN fdocs ON fdocs.doc_id = tf.doc_id
+  WHERE tf.term <> 'hash'
+  GROUP BY tf.term
+)
+SELECT co.term, CAST(co.co_df AS BIGINT) AS co_df,
+       round((co.co_df * 1.0 / (SELECT count(*) FROM fdocs))
+             / (df.df * 1.0 / n.n), 6) AS lift
+FROM co JOIN df ON df.term = co.term CROSS JOIN n
+WHERE co.co_df >= 2
+ORDER BY lift DESC, co.term
+LIMIT 10
+"""
+    # wave 23: the pruned 3-month scan equals the WHERE-filtered rollup
+    sqls["pruned_monthly_revenue"] = """
+SELECT date_trunc('month', l_shipdate) AS ship_month,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000)
+                      AS BIGINT)) / 10000.0, 2) AS revenue,
+       count(*) AS n_lines
+FROM lineitem
+WHERE strftime(l_shipdate, '%Y-%m') IN ('1995-03', '1995-04', '1995-05')
+GROUP BY 1
 """
     # wave 16: corpus snapshot diff vs the deterministic second version
     sqls["corpus_diff"] = """

@@ -182,6 +182,8 @@ BENCH_QUERIES = [
     "prf_expanded",
     "events_watermark",
     "more_like_this",
+    "related_terms",
+    "pruned_monthly_revenue",
 ]
 
 

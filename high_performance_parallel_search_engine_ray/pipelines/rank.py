@@ -1054,3 +1054,111 @@ def more_like_this(
         [{id_col: r[id_col], "cos_sim": r["cos_sim"]} for r in rows],
         schema=out_schema,
     )
+
+
+def related_terms(
+    docs,
+    focal: str,
+    k: int = 10,
+    min_co: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Co-occurrence term suggestion: top-k terms by LIFT against a focal
+    term — lift(t) = P(t | focal-doc) / P(t) = (co_df/df_focal)/(df/N) —
+    the "searches related to ..." box next to `autocomplete` (prefix) and
+    `spell_suggest` (edit distance); unlike `phrase_pmi` it scores
+    document-level co-occurrence, not adjacency.
+
+    Scale shape: the focal term's doc-id set is df(focal)-bounded
+    (broadcast once); co-occurrence counts are ONE groupby over the
+    focal docs' postings slice; df/N ride the same vocab-bounded
+    broadcast every rank op uses; lift, the min_co gate, and the
+    sort/limit all run distributed — no corpus row reaches the driver."""
+    import ray
+    from ray.data.aggregate import Count
+
+    from .index import term_doc_tf
+
+    out_schema = pa.schema(
+        [("term", pa.string()), ("co_df", pa.int64()), ("lift", pa.float64())]
+    )
+    tf = term_doc_tf(docs, id_col, text_col).materialize()
+    df_rows = tf.groupby("term").aggregate(Count(alias_name="df")).take_all()
+    terms = np.array([r["term"] for r in df_rows])
+    dfs = np.array([r["df"] for r in df_rows], dtype=np.float64)
+    order = np.argsort(terms)
+    terms, dfs = terms[order], dfs[order]
+    n_docs = float(
+        tf.map_batches(
+            lambda b: pa.table({id_col: pc.unique(b[id_col])}),
+            batch_format="pyarrow",
+        )
+        .groupby(id_col)
+        .count()
+        .count()
+    )
+    fids = np.sort(
+        np.array(
+            [
+                r[id_col]
+                for r in tf.map_batches(
+                    lambda b: b.filter(pc.equal(b["term"], focal)),
+                    batch_format="pyarrow",
+                ).take_all()
+            ],
+            np.int64,
+        )
+    )
+    if not fids.size:
+        return out_schema.empty_table()
+    df_focal = float(fids.size)
+    fids_ref = ray.put(fids)
+
+    def in_focal(b: pa.Table) -> pa.Table:
+        wanted = ray.get(fids_ref)
+        ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.clip(np.searchsorted(wanted, ids), 0, wanted.size - 1)
+        keep = (wanted[pos] == ids) & (
+            b["term"].to_numpy(zero_copy_only=False) != focal
+        )
+        return b.filter(pa.array(keep))
+
+    co = (
+        tf.map_batches(in_focal, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Count(alias_name="co_df"))
+    )
+    model_ref = ray.put((terms, dfs))
+
+    def with_lift(b: pa.Table) -> pa.Table:
+        t_s, df_s = ray.get(model_ref)
+        tt = b["term"].to_numpy(zero_copy_only=False)
+        cov = b["co_df"].to_numpy(zero_copy_only=False).astype(np.float64)
+        lift = (cov * 1.0 / df_focal) / (
+            df_s[np.searchsorted(t_s, tt)] * 1.0 / n_docs
+        )
+        out = pa.table(
+            {
+                "term": b["term"],
+                "co_df": pa.array(
+                    b["co_df"].to_numpy(zero_copy_only=False).astype(np.int64)
+                ),
+                "lift": pa.array(round_half_away(lift, 6), pa.float64()),
+            }
+        )
+        return out.filter(pc.greater_equal(out["co_df"], min_co))
+
+    rows = (
+        co.map_batches(with_lift, batch_format="pyarrow")
+        .sort(["lift", "term"], descending=[True, False])
+        .limit(k)
+        .take_all()
+    )
+    return pa.Table.from_pylist(
+        [
+            {"term": r["term"], "co_df": r["co_df"], "lift": r["lift"]}
+            for r in rows
+        ],
+        schema=out_schema,
+    )

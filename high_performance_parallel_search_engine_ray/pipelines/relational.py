@@ -830,12 +830,18 @@ def shipping_monthly(sf_dir: str):
     """Per ship month: line count, sum qty, revenue. Partial aggregation
     inside map_batches (floor_temporal month bucketing) before a tiny
     groupby — the temporal-rollup pattern at fact scale."""
-    from ray.data.aggregate import Sum
-
     li = _read(
         sf_dir, "lineitem",
         ["l_shipdate", "l_quantity", "l_extendedprice", "l_discount"],
     )
+    return _monthly_rollup(li)
+
+
+def _monthly_rollup(li):
+    """(ship_month, sum_qty, revenue, n_lines) rollup shared by
+    `shipping_monthly` (full scan) and `partitioned_pruned_revenue`
+    (partition-pruned scan) — one kernel so the two can never drift."""
+    from ray.data.aggregate import Sum
 
     def partial(b: pa.Table) -> pa.Table:
         month = pc.floor_temporal(b["l_shipdate"], unit="month")
@@ -891,6 +897,63 @@ def shipping_monthly(sf_dir: str):
         )
 
     return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+def partitioned_pruned_revenue(
+    sf_dir: str,
+    months: tuple = ("1995-03", "1995-04", "1995-05"),
+    out_dir: str | None = None,
+):
+    """Partitioned-write -> pruned-read roundtrip: lineitem is written as
+    one parquet directory PER SHIP MONTH (the resumable-output layout —
+    a failed 100-TB job re-runs only missing month dirs), then a month
+    range is answered by reading ONLY those partitions' files with the
+    column set pruned to the 4 needed — directory-level partition
+    pruning plus column pruning, the 'prune at the read' rule made into
+    an oracle-checked operator. The rollup kernel is shared with
+    `shipping_monthly`, so equality against the WHERE-filtered SQL
+    proves the pruned scan lost nothing."""
+    import glob
+    import os
+    import shutil
+
+    out_dir = out_dir or os.path.join(
+        "/tmp", "hppse_li_monthly_" + os.path.basename(os.path.normpath(sf_dir))
+    )
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    li = _read(
+        sf_dir, "lineitem",
+        ["l_shipdate", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def with_ym(b: pa.Table) -> pa.Table:
+        ym = pc.strftime(b["l_shipdate"], format="%Y-%m")
+        return b.append_column("ym", ym)
+
+    li.map_batches(with_ym, batch_format="pyarrow").write_parquet(
+        out_dir, partition_cols=["ym"]
+    )
+
+    paths = [
+        f
+        for m in months
+        for f in sorted(glob.glob(f"{out_dir}/ym={m}/*.parquet"))
+    ]
+    if not paths:
+        return pa.schema(
+            [
+                ("ship_month", pa.timestamp("us")),
+                ("sum_qty", pa.float64()),
+                ("revenue", pa.float64()),
+                ("n_lines", pa.int64()),
+            ]
+        ).empty_table()
+    pruned = rd.read_parquet(
+        paths,
+        columns=["l_shipdate", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+    return _monthly_rollup(pruned)
 
 
 # -- median retail price per brand (percentile aggregate) --------------------

@@ -1531,6 +1531,61 @@ def test_update_term_index_no_churn_is_noop(docs, tmp_path):
     assert (m1["n_added"], m1["n_changed"], m1["n_removed"]) == (0, 0, 0)
 
 
+def test_related_terms_planted(ray_session):
+    """Hand-computed lift: focal 'alpha' in docs {1,2}; 'beta' co-occurs in
+    both (lift (2/2)/(2/4)=2.0), 'gamma' in one (lift 1.0); min_co gates;
+    missing focal returns the empty schema."""
+    from high_performance_parallel_search_engine_ray.pipelines import rank as rk
+
+    rows = [
+        {"doc_id": 1, "text": "alpha beta gamma"},
+        {"doc_id": 2, "text": "alpha beta"},
+        {"doc_id": 3, "text": "gamma delta"},
+        {"doc_id": 4, "text": "delta epsilon"},
+    ]
+    ds = rd.from_items(rows)
+    out = rk.related_terms(ds, "alpha", k=10, min_co=1).to_pandas()
+    assert out["term"].tolist() == ["beta", "gamma"]
+    assert out["co_df"].tolist() == [2, 1]
+    assert out["lift"].tolist() == [2.0, 1.0]
+    gated = rk.related_terms(ds, "alpha", k=10, min_co=2).to_pandas()
+    assert gated["term"].tolist() == ["beta"]
+    assert rk.related_terms(ds, "nosuch", k=10).num_rows == 0
+
+
+def test_partitioned_pruned_revenue_equals_filtered_full(ray_session, tmp_path):
+    """The pruned 3-month read equals the full shipping_monthly rollup
+    restricted to those months; the written layout is one dir per month;
+    an unmatched month range returns the empty schema."""
+    import glob
+
+    from high_performance_parallel_search_engine_ray.pipelines import (
+        relational as rel,
+    )
+
+    months = ("1995-03", "1995-04", "1995-05")
+    out_dir = str(tmp_path / "li_monthly")
+    got = (
+        rel.partitioned_pruned_revenue(SF, months=months, out_dir=out_dir)
+        .to_pandas()
+        .sort_values("ship_month")
+        .reset_index(drop=True)
+    )
+    full = rel.shipping_monthly(SF).to_pandas()
+    want = (
+        full[full["ship_month"].dt.strftime("%Y-%m").isin(months)]
+        .sort_values("ship_month")
+        .reset_index(drop=True)
+    )
+    assert got.equals(want)
+    dirs = glob.glob(f"{out_dir}/ym=*")
+    assert len(dirs) == len(full)  # one partition dir per ship month
+    empty = rel.partitioned_pruned_revenue(
+        SF, months=("1899-01",), out_dir=str(tmp_path / "li2")
+    )
+    assert empty.num_rows == 0
+
+
 def test_more_like_this_planted(ray_session):
     """An exact copy of the seed ranks first at cos 1.0, a partial overlap
     ranks between, a disjoint doc never appears, the seed itself is

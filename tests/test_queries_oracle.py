@@ -191,6 +191,8 @@ def test_registry_ordering_contract():
         "events_watermark",
         # wave-22 additions (same rationale)
         "more_like_this",
+        # wave-23 additions (same rationale)
+        "related_terms", "pruned_monthly_revenue",
     }
     assert set(entry_mod.oracle_sql()) - overflow_ok <= first50
     for critical in (
