@@ -1273,6 +1273,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # written one dir per ship month, a 3-month range answered from
         # only those partitions; shared rollup kernel proves no loss
         "pruned_monthly_revenue": lambda sf: relational.partitioned_pruned_revenue(sf),
+        # wave 24: order-invariant per-type content checksum — the
+        # anti-entropy check for replicated/migrated copies; block-order
+        # and partitioning independent by construction
+        "events_checksum": lambda sf: relational.events_checksum(sf),
     }
 
 
@@ -3308,6 +3312,17 @@ SELECT date_trunc('month', l_shipdate) AS ship_month,
 FROM lineitem
 WHERE strftime(l_shipdate, '%Y-%m') IN ('1995-03', '1995-04', '1995-05')
 GROUP BY 1
+"""
+    # wave 24: canonical-string md5 checksum, fields pinned to the same
+    # integer lattices both sides (BIGINT || casts are format-stable)
+    sqls["events_checksum"] = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(('0x' || substr(md5(
+           event_id || '|' || user_id || '|' || event_type || '|' ||
+           CAST(round(value * 100, 0) AS BIGINT) || '|' || epoch_ms(ts)
+       ), 1, 8)) AS BIGINT)) AS BIGINT) AS checksum
+FROM events GROUP BY event_type
 """
     # wave 16: corpus snapshot diff vs the deterministic second version
     sqls["corpus_diff"] = """

@@ -184,6 +184,7 @@ BENCH_QUERIES = [
     "more_like_this",
     "related_terms",
     "pruned_monthly_revenue",
+    "events_checksum",
 ]
 
 

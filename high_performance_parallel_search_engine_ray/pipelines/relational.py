@@ -3681,3 +3681,69 @@ def events_watermark_agg(
         Sum("n_late", alias_name="n_late"),
         Sum("sum_v100", alias_name="sum_v100"),
     )
+
+
+# -- order-invariant table checksum (replication / migration integrity) -------
+
+def events_checksum(sf_dir: str):
+    """Per event_type: row count + ORDER-INVARIANT content checksum —
+    the anti-entropy primitive that verifies a replicated / migrated /
+    re-partitioned copy of a fact table without sorting or shuffling it
+    (sums commute, so any block order and any partitioning give the same
+    answer; compare two copies' outputs to find which type diverged).
+
+    Row digest: md5 over a canonical '|'-joined string of the row's
+    fields with floats pinned to the 0.01 integer lattice and timestamps
+    to epoch-ms, so both engines hash IDENTICAL bytes; the first 8 hex
+    chars as int64 summed per type (32-bit digests keep the int64 sum
+    exact up to ~2^31 rows per type — the 100-TB variant widens to two
+    parallel 8-hex sums). Per-block integer partials, one tiny groupby."""
+    import hashlib
+
+    from ray.data.aggregate import Sum
+
+    ev = _read(
+        sf_dir, "events", ["event_id", "user_id", "event_type", "value", "ts"]
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        ids = b["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uid = b["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        typ = b["event_type"].to_pylist()
+        sv = round_half_away(
+            pc.multiply(b["value"], 100.0).to_numpy(), 0
+        ).astype(np.int64)
+        tms = b["ts"].to_numpy().astype("datetime64[ms]").astype(np.int64)
+        digests = np.fromiter(
+            (
+                int(
+                    hashlib.md5(
+                        f"{i}|{u}|{t}|{s}|{m}".encode()
+                    ).hexdigest()[:8],
+                    16,
+                )
+                for i, u, t, s, m in zip(ids, uid, typ, sv, tms)
+            ),
+            np.int64,
+            len(ids),
+        )
+        t = pa.table(
+            {
+                "event_type": b["event_type"],
+                "n": pa.array(np.ones(len(ids), np.int64)),
+                "csum": pa.array(digests),
+            }
+        )
+        return _agg_rename(
+            t.group_by("event_type").aggregate([("n", "sum"), ("csum", "sum")]),
+            {"n_sum": "n", "csum_sum": "csum"},
+        )
+
+    return (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Sum("n", alias_name="n_rows"),
+            Sum("csum", alias_name="checksum"),
+        )
+    )

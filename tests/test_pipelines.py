@@ -1531,6 +1531,63 @@ def test_update_term_index_no_churn_is_noop(docs, tmp_path):
     assert (m1["n_added"], m1["n_changed"], m1["n_removed"]) == (0, 0, 0)
 
 
+def test_events_checksum_matches_reference(ray_session):
+    """The distributed checksum equals an independent single-pass pandas
+    reference (same canonical string + md5-prefix sum), and a single
+    tampered row changes its type's checksum but no other type's."""
+    import hashlib
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from high_performance_parallel_search_engine_ray.pipelines import (
+        relational as rel,
+    )
+
+    got = (
+        rel.events_checksum(SF)
+        .to_pandas()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    ev = pq.read_table(f"{SF}/events.parquet").to_pandas()
+    sv = np.round(ev["value"].to_numpy() * 100.0).astype(np.int64)
+    tms = ev["ts"].to_numpy().astype("datetime64[ms]").astype(np.int64)
+
+    def dig(i, u, t, s, m):
+        return int(hashlib.md5(f"{i}|{u}|{t}|{s}|{m}".encode()).hexdigest()[:8], 16)
+
+    base = [
+        dig(i, u, t, s, m)
+        for i, u, t, s, m in zip(
+            ev["event_id"], ev["user_id"], ev["event_type"], sv, tms
+        )
+    ]
+    want = (
+        pd.DataFrame({"event_type": ev["event_type"], "d": base})
+        .groupby("event_type")
+        .agg(n_rows=("d", "size"), checksum=("d", "sum"))
+        .reset_index()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    assert got[["event_type", "n_rows", "checksum"]].equals(want)
+    # tamper sensitivity: flip one row's value lattice by one cent
+    tam = [
+        dig(i, u, t, s + (1 if k == 0 else 0), m)
+        for k, (i, u, t, s, m) in enumerate(
+            zip(ev["event_id"], ev["user_id"], ev["event_type"], sv, tms)
+        )
+    ]
+    tw = (
+        pd.DataFrame({"event_type": ev["event_type"], "d": tam})
+        .groupby("event_type")["d"]
+        .sum()
+    )
+    diff = (tw != want.set_index("event_type")["checksum"]).sum()
+    assert diff == 1
+
+
 def test_related_terms_planted(ray_session):
     """Hand-computed lift: focal 'alpha' in docs {1,2}; 'beta' co-occurs in
     both (lift (2/2)/(2/4)=2.0), 'gamma' in one (lift 1.0); min_co gates;

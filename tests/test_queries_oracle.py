@@ -193,6 +193,8 @@ def test_registry_ordering_contract():
         "more_like_this",
         # wave-23 additions (same rationale)
         "related_terms", "pruned_monthly_revenue",
+        # wave-24 additions (same rationale)
+        "events_checksum",
     }
     assert set(entry_mod.oracle_sql()) - overflow_ok <= first50
     for critical in (
