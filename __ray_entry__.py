@@ -1277,6 +1277,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # anti-entropy check for replicated/migrated copies; block-order
         # and partitioning independent by construction
         "events_checksum": lambda sf: relational.events_checksum(sf),
+        # wave 25: journey sequence-pattern cohort — ordered event-initial
+        # strings per user, regex 'view -> purchase with only click/error
+        # between'; one user co-location, user-bounded output
+        "user_journeys": lambda sf: relational.user_journey_match(sf),
     }
 
 
@@ -3323,6 +3327,17 @@ SELECT event_type,
            CAST(round(value * 100, 0) AS BIGINT) || '|' || epoch_ms(ts)
        ), 1, 8)) AS BIGINT)) AS BIGINT) AS checksum
 FROM events GROUP BY event_type
+"""
+    # wave 25: ordered string_agg journey + RE2 sequence match
+    sqls["user_journeys"] = """
+WITH seq AS (
+  SELECT user_id,
+         string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id)
+           AS journey
+  FROM events GROUP BY user_id
+)
+SELECT user_id, journey FROM seq
+WHERE regexp_matches(journey, 'v[ce]*p')
 """
     # wave 16: corpus snapshot diff vs the deterministic second version
     sqls["corpus_diff"] = """

@@ -185,6 +185,7 @@ BENCH_QUERIES = [
     "related_terms",
     "pruned_monthly_revenue",
     "events_checksum",
+    "user_journeys",
 ]
 
 

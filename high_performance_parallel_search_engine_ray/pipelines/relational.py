@@ -3747,3 +3747,47 @@ def events_checksum(sf_dir: str):
             Sum("csum", alias_name="checksum"),
         )
     )
+
+
+# -- per-user journey assembly + sequence pattern match ------------------------
+
+def user_journey_match(sf_dir: str, pattern: str = "v[ce]*p"):
+    """Sequence analytics over event streams: each user's events collapse
+    (ordered by ts, event_id) into a JOURNEY string of event-type
+    initials (c/e/p/s/v — unique by construction in this domain), and
+    users whose journey matches a regex are returned with the journey —
+    the behavioral-cohort query ("viewed, then purchased with only
+    clicks/errors between") that funnels can't express because ORDER and
+    INTERVENING events matter. Default pattern: view -> purchase with
+    only click/error between.
+
+    Scale shape: events co-locate once by hash(user) % 64 (the
+    sessionize partitioning assumption: one user's events fit one
+    group); per partition ONE vectorized sort + groupby-join builds all
+    journeys and one compiled-regex pass flags them. Journey rows are
+    user-bounded, never event-bounded."""
+    import re as _re
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "event_type", "ts"])
+
+    def initial(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": b["user_id"],
+                "event_id": b["event_id"],
+                "ts": b["ts"],
+                "ini": pc.utf8_slice_codeunits(b["event_type"], 0, 1),
+            }
+        )
+
+    rx = _re.compile(pattern)
+
+    def journeys(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        j = g.groupby("user_id", sort=True)["ini"].agg("".join).reset_index()
+        j.columns = ["user_id", "journey"]
+        keep = j["journey"].map(lambda s: rx.search(s) is not None)
+        return j[keep]
+
+    return _by_partition(ev.map_batches(initial, batch_format="pyarrow"),
+                         "user_id", journeys)

@@ -1531,6 +1531,53 @@ def test_update_term_index_no_churn_is_noop(docs, tmp_path):
     assert (m1["n_added"], m1["n_changed"], m1["n_removed"]) == (0, 0, 0)
 
 
+def test_user_journey_match_planted(ray_session, tmp_path):
+    """Journey assembly honors (ts, event_id) order incl. ties, and the
+    pattern semantics: v->p with only c/e between matches, an intervening
+    signup breaks it, and pattern-free users are absent."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from high_performance_parallel_search_engine_ray.pipelines import (
+        relational as rel,
+    )
+
+    t0 = pd.Timestamp("2024-01-01")
+    rows = []
+    plan = {
+        1: ["view", "click", "purchase"],          # vcp -> match
+        2: ["view", "purchase"],                    # vp  -> match
+        3: ["view", "signup", "purchase"],          # vsp -> no match
+        4: ["click", "error"],                      # ce  -> no match
+        5: ["purchase", "view"],                    # pv  -> no match (order)
+    }
+    eid = 0
+    for u, types in plan.items():
+        for j, t in enumerate(types):
+            # user 1's first two events share a timestamp: event_id breaks it
+            ts = t0 if (u == 1 and j < 2) else t0 + pd.Timedelta(minutes=j)
+            rows.append(
+                {"event_id": eid, "user_id": u, "event_type": t, "ts": ts}
+            )
+            eid += 1
+    d = str(tmp_path / "sfj")
+    import os
+
+    os.makedirs(d)
+    pq.write_table(
+        pa.Table.from_pylist(rows), f"{d}/events.parquet"
+    )
+    out = (
+        rel.user_journey_match(d)
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    assert out["user_id"].tolist() == [1, 2]
+    assert out["journey"].tolist() == ["vcp", "vp"]
+
+
 def test_events_checksum_matches_reference(ray_session):
     """The distributed checksum equals an independent single-pass pandas
     reference (same canonical string + md5-prefix sum), and a single

@@ -195,6 +195,8 @@ def test_registry_ordering_contract():
         "related_terms", "pruned_monthly_revenue",
         # wave-24 additions (same rationale)
         "events_checksum",
+        # wave-25 additions (same rationale)
+        "user_journeys",
     }
     assert set(entry_mod.oracle_sql()) - overflow_ok <= first50
     for critical in (
