@@ -313,6 +313,54 @@ def _jsonl_roundtrip(sf_dir: str):
     )
 
 
+def _ipc_roundtrip(sf_dir: str):
+    """Write the corpus as Arrow IPC (custom block-per-file sink), read it
+    back with the IPC source, and aggregate the same per-source checksum
+    as the JSONL/CSV roundtrips — the zero-parse interchange leg of the
+    sink/source family. Fresh scratch dir per call."""
+    import shutil
+    import tempfile
+
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    from high_performance_parallel_search_engine_ray.sources import io as hio
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "source", "n_chars", "text"],
+    )
+    out = tempfile.mkdtemp(prefix="hppse_ipc_", dir="/tmp")
+    shutil.rmtree(out, ignore_errors=True)
+    hio.write_ipc_docs(docs, out)
+    back = hio.read_ipc_docs(out)
+
+    def digest(b):
+        import hashlib
+
+        import pyarrow as pa
+
+        sums = [
+            int(hashlib.md5(t.encode()).hexdigest()[:8], 16)
+            for t in b["text"].to_pylist()
+        ]
+        return pa.table(
+            {
+                "source": b["source"],
+                "n_chars": b["n_chars"],
+                "text_md5_32": pa.array(sums, pa.int64()),
+            }
+        )
+
+    return back.map_batches(digest, batch_format="pyarrow").groupby(
+        "source"
+    ).aggregate(
+        Count(alias_name="n_docs"),
+        Sum("n_chars", alias_name="total_chars"),
+        Sum("text_md5_32", alias_name="text_checksum"),
+    )
+
+
 def _quality_classifier(sf_dir: str):
     """Train + score sharing ONE materialized feature table (text read
     once; the 30-epoch GD runs over features only)."""
@@ -1281,6 +1329,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # strings per user, regex 'view -> purchase with only click/error
         # between'; one user co-location, user-bounded output
         "user_journeys": lambda sf: relational.user_journey_match(sf),
+        # wave 26: Arrow IPC sink/source roundtrip (custom block-per-file
+        # Feather sink — Ray Data has none built in) under the same
+        # per-source checksum oracle as the JSONL/CSV legs
+        "ipc_roundtrip": _ipc_roundtrip,
     }
 
 
@@ -3327,6 +3379,15 @@ SELECT event_type,
            CAST(round(value * 100, 0) AS BIGINT) || '|' || epoch_ms(ts)
        ), 1, 8)) AS BIGINT)) AS BIGINT) AS checksum
 FROM events GROUP BY event_type
+"""
+    # wave 26: IPC roundtrip must preserve the same checksums as JSONL
+    sqls["ipc_roundtrip"] = """
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(sum(CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT)) AS BIGINT)
+         AS text_checksum
+FROM documents GROUP BY source
 """
     # wave 25: ordered string_agg journey + RE2 sequence match
     sqls["user_journeys"] = """

@@ -186,6 +186,7 @@ BENCH_QUERIES = [
     "pruned_monthly_revenue",
     "events_checksum",
     "user_journeys",
+    "ipc_roundtrip",
 ]
 
 

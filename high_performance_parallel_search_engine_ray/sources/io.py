@@ -110,3 +110,57 @@ def read_csv_docs(dir_path: str, **kwargs):
     import ray.data as rd
 
     return rd.read_csv(dir_path, **kwargs)
+
+
+def write_ipc_docs(docs_ds, dir_path: str) -> str:
+    """Arrow IPC (Feather v2) sink — the zero-parse interchange format for
+    engine-to-engine handoff (schema + types travel intact, no JSON/CSV
+    stringification). Ray Data has no built-in IPC sink, so this is a
+    custom one: each BLOCK writes itself to ``dir_path/part-<uuid>.arrow``
+    inside map_batches (one file per block — the same resumable directory
+    layout as every sink here), tmp-then-rename so a killed write never
+    leaves a readable partial. Returns ``dir_path``."""
+    import os
+    import uuid
+
+    import pyarrow as pa
+
+    os.makedirs(dir_path, exist_ok=True)
+
+    def write_block(b: pa.Table) -> pa.Table:
+        import pyarrow.ipc as ipc
+
+        name = f"part-{uuid.uuid4().hex}.arrow"
+        tmp = os.path.join(dir_path, "." + name + ".tmp")
+        with ipc.RecordBatchFileWriter(tmp, b.schema) as w:
+            w.write_table(b)
+        os.replace(tmp, os.path.join(dir_path, name))
+        return pa.table({"n_rows": pa.array([b.num_rows], pa.int64())})
+
+    # consume: the write happens as the blocks stream through
+    docs_ds.map_batches(write_block, batch_format="pyarrow").materialize()
+    return dir_path
+
+
+def read_ipc_docs(dir_path: str):
+    """Source for `write_ipc_docs` output: one read task per .arrow file
+    (parallel, streaming — files never concentrate on the driver)."""
+    import glob
+
+    import ray.data as rd
+
+    paths = sorted(glob.glob(f"{dir_path}/*.arrow"))
+
+    def load(b):
+        import pyarrow as pa
+        import pyarrow.ipc as ipc
+
+        tabs = []
+        for p in b["path"].to_pylist():
+            with ipc.open_file(p) as r:
+                tabs.append(r.read_all())
+        return pa.concat_tables(tabs, promote_options="default")
+
+    return rd.from_items([{"path": p} for p in paths]).map_batches(
+        load, batch_format="pyarrow", batch_size=1
+    )

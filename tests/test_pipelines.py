@@ -1319,6 +1319,24 @@ def test_csv_roundtrip(docs, tmp_path):
     assert list(back["text"]) == list(orig["text"])
 
 
+def test_ipc_roundtrip(docs, tmp_path):
+    """Arrow IPC sink/reader round-trips the docs table with types intact
+    (no stringification), one .arrow file per block, no tmp leftovers."""
+    import glob
+
+    from high_performance_parallel_search_engine_ray.sources import io as hio
+
+    out = str(tmp_path / "ipc")
+    hio.write_ipc_docs(docs, out)
+    files = glob.glob(f"{out}/*.arrow")
+    assert files and not glob.glob(f"{out}/.*tmp")
+    back = hio.read_ipc_docs(out).to_pandas().sort_values("doc_id")
+    orig = docs.to_pandas().sort_values("doc_id")
+    assert list(back["doc_id"]) == list(orig["doc_id"])
+    assert list(back["text"]) == list(orig["text"])
+    assert back["doc_id"].dtype == orig["doc_id"].dtype  # types, not strings
+
+
 def test_training_pipeline_accounting(ray_session):
     """End-to-end flagship invariants: every shard id in range, token mass
     equals the curated corpus's epoch-weighted whitespace tokens, pack

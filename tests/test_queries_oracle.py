@@ -197,6 +197,8 @@ def test_registry_ordering_contract():
         "events_checksum",
         # wave-25 additions (same rationale)
         "user_journeys",
+        # wave-26 additions (same rationale)
+        "ipc_roundtrip",
     }
     assert set(entry_mod.oracle_sql()) - overflow_ok <= first50
     for critical in (
