@@ -361,6 +361,21 @@ def _ipc_roundtrip(sf_dir: str):
     )
 
 
+def _trigram_search(sf_dir: str):
+    """Build the persisted trigram substring index once per sf_dir, then
+    serve a LIKE '%hash join%' query from the needle grams' buckets only
+    (bounded candidate intersect + exact verify)."""
+    import os
+
+    from high_performance_parallel_search_engine_ray.pipelines import index
+
+    idx = "/tmp/hppse_trigram_index_" + os.path.basename(
+        os.path.normpath(sf_dir)
+    )
+    index.write_trigram_index(_docs(sf_dir), idx)
+    return index.trigram_substring_search(_docs(sf_dir), idx, "hash join")
+
+
 def _quality_classifier(sf_dir: str):
     """Train + score sharing ONE materialized feature table (text read
     once; the 30-epoch GD runs over features only)."""
@@ -1333,6 +1348,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Feather sink — Ray Data has none built in) under the same
         # per-source checksum oracle as the JSONL/CSV legs
         "ipc_roundtrip": _ipc_roundtrip,
+        # wave 27: grep-style trigram substring index — LIKE '%needle%'
+        # served from needle-gram buckets + bounded exact verify
+        "trigram_search": _trigram_search,
     }
 
 
@@ -3379,6 +3397,10 @@ SELECT event_type,
            CAST(round(value * 100, 0) AS BIGINT) || '|' || epoch_ms(ts)
        ), 1, 8)) AS BIGINT)) AS BIGINT) AS checksum
 FROM events GROUP BY event_type
+"""
+    # wave 27: index-served substring search equals the full-scan LIKE
+    sqls["trigram_search"] = """
+SELECT doc_id FROM documents WHERE contains(text, 'hash join')
 """
     # wave 26: IPC roundtrip must preserve the same checksums as JSONL
     sqls["ipc_roundtrip"] = """

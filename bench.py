@@ -187,6 +187,7 @@ BENCH_QUERIES = [
     "events_checksum",
     "user_journeys",
     "ipc_roundtrip",
+    "trigram_search",
 ]
 
 

@@ -1462,3 +1462,169 @@ def gc_index_versions(root_dir: str, keep: int = 2) -> list[str]:
         shutil.rmtree(full)
         removed.append(full)
     return removed
+
+
+# -- trigram substring index (grep-style LIKE '%needle%' serving) -------------
+
+def _doc_trigrams(b: pa.Table, id_col: str, text_col: str):
+    """DISTINCT (gram, doc_id) pairs for every 3-byte window of every doc —
+    fully vectorized: one concatenated byte buffer, stride-tricked 3-gram
+    view, cross-document windows masked by offset arithmetic. ASCII corpus
+    ⇒ byte windows == char windows (the same assumption dup_substrings
+    documents)."""
+    import numpy as np
+    import pandas as pd
+
+    texts = pc.fill_null(b[text_col], "").to_pylist()
+    ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    joined = "".join(texts).encode("utf-8", "surrogatepass")
+    lens = np.fromiter((len(t.encode("utf-8", "surrogatepass")) for t in texts),
+                       np.int64, len(texts))
+    buf = np.frombuffer(joined, np.uint8)
+    if buf.size < 3:
+        return pd.DataFrame({"gram": [], id_col: []})
+    # 3-gram windows as one int32 code per position: b0<<16 | b1<<8 | b2
+    codes = (
+        buf[:-2].astype(np.int64) << 16
+    ) | (buf[1:-1].astype(np.int64) << 8) | buf[2:].astype(np.int64)
+    starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    owner = np.repeat(np.arange(len(texts)), lens)[: len(codes)]
+    # a window starting < 2 bytes before its doc's end stays in-doc
+    ends = (starts + lens)[owner]
+    pos = np.arange(len(codes))
+    keep = pos + 3 <= ends
+    d = pd.DataFrame({"gram": codes[keep], id_col: ids[owner[keep]]})
+    return d.drop_duplicates()
+
+
+def _needle_grams(needle: str):
+    import numpy as np
+
+    nb = np.frombuffer(needle.encode("utf-8", "surrogatepass"), np.uint8)
+    codes = (
+        nb[:-2].astype(np.int64) << 16
+    ) | (nb[1:-1].astype(np.int64) << 8) | nb[2:].astype(np.int64)
+    return np.unique(codes)
+
+
+def write_trigram_index(
+    docs,
+    out_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 64,
+) -> dict:
+    """Persist a TRIGRAM SUBSTRING index — the grep/code-search structure
+    (Google Code Search's design): distinct (3-gram, doc_id) postings
+    hash-partitioned by gram, so an arbitrary `LIKE '%needle%'` query
+    reads only the needle's ≤ len-2 grams' buckets, intersects doc-id
+    lists, and exact-verifies the bounded candidate set — never a corpus
+    scan. Build cost is one vectorized pass (stride-tricked windows, no
+    per-doc Python); postings are fixed-width (int32-coded gram, int64
+    doc). Returns the manifest."""
+    import shutil
+
+    import numpy as np
+    import pandas as pd
+
+    from ..sources.io import write_manifest
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    def explode(b: pa.Table) -> pa.Table:
+        d = _doc_trigrams(b, id_col, text_col)
+        gram = d["gram"].to_numpy().astype(np.int64)
+        bucket = (gram * np.int64(2654435761) % n_buckets).astype(np.int64)
+        return pa.table(
+            {
+                "gram": pa.array(gram),
+                id_col: pa.array(d[id_col].to_numpy().astype(np.int64)),
+                "bucket": pa.array(bucket),
+            }
+        )
+
+    ds = docs.map_batches(explode, batch_format="pyarrow")
+    ds.write_parquet(f"{out_dir}/postings", partition_cols=["bucket"])
+    payload = {"n_docs": int(docs.count()), "n_buckets": int(n_buckets)}
+    write_manifest(out_dir, payload)
+    return payload
+
+
+def trigram_substring_search(
+    docs,
+    index_dir: str,
+    needle: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Serve `text LIKE '%needle%'` from a `write_trigram_index` layout:
+    read ONLY the needle grams' bucket files (gram IN (...) pushed into
+    the parquet scan), intersect via one groupby (a doc qualifies iff it
+    holds ALL K distinct needle grams — postings are distinct pairs, so
+    count == K is the intersection), then exact-verify just the candidate
+    docs with one vectorized match_substring pass — false candidates
+    (grams present but scattered) die there. Returns (doc_id) rows equal
+    to the full-scan LIKE. Needles shorter than 3 bytes fall back to the
+    vectorized scan."""
+    import glob
+
+    import numpy as np
+    import pyarrow.dataset as pads
+    import ray
+    import ray.data as rd
+
+    from ..sources.io import read_manifest
+
+    def scan_fallback():
+        def f(b: pa.Table) -> pa.Table:
+            m = pc.match_substring(pc.fill_null(b[text_col], ""), needle)
+            return pa.table({id_col: b[id_col].filter(m)})
+
+        return docs.map_batches(f, batch_format="pyarrow")
+
+    grams = _needle_grams(needle)
+    if grams.size == 0:
+        return scan_fallback()
+    man = read_manifest(index_dir)
+    if man is None:
+        raise FileNotFoundError(f"no index manifest under {index_dir}")
+    n_buckets = int(man["n_buckets"])
+    buckets = sorted(set((grams * np.int64(2654435761) % n_buckets).tolist()))
+    paths = [
+        f
+        for b in buckets
+        for f in sorted(glob.glob(f"{index_dir}/postings/bucket={b}/*.parquet"))
+    ]
+    if not paths:
+        return pa.table({id_col: pa.array([], pa.int64())})
+    K = int(grams.size)
+    hits = rd.read_parquet(
+        paths,
+        columns=["gram", id_col],
+        filter=pads.field("gram").isin(grams.tolist()),
+    )
+    cand = (
+        hits.groupby(id_col)
+        .count()
+        .map_batches(
+            lambda b: pa.table(
+                {id_col: b[id_col].filter(pc.equal(b["count()"], K))}
+            ),
+            batch_format="pyarrow",
+        )
+        .take_all()
+    )  # bounded: docs holding every needle gram
+    if not cand:
+        return pa.table({id_col: pa.array([], pa.int64())})
+    ids = np.sort(np.array([r[id_col] for r in cand], np.int64))
+    ids_ref = ray.put(ids)
+
+    def verify(b: pa.Table) -> pa.Table:
+        wanted = ray.get(ids_ref)
+        got = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.clip(np.searchsorted(wanted, got), 0, wanted.size - 1)
+        pre = b.filter(pa.array(wanted[pos] == got))
+        m = pc.match_substring(pc.fill_null(pre[text_col], ""), needle)
+        return pa.table({id_col: pre[id_col].filter(m)})
+
+    return docs.map_batches(verify, batch_format="pyarrow")

@@ -1549,6 +1549,55 @@ def test_update_term_index_no_churn_is_noop(docs, tmp_path):
     assert (m1["n_added"], m1["n_changed"], m1["n_removed"]) == (0, 0, 0)
 
 
+def test_trigram_search_equals_scan(docs, tmp_path):
+    """Index-served substring search equals the vectorized full scan for
+    hit-rich, zero-hit, and short-needle (fallback) queries."""
+    import pyarrow as pa
+    import pyarrow.compute as _pc
+
+    from high_performance_parallel_search_engine_ray.pipelines import index as ix
+
+    idx = str(tmp_path / "tri")
+    ix.write_trigram_index(docs, idx)
+
+    def ids_of(result):
+        # Ray's to_pandas drops the schema when every block is empty
+        df = result.to_pandas()
+        return sorted(df["doc_id"]) if "doc_id" in df.columns else []
+
+    def scan_ids(needle):
+        return ids_of(
+            docs.map_batches(
+                lambda b: pa.table(
+                    {"doc_id": b["doc_id"].filter(
+                        _pc.match_substring(b["text"], needle))}
+                ),
+                batch_format="pyarrow",
+            )
+        )
+
+    for needle in ("hash join", "window", "zzznotthere", "ab"):
+        got = ids_of(ix.trigram_substring_search(docs, idx, needle))
+        assert got == scan_ids(needle), needle
+
+
+def test_trigram_search_kills_false_candidates(ray_session, tmp_path):
+    """A doc holding every needle trigram WITHOUT the contiguous substring
+    survives the gram intersection but dies in the exact verify."""
+    from high_performance_parallel_search_engine_ray.pipelines import index as ix
+
+    rows = [
+        {"doc_id": 1, "text": "the hash join plan wins"},
+        {"doc_id": 2, "text": "hash jog ash join"},   # all grams, no substring
+        {"doc_id": 3, "text": "nothing relevant"},
+    ]
+    ds = rd.from_items(rows)
+    idx = str(tmp_path / "tri2")
+    ix.write_trigram_index(ds, idx)
+    got = ix.trigram_substring_search(ds, idx, "hash join").to_pandas()
+    assert got["doc_id"].tolist() == [1]
+
+
 def test_user_journey_match_planted(ray_session, tmp_path):
     """Journey assembly honors (ts, event_id) order incl. ties, and the
     pattern semantics: v->p with only c/e between matches, an intervening

@@ -199,6 +199,8 @@ def test_registry_ordering_contract():
         "user_journeys",
         # wave-26 additions (same rationale)
         "ipc_roundtrip",
+        # wave-27 additions (same rationale)
+        "trigram_search",
     }
     assert set(entry_mod.oracle_sql()) - overflow_ok <= first50
     for critical in (
