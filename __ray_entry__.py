@@ -361,6 +361,53 @@ def _ipc_roundtrip(sf_dir: str):
     )
 
 
+def _merge_apply(sf_dir: str):
+    """Change batch from the corpus_diff perturbation rules (edits %7,
+    inserted clones %11, deletes %13) applied to v1 via merge_upsert —
+    the output IS the v2 snapshot (oracle: the newd expression)."""
+    import pyarrow.compute as _pc
+
+    from high_performance_parallel_search_engine_ray.pipelines import relational
+
+    docs = _docs(sf_dir)
+
+    def upsert_rows(b):
+        import numpy as _np
+        import pyarrow as _pa
+
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(_np.int64)
+        ch = ids % 7 == 0
+        changed = _pa.table(
+            {
+                "doc_id": b["doc_id"].filter(_pa.array(ch)),
+                "text": _pc.binary_join_element_wise(
+                    b["text"].filter(_pa.array(ch)), " v2", ""
+                ),
+            }
+        )
+        ad = ids % 11 == 0
+        added = _pa.table(
+            {
+                "doc_id": _pa.array(ids[ad] + 1_000_000),
+                "text": _pc.binary_join_element_wise(
+                    b["text"].filter(_pa.array(ad)), " new", ""
+                ),
+            }
+        )
+        return _pa.concat_tables([changed, added])
+
+    def delete_rows(b):
+        import numpy as _np
+        import pyarrow as _pa
+
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(_np.int64)
+        return _pa.table({"doc_id": b["doc_id"].filter(_pa.array(ids % 13 == 0))})
+
+    upserts = docs.map_batches(upsert_rows, batch_format="pyarrow")
+    deletes = docs.map_batches(delete_rows, batch_format="pyarrow")
+    return relational.merge_upsert(docs, upserts, deletes)
+
+
 def _trigram_search(sf_dir: str):
     """Build the persisted trigram substring index once per sf_dir, then
     serve a LIKE '%hash join%' query from the needle grams' buckets only
@@ -1351,6 +1398,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # wave 27: grep-style trigram substring index — LIKE '%needle%'
         # served from needle-gram buckets + bounded exact verify
         "trigram_search": _trigram_search,
+        # wave 28: keyed MERGE/upsert — applying the deterministic change
+        # batch (edits + inserts + deletes) to snapshot v1 must reproduce
+        # snapshot v2 exactly (the CDC APPLY pairing corpus_diff)
+        "merge_apply": _merge_apply,
     }
 
 
@@ -3397,6 +3448,16 @@ SELECT event_type,
            CAST(round(value * 100, 0) AS BIGINT) || '|' || epoch_ms(ts)
        ), 1, 8)) AS BIGINT)) AS BIGINT) AS checksum
 FROM events GROUP BY event_type
+"""
+    # wave 28: MERGE output IS the v2 snapshot (same newd expression the
+    # corpus_diff / bm25_after_update oracles use)
+    sqls["merge_apply"] = """
+SELECT doc_id,
+       CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text
+FROM documents WHERE doc_id % 13 <> 0
+UNION ALL
+SELECT doc_id + 1000000 AS doc_id, text || ' new' AS text
+FROM documents WHERE doc_id % 11 = 0
 """
     # wave 27: index-served substring search equals the full-scan LIKE
     sqls["trigram_search"] = """

@@ -188,6 +188,7 @@ BENCH_QUERIES = [
     "user_journeys",
     "ipc_roundtrip",
     "trigram_search",
+    "merge_apply",
 ]
 
 

@@ -3791,3 +3791,60 @@ def user_journey_match(sf_dir: str, pattern: str = "v[ce]*p"):
 
     return _by_partition(ev.map_batches(initial, batch_format="pyarrow"),
                          "user_id", journeys)
+
+
+# -- keyed MERGE / upsert (CDC apply) ------------------------------------------
+
+def merge_upsert(
+    base,
+    upserts,
+    deletes,
+    key_col: str = "doc_id",
+    val_col: str = "text",
+):
+    """Lakehouse MERGE INTO: apply a change batch — upsert rows (insert or
+    replace by key) and delete keys — to a keyed base table, producing the
+    next snapshot; the batch-side CDC APPLY that pairs with `corpus_diff`
+    (diff extracts the change set, this replays it elsewhere).
+
+    Scale shape: ONE hash(key) co-location of the tagged union (base rows
+    + upsert rows + delete markers); inside each partition a vectorized
+    keep-last-by-priority (upsert > base) + delete mask resolves every
+    key — no driver state, change batches and base both stream. Exact
+    against the FULL OUTER JOIN + COALESCE SQL."""
+    N_PARTS = 64
+
+    def tag(role: int, with_val: bool):
+        def f(b: pa.Table) -> pa.Table:
+            ids = b[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            cols = {
+                key_col: pa.array(ids),
+                "part": pa.array(
+                    (ids * 2654435761 % N_PARTS).astype(np.int32)
+                ),
+                "role": pa.array(np.full(len(ids), role, np.int8)),
+            }
+            if with_val:
+                # normalize to string: parquet corpora read as large_string
+                # and a mixed union emits schema-inconsistent blocks
+                cols[val_col] = pc.cast(b[val_col], pa.string())
+            else:
+                cols[val_col] = pa.array([None] * len(ids), pa.string())
+            return pa.table(cols)
+
+        return f
+
+    tagged = (
+        base.map_batches(tag(0, True), batch_format="pyarrow")
+        .union(upserts.map_batches(tag(1, True), batch_format="pyarrow"))
+        .union(deletes.map_batches(tag(2, False), batch_format="pyarrow"))
+    )
+
+    def resolve(g: pd.DataFrame) -> pd.DataFrame:
+        # highest role wins per key: delete(2) > upsert(1) > base(0)
+        g = g.sort_values([key_col, "role"], kind="stable")
+        last = g.groupby(key_col, sort=False).tail(1)
+        keep = last[last["role"] != 2]
+        return keep[[key_col, val_col]]
+
+    return tagged.groupby("part").map_groups(resolve, batch_format="pandas")

@@ -1549,6 +1549,41 @@ def test_update_term_index_no_churn_is_noop(docs, tmp_path):
     assert (m1["n_added"], m1["n_changed"], m1["n_removed"]) == (0, 0, 0)
 
 
+def test_merge_upsert_semantics(ray_session):
+    """MERGE rules: upsert replaces, insert lands, delete wins even over a
+    same-key upsert, deleting a missing key is a no-op, untouched rows
+    pass through."""
+    from high_performance_parallel_search_engine_ray.pipelines import (
+        relational as rel,
+    )
+
+    base = rd.from_items(
+        [
+            {"doc_id": 1, "text": "one"},
+            {"doc_id": 2, "text": "two"},
+            {"doc_id": 3, "text": "three"},
+        ]
+    )
+    upserts = rd.from_items(
+        [
+            {"doc_id": 2, "text": "two-v2"},   # replace
+            {"doc_id": 4, "text": "four"},      # insert
+            {"doc_id": 3, "text": "ghost"},     # upsert then deleted below
+        ]
+    )
+    deletes = rd.from_items(
+        [{"doc_id": 3}, {"doc_id": 99}]  # delete; missing-key no-op
+    )
+    out = (
+        rel.merge_upsert(base, upserts, deletes)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["doc_id"].tolist() == [1, 2, 4]
+    assert out["text"].tolist() == ["one", "two-v2", "four"]
+
+
 def test_trigram_search_equals_scan(docs, tmp_path):
     """Index-served substring search equals the vectorized full scan for
     hit-rich, zero-hit, and short-needle (fallback) queries."""

@@ -201,6 +201,8 @@ def test_registry_ordering_contract():
         "ipc_roundtrip",
         # wave-27 additions (same rationale)
         "trigram_search",
+        # wave-28 additions (same rationale)
+        "merge_apply",
     }
     assert set(entry_mod.oracle_sql()) - overflow_ok <= first50
     for critical in (
