@@ -361,6 +361,34 @@ def _ipc_roundtrip(sf_dir: str):
     )
 
 
+def _serp_dedup(sf_dir: str):
+    """Dedup-aware serving over a corpus with INJECTED exact clones
+    (doc_id%9 cloned to id+2e6 — the corpus has no natural dups, so the
+    clone rule makes the collapse non-degenerate on both sides)."""
+    from high_performance_parallel_search_engine_ray.pipelines import rank
+
+    docs = _docs(sf_dir)
+
+    def clone(b):
+        import numpy as _np
+        import pyarrow as _pa
+
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(_np.int64)
+        m = ids % 9 == 0
+        extra = _pa.table(
+            {
+                "doc_id": _pa.array(ids[m] + 2_000_000),
+                "text": b["text"].filter(_pa.array(m)),
+            }
+        )
+        return _pa.concat_tables(
+            [_pa.table({"doc_id": b["doc_id"], "text": b["text"]}), extra]
+        )
+
+    aug = docs.map_batches(clone, batch_format="pyarrow")
+    return rank.bm25_dedup_serp(aug, "hash join", k=10, pool=20)
+
+
 def _merge_apply(sf_dir: str):
     """Change batch from the corpus_diff perturbation rules (edits %7,
     inserted clones %11, deletes %13) applied to v1 via merge_upsert —
@@ -1402,6 +1430,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # batch (edits + inserts + deletes) to snapshot v1 must reproduce
         # snapshot v2 exactly (the CDC APPLY pairing corpus_diff)
         "merge_apply": _merge_apply,
+        # wave 29: dedup-aware SERP — deterministic clones injected on
+        # both sides (corpus has no natural exact dups), pool of 20
+        # collapses md5 groups to the best-ranked member, then top-10
+        "serp_dedup": _serp_dedup,
     }
 
 
@@ -3448,6 +3480,52 @@ SELECT event_type,
            CAST(round(value * 100, 0) AS BIGINT) || '|' || epoch_ms(ts)
        ), 1, 8)) AS BIGINT)) AS BIGINT) AS checksum
 FROM events GROUP BY event_type
+"""
+    # wave 29: SERP dedup over the clone-injected corpus — pool 20 by
+    # BM25, collapse md5(text) groups keep-best, top 10
+    sqls["serp_dedup"] = f"""
+WITH aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 9 = 0
+),
+{_toks_cte("aug")},
+tf AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+stats AS (
+  SELECT (SELECT count(*) FROM aug) AS n,
+         (SELECT count(*) FROM toks) * 1.0 /
+         (SELECT count(*) FROM aug) AS avgdl
+),
+df AS (SELECT term, count(*) AS df FROM tf
+       WHERE term IN ('hash', 'join') GROUP BY term),
+scores AS (
+  SELECT tf.doc_id,
+         sum( ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+              * (tf.tf * 2.5)
+              / (tf.tf + 1.5 * (0.25 + 0.75 * dl.dl / stats.avgdl)) ) AS score
+  FROM tf
+  JOIN df ON df.term = tf.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats
+  GROUP BY tf.doc_id
+),
+pool AS (
+  SELECT doc_id, round(score, 6) AS score FROM scores
+  WHERE score > 0
+  ORDER BY score DESC, doc_id
+  LIMIT 20
+),
+collapsed AS (
+  SELECT p.doc_id, p.score,
+         row_number() OVER (
+           PARTITION BY md5(a.text) ORDER BY p.score DESC, p.doc_id
+         ) AS rn
+  FROM pool p JOIN aug a ON a.doc_id = p.doc_id
+)
+SELECT doc_id, score FROM collapsed WHERE rn = 1
+ORDER BY score DESC, doc_id
+LIMIT 10
 """
     # wave 28: MERGE output IS the v2 snapshot (same newd expression the
     # corpus_diff / bm25_after_update oracles use)

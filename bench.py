@@ -189,6 +189,7 @@ BENCH_QUERIES = [
     "ipc_roundtrip",
     "trigram_search",
     "merge_apply",
+    "serp_dedup",
 ]
 
 

@@ -1162,3 +1162,51 @@ def related_terms(
         ],
         schema=out_schema,
     )
+
+
+def bm25_dedup_serp(
+    docs,
+    query: str,
+    k: int = 10,
+    pool: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Dedup-aware result serving: rank a BM25 pool, then collapse exact
+    duplicates (md5 of the text) to their best-ranked representative
+    before returning top-k — the SERP hygiene every engine applies so one
+    mirrored page can't occupy half the results; the serving-side
+    composition of `dedup.exact_dedup` with ranking.
+
+    Scale shape: the distributed part is the plain BM25 top-``pool``;
+    everything after — fetching the ≤pool texts (one is_in semi-filter),
+    hashing, keep-first — is pool-bounded driver work."""
+    import hashlib
+
+    ranked = bm25_topk(
+        docs, query, k=pool, id_col=id_col, text_col=text_col, round_to=6
+    )
+    if ranked.num_rows == 0:
+        return ranked
+    ids = ranked[id_col].to_pylist()
+    scores = ranked["score"].to_pylist()
+    idset = pa.array(ids)
+    texts = {
+        r[id_col]: r[text_col]
+        for r in docs.map_batches(
+            lambda b: b.filter(pc.is_in(b[id_col], value_set=idset)),
+            batch_format="pyarrow",
+        ).take_all()
+    }
+    seen, out = set(), []
+    for i, s in zip(ids, scores):  # already (score desc, id asc) ordered
+        h = hashlib.md5(texts[i].encode()).hexdigest()
+        if h in seen:
+            continue
+        seen.add(h)
+        out.append({id_col: i, "score": s})
+        if len(out) >= k:
+            break
+    return pa.Table.from_pylist(
+        out, schema=pa.schema([(id_col, pa.int64()), ("score", pa.float64())])
+    )

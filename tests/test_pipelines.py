@@ -1549,6 +1549,27 @@ def test_update_term_index_no_churn_is_noop(docs, tmp_path):
     assert (m1["n_added"], m1["n_changed"], m1["n_removed"]) == (0, 0, 0)
 
 
+def test_bm25_dedup_serp_collapses_clones(ray_session):
+    """Exact clones collapse to the best-ranked (min doc_id on the score
+    tie) representative; distinct docs fill the freed slots; plain BM25
+    would have returned both copies."""
+    from high_performance_parallel_search_engine_ray.pipelines import rank as rk
+
+    rows = [
+        {"doc_id": 1, "text": "hash join hash join strong"},
+        {"doc_id": 2, "text": "hash join hash join strong"},   # exact clone
+        {"doc_id": 3, "text": "hash join weaker mention"},
+        {"doc_id": 4, "text": "nothing relevant here"},
+    ]
+    ds = rd.from_items(rows)
+    plain = rk.bm25_topk(ds, "hash join", k=3)["doc_id"].to_pylist()
+    assert plain[:2] == [1, 2]  # both copies occupy the top without dedup
+    out = rk.bm25_dedup_serp(ds, "hash join", k=3, pool=3)
+    assert out["doc_id"].to_pylist() == [1, 3]
+    empty = rk.bm25_dedup_serp(ds, "nosuchterm", k=3)
+    assert empty.num_rows == 0
+
+
 def test_merge_upsert_semantics(ray_session):
     """MERGE rules: upsert replaces, insert lands, delete wins even over a
     same-key upsert, deleting a missing key is a no-op, untouched rows

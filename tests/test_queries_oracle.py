@@ -203,6 +203,8 @@ def test_registry_ordering_contract():
         "trigram_search",
         # wave-28 additions (same rationale)
         "merge_apply",
+        # wave-29 additions (same rationale)
+        "serp_dedup",
     }
     assert set(entry_mod.oracle_sql()) - overflow_ok <= first50
     for critical in (
