@@ -361,6 +361,49 @@ def _ipc_roundtrip(sf_dir: str):
     )
 
 
+def _incremental_stats(sf_dir: str):
+    """Delta-maintained per-source (n_docs, total_tokens) rollup under the
+    corpus_diff perturbation rules, source column preserved through the
+    change batch; result must equal the direct v2 aggregation."""
+    import ray.data as rd
+
+    from high_performance_parallel_search_engine_ray.pipelines import index
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "text"]
+    )
+
+    def perturb(b):
+        import numpy as _np
+        import pyarrow as _pa
+        import pyarrow.compute as _pc
+
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(_np.int64)
+        keep = ids % 13 != 0
+        changed = _pc.if_else(
+            _pa.array(ids % 7 == 0),
+            _pc.binary_join_element_wise(b["text"], " v2", ""),
+            b["text"],
+        )
+        base = _pa.table(
+            {"doc_id": b["doc_id"], "source": b["source"], "text": changed}
+        ).filter(_pa.array(keep))
+        ad = ids % 11 == 0
+        added = _pa.table(
+            {
+                "doc_id": _pa.array(ids[ad] + 1_000_000),
+                "source": b["source"].filter(_pa.array(ad)),
+                "text": _pc.binary_join_element_wise(
+                    b["text"].filter(_pa.array(ad)), " new", ""
+                ),
+            }
+        )
+        return _pa.concat_tables([base, added])
+
+    v2 = docs.map_batches(perturb, batch_format="pyarrow")
+    return index.incremental_source_stats(docs, v2)
+
+
 def _serp_dedup(sf_dir: str):
     """Dedup-aware serving over a corpus with INJECTED exact clones
     (doc_id%9 cloned to id+2e6 — the corpus has no natural dups, so the
@@ -1434,6 +1477,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # both sides (corpus has no natural exact dups), pool of 20
         # collapses md5 groups to the best-ranked member, then top-10
         "serp_dedup": _serp_dedup,
+        # wave 30: materialized-view delta maintenance — per-source token
+        # stats updated from the churn only must equal the full v2
+        # re-aggregation (integer partials, no drift)
+        "incremental_stats": _incremental_stats,
     }
 
 
@@ -3480,6 +3527,24 @@ SELECT event_type,
            CAST(round(value * 100, 0) AS BIGINT) || '|' || epoch_ms(ts)
        ), 1, 8)) AS BIGINT)) AS BIGINT) AS checksum
 FROM events GROUP BY event_type
+"""
+    # wave 30: the delta-maintained rollup equals the direct v2 stats
+    sqls["incremental_stats"] = f"""
+WITH aug AS (
+  SELECT doc_id, source,
+         CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text
+  FROM documents WHERE doc_id % 13 <> 0
+  UNION ALL
+  SELECT doc_id + 1000000, source, text || ' new'
+  FROM documents WHERE doc_id % 11 = 0
+),
+{_toks_cte("aug")},
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1)
+SELECT a.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(coalesce(sum(dl.dl), 0) AS BIGINT) AS total_tokens
+FROM aug a LEFT JOIN dl ON dl.doc_id = a.doc_id
+GROUP BY a.source
 """
     # wave 29: SERP dedup over the clone-injected corpus — pool 20 by
     # BM25, collapse md5(text) groups keep-best, top 10

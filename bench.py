@@ -190,6 +190,7 @@ BENCH_QUERIES = [
     "trigram_search",
     "merge_apply",
     "serp_dedup",
+    "incremental_stats",
 ]
 
 

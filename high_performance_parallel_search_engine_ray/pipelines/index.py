@@ -1628,3 +1628,108 @@ def trigram_substring_search(
         return pa.table({id_col: pre[id_col].filter(m)})
 
     return docs.map_batches(verify, batch_format="pyarrow")
+
+
+# -- incremental materialized-view maintenance ---------------------------------
+
+def incremental_source_stats(
+    docs_old,
+    docs_new,
+    base_stats=None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+):
+    """Materialized-view DELTA maintenance: keep a per-``group_col``
+    (n_docs, total kept tokens) rollup current under a corpus snapshot
+    change WITHOUT re-aggregating the new snapshot — the aggregate
+    counterpart of `update_term_index` (index) and `merge_upsert` (rows).
+    `corpus_diff` classifies the churn; only removed/changed OLD rows
+    (negative partials) and added/changed NEW rows (positive partials)
+    are ever tokenized, so maintenance cost is O(churn) while the result
+    equals the full v2 re-aggregation exactly (integer partials — no
+    float drift). ``base_stats`` is the existing rollup (computed here
+    from v1 when not supplied)."""
+    import numpy as np
+    import ray
+    from ray.data.aggregate import Sum
+
+    from .dedup import corpus_diff
+
+    def stats_of(ds, sign: int):
+        def partial(b: pa.Table) -> pa.Table:
+            tok = tokenize_batch(b, id_col, text_col)
+            # per-doc kept-token counts, then re-attach the group
+            dl = tok.group_by("doc_id").aggregate([([], "count_all")])
+            dl_ids = dl["doc_id"].to_numpy(zero_copy_only=False)
+            ids = b[id_col].to_numpy(zero_copy_only=False)
+            order = np.argsort(ids)
+            pos = order[np.searchsorted(ids[order], dl_ids)]
+            toks = np.zeros(len(ids), np.int64)
+            toks[pos] = dl["count_all"].to_numpy(zero_copy_only=False)
+            t = pa.table(
+                {
+                    group_col: b[group_col],
+                    "n_docs": pa.array(np.full(len(ids), sign, np.int64)),
+                    "total_tokens": pa.array(sign * toks),
+                }
+            )
+            agg = t.group_by(group_col).aggregate(
+                [("n_docs", "sum"), ("total_tokens", "sum")]
+            )
+            # select by name: Arrow group_by emits aggregates before keys
+            return pa.table(
+                {
+                    group_col: agg[group_col],
+                    "n_docs": agg["n_docs_sum"],
+                    "total_tokens": agg["total_tokens_sum"],
+                }
+            )
+
+        return ds.map_batches(partial, batch_format="pyarrow")
+
+    if base_stats is None:
+        base_stats = stats_of(docs_old, +1)
+
+    diff = corpus_diff(docs_old, docs_new, id_col=id_col, text_col=text_col)
+    churn = diff.map_batches(
+        lambda b: b.filter(pc.not_equal(b["status"], "unchanged")),
+        batch_format="pyarrow",
+    ).take_all()  # churn-bounded by assumption (see update_term_index)
+    dead = np.sort(np.array(
+        [r["doc_id"] for r in churn if r["status"] in ("removed", "changed")],
+        np.int64))
+    fresh = np.sort(np.array(
+        [r["doc_id"] for r in churn if r["status"] in ("added", "changed")],
+        np.int64))
+
+    def keep_ids(arr):
+        ref = ray.put(arr)
+
+        def f(b: pa.Table) -> pa.Table:
+            wanted = ray.get(ref)
+            ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            pos = np.clip(np.searchsorted(wanted, ids), 0, max(wanted.size - 1, 0))
+            return b.filter(pa.array(wanted[pos] == ids))
+
+        return f
+
+    parts = [base_stats]
+    if dead.size:
+        parts.append(stats_of(
+            docs_old.map_batches(keep_ids(dead), batch_format="pyarrow"), -1))
+    if fresh.size:
+        parts.append(stats_of(
+            docs_new.map_batches(keep_ids(fresh), batch_format="pyarrow"), +1))
+    merged = parts[0]
+    for p in parts[1:]:
+        merged = merged.union(p)
+    out = merged.groupby(group_col).aggregate(
+        Sum("n_docs", alias_name="n_docs"),
+        Sum("total_tokens", alias_name="total_tokens"),
+    )
+    # groups whose docs all left the corpus cancel to zero — drop them
+    return out.map_batches(
+        lambda b: b.filter(pc.greater(b["n_docs"], 0)),
+        batch_format="pyarrow",
+    )

@@ -1549,6 +1549,50 @@ def test_update_term_index_no_churn_is_noop(docs, tmp_path):
     assert (m1["n_added"], m1["n_changed"], m1["n_removed"]) == (0, 0, 0)
 
 
+def test_incremental_source_stats_equals_full(ray_session):
+    """Delta maintenance == full v2 re-aggregation: edits change token
+    counts, inserts add, deletes subtract, and a group whose docs all
+    leave the corpus disappears (zero-cancel rows dropped)."""
+    from high_performance_parallel_search_engine_ray.pipelines import index as ix
+
+    v1 = rd.from_items(
+        [
+            {"doc_id": 1, "source": "a", "text": "one two three"},
+            {"doc_id": 2, "source": "a", "text": "four five"},
+            {"doc_id": 3, "source": "b", "text": "six seven eight nine"},
+            {"doc_id": 4, "source": "c", "text": "gone soon"},
+        ]
+    )
+    v2 = rd.from_items(
+        [
+            {"doc_id": 1, "source": "a", "text": "one two three extra"},  # changed
+            {"doc_id": 2, "source": "a", "text": "four five"},            # same
+            {"doc_id": 3, "source": "b", "text": "six seven eight nine"}, # same
+            {"doc_id": 5, "source": "b", "text": "brand new doc"},        # added
+        ]  # doc 4 removed -> source c empties
+    )
+    got = (
+        ix.incremental_source_stats(v1, v2)
+        .to_pandas()
+        .sort_values("source")
+        .reset_index(drop=True)
+    )
+    # full recompute reference via the same tokenizer
+    full = (
+        ix.doc_lengths(v2).to_pandas()
+        .merge(v2.to_pandas()[["doc_id", "source"]], on="doc_id")
+        .groupby("source")
+        .agg(n_docs=("doc_id", "size"), total_tokens=("dl", "sum"))
+        .reset_index()
+        .sort_values("source")
+        .reset_index(drop=True)
+    )
+    assert got[["source", "n_docs", "total_tokens"]].astype(
+        {"n_docs": "int64", "total_tokens": "int64"}
+    ).equals(full.astype({"n_docs": "int64", "total_tokens": "int64"}))
+    assert "c" not in set(got["source"])  # emptied group dropped
+
+
 def test_bm25_dedup_serp_collapses_clones(ray_session):
     """Exact clones collapse to the best-ranked (min doc_id on the score
     tie) representative; distinct docs fill the freed slots; plain BM25

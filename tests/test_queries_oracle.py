@@ -205,6 +205,8 @@ def test_registry_ordering_contract():
         "merge_apply",
         # wave-29 additions (same rationale)
         "serp_dedup",
+        # wave-30 additions (same rationale)
+        "incremental_stats",
     }
     assert set(entry_mod.oracle_sql()) - overflow_ok <= first50
     for critical in (
