@@ -361,6 +361,14 @@ def _ipc_roundtrip(sf_dir: str):
     )
 
 
+def _doc_sources3(sf_dir: str):
+    import ray.data as rd
+
+    return rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "text"]
+    )
+
+
 def _incremental_stats(sf_dir: str):
     """Delta-maintained per-source (n_docs, total_tokens) rollup under the
     corpus_diff perturbation rules, source column preserved through the
@@ -1481,6 +1489,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # stats updated from the churn only must equal the full v2
         # re-aggregation (integer partials, no drift)
         "incremental_stats": _incremental_stats,
+        # wave 31: source-diversified SERP — pool of 30, at most 2 results
+        # per source (best-ranked survive), then top-10
+        "source_quota_serp": lambda sf: rank.bm25_source_quota(
+            _doc_sources3(sf), "hash join", k=10, per_source=2, pool=30
+        ),
     }
 
 
@@ -3527,6 +3540,46 @@ SELECT event_type,
            CAST(round(value * 100, 0) AS BIGINT) || '|' || epoch_ms(ts)
        ), 1, 8)) AS BIGINT)) AS BIGINT) AS checksum
 FROM events GROUP BY event_type
+"""
+    # wave 31: per-source quota — rn<=2 within source over the 30-pool
+    sqls["source_quota_serp"] = f"""
+WITH {_TOKS_CTE},
+tf AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT count(*) FROM toks) * 1.0 /
+         (SELECT count(*) FROM documents) AS avgdl
+),
+df AS (SELECT term, count(*) AS df FROM tf
+       WHERE term IN ('hash', 'join') GROUP BY term),
+scores AS (
+  SELECT tf.doc_id,
+         sum( ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+              * (tf.tf * 2.5)
+              / (tf.tf + 1.5 * (0.25 + 0.75 * dl.dl / stats.avgdl)) ) AS score
+  FROM tf
+  JOIN df ON df.term = tf.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats
+  GROUP BY tf.doc_id
+),
+pool AS (
+  SELECT doc_id, round(score, 6) AS score FROM scores
+  WHERE score > 0
+  ORDER BY score DESC, doc_id
+  LIMIT 30
+),
+quota AS (
+  SELECT p.doc_id, p.score, d.source,
+         row_number() OVER (
+           PARTITION BY d.source ORDER BY p.score DESC, p.doc_id
+         ) AS rn
+  FROM pool p JOIN documents d ON d.doc_id = p.doc_id
+)
+SELECT doc_id, score, source FROM quota WHERE rn <= 2
+ORDER BY score DESC, doc_id
+LIMIT 10
 """
     # wave 30: the delta-maintained rollup equals the direct v2 stats
     sqls["incremental_stats"] = f"""

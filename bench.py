@@ -191,6 +191,7 @@ BENCH_QUERIES = [
     "merge_apply",
     "serp_dedup",
     "incremental_stats",
+    "source_quota_serp",
 ]
 
 

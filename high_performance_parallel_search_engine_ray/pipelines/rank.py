@@ -1210,3 +1210,55 @@ def bm25_dedup_serp(
     return pa.Table.from_pylist(
         out, schema=pa.schema([(id_col, pa.int64()), ("score", pa.float64())])
     )
+
+
+def bm25_source_quota(
+    docs,
+    query: str,
+    k: int = 10,
+    per_source: int = 2,
+    pool: int = 30,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+):
+    """Source-diversified serving: rank a BM25 pool, cap results at
+    ``per_source`` per source (best-ranked survive), return top-k — the
+    host-quota rule every SERP applies so one domain can't monopolize the
+    page; the grouped-quota sibling of `bm25_dedup_serp` (exact-dup
+    collapse) and `mmr_rerank` (embedding diversity).
+
+    Scale shape: the distributed part is the plain top-``pool``; source
+    attach is one is_in semi-filter over the ≤pool ids; the quota walk is
+    pool-bounded driver work."""
+    ranked = bm25_topk(
+        docs, query, k=pool, id_col=id_col, text_col=text_col, round_to=6
+    )
+    out_schema = pa.schema(
+        [(id_col, pa.int64()), ("score", pa.float64()),
+         (source_col, pa.string())]
+    )
+    if ranked.num_rows == 0:
+        return out_schema.empty_table()
+    ids = ranked[id_col].to_pylist()
+    scores = ranked["score"].to_pylist()
+    idset = pa.array(ids)
+    src = {
+        r[id_col]: r[source_col]
+        for r in docs.map_batches(
+            lambda b: pa.table(
+                {id_col: b[id_col], source_col: b[source_col]}
+            ).filter(pc.is_in(b[id_col], value_set=idset)),
+            batch_format="pyarrow",
+        ).take_all()
+    }
+    taken, out = {}, []
+    for i, s in zip(ids, scores):  # (score desc, id asc) order from bm25
+        g = src[i]
+        if taken.get(g, 0) >= per_source:
+            continue
+        taken[g] = taken.get(g, 0) + 1
+        out.append({id_col: i, "score": s, source_col: g})
+        if len(out) >= k:
+            break
+    return pa.Table.from_pylist(out, schema=out_schema)

@@ -1549,6 +1549,28 @@ def test_update_term_index_no_churn_is_noop(docs, tmp_path):
     assert (m1["n_added"], m1["n_changed"], m1["n_removed"]) == (0, 0, 0)
 
 
+def test_bm25_source_quota_planted(ray_session):
+    """The third same-source hit is skipped even when it outranks other
+    sources' docs; lower-ranked other-source docs fill the page."""
+    from high_performance_parallel_search_engine_ray.pipelines import rank as rk
+
+    rows = [
+        {"doc_id": 1, "source": "s1", "text": "hash join hash join hash join"},
+        {"doc_id": 2, "source": "s1", "text": "hash join hash join strong"},
+        {"doc_id": 3, "source": "s1", "text": "hash join also strong here"},
+        {"doc_id": 4, "source": "s2", "text": "hash join weaker"},
+        {"doc_id": 5, "source": "s3", "text": "nothing relevant"},
+    ]
+    ds = rd.from_items(rows)
+    out = rk.bm25_source_quota(ds, "hash join", k=10, per_source=2, pool=10)
+    got = out["doc_id"].to_pylist()
+    assert 3 not in got            # third s1 doc capped out
+    assert got[:2] == [1, 2] and 4 in got
+    assert out["source"].to_pylist().count("s1") == 2
+    empty = rk.bm25_source_quota(ds, "nosuchterm", k=5)
+    assert empty.num_rows == 0
+
+
 def test_incremental_source_stats_equals_full(ray_session):
     """Delta maintenance == full v2 re-aggregation: edits change token
     counts, inserts add, deletes subtract, and a group whose docs all

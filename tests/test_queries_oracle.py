@@ -207,6 +207,8 @@ def test_registry_ordering_contract():
         "serp_dedup",
         # wave-30 additions (same rationale)
         "incremental_stats",
+        # wave-31 additions (same rationale)
+        "source_quota_serp",
     }
     assert set(entry_mod.oracle_sql()) - overflow_ok <= first50
     for critical in (
