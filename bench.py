@@ -27,6 +27,18 @@ import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+# Per-query timings are a ~5 KB blob that overflowed the driver's stdout
+# tail buffer in round 3 (BENCH_r03.json "parsed": null). They now go to
+# this side artifact; the one stdout JSON line stays under ~2 KB.
+QUERY_ARTIFACT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "BENCH", "bench_r4_queries.json")
+# Flagship subset kept inline in the stdout line (format contract: the
+# driver expects a "queries" dict; the FULL suite lives in QUERY_ARTIFACT).
+HEADLINE_QUERIES = [
+    "pricing_summary", "bm25_hash_join", "term_doc_tf", "dedup_exact",
+    "minhash_lsh_pairs", "quality_scores", "ann_brute_topk",
+    "curation_pipeline", "span_kind_stats", "pack_interleaved",
+]
 
 BENCH_QUERIES = [
     "pricing_summary",
@@ -308,6 +320,13 @@ def run_crawl_bench(num_cpus: int) -> dict:
     shutil.rmtree(cfg.out_dir, ignore_errors=True)  # bench output is scratch
     shutil.rmtree(warm_cfg.out_dir, ignore_errors=True)
     pages = res["pages_crawled"]
+    # Per-round breakdown (round-3 verdict item 3): a slow driver sample
+    # must be attributable from BENCH_rN alone — wall/fetch/admit per
+    # round shows whether a tail came from the fetch barrier, admission,
+    # or host drift. Compact parallel arrays keep the stdout line small.
+    rounds_meta = res.get("metrics", [])
+    cum = [r["wall_s"] for r in rounds_meta]  # cumulative since run start
+    wall_deltas = [round(b - a, 3) for a, b in zip([0.0] + cum[:-1], cum)]
     return {
         "sec": round(sec, 3),
         "pages_crawled": pages,
@@ -317,6 +336,10 @@ def run_crawl_bench(num_cpus: int) -> dict:
         "seen_total": res["seen_total"],
         "pages_per_sec": round(pages / sec, 1),
         "urls_per_sec": round((pages + dups) / sec, 1),
+        "round_wall_s": wall_deltas,
+        "round_fetch_s": [r["fetch_s"] for r in rounds_meta],
+        "round_admit_s": [r["admit_s"] for r in rounds_meta],
+        "round_released": [r["released"] for r in rounds_meta],
     }
 
 
@@ -375,25 +398,45 @@ def run_bench() -> dict:
         sum(v for v in timings.values() if isinstance(v, float)), 3
     )
 
+    def _emit_query_artifact(extra: dict) -> None:
+        # full per-query timings live here, NOT on the stdout line (the
+        # driver's tail buffer truncated the 140-entry line in round 3)
+        if os.environ.get("GRAFT_SCALING_CHILD"):
+            return  # children run no queries; don't clobber the artifact
+        try:
+            os.makedirs(os.path.dirname(QUERY_ARTIFACT), exist_ok=True)
+            with open(QUERY_ARTIFACT, "w") as f:
+                json.dump(
+                    {"sf": SF_DIR, "num_cpus": NUM_CPUS,
+                     "queries": timings, "errors": errors, **extra},
+                    f, indent=1,
+                )
+        except OSError:
+            pass  # a read-only checkout must not kill the bench
+
+    headline = {k: timings[k] for k in HEADLINE_QUERIES if k in timings}
+
     if os.environ.get("GRAFT_BENCH_SKIP_CRAWL"):
         # contract-test mode: query timings only (the bench-corpus crawl
         # takes minutes and is covered by the default mode)
+        _emit_query_artifact({})
         out = {
             "metric": "query suite wall sec (crawl skipped via GRAFT_BENCH_SKIP_CRAWL)",
             "value": query_sec,
             "unit": "sec",
-            "queries": timings,
+            "queries": headline,
+            "n_queries": len(timings),
+            "query_total_sec": query_sec,
+            "n_errors": len(errors),
+            "queries_detail": QUERY_ARTIFACT,
             "sf": SF_DIR,
             "num_cpus": NUM_CPUS,
         }
-        if errors:
-            out["errors"] = errors
         ray.shutdown()
         return out
 
     try:
         crawl = run_crawl_bench(NUM_CPUS)
-        timings["crawl"] = crawl["sec"]
         value = crawl["sec"]
         metric = "headline crawl wall sec (URLs fetched+deduped over bench web corpus)"
     except Exception as exc:  # noqa: BLE001 — the JSON line must still emit
@@ -405,17 +448,20 @@ def run_bench() -> dict:
         value = query_sec  # fall back to the query-suite figure
         metric = "query suite wall sec (CRAWL FAILED — see errors)"
 
+    _emit_query_artifact({"crawl": crawl})
     out = {
         "metric": metric,
         "value": value,
         "unit": "sec",
-        "queries": timings,
+        "queries": headline,
+        "n_queries": len(timings),
+        "query_total_sec": query_sec,
+        "n_errors": len(errors),
+        "queries_detail": QUERY_ARTIFACT,
         "sf": SF_DIR,
         "num_cpus": NUM_CPUS,
         "crawl": crawl,
     }
-    if errors:
-        out["errors"] = errors
     ray.shutdown()
     return out
 

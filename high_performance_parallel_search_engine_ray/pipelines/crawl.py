@@ -68,6 +68,7 @@ import time
 from dataclasses import dataclass, field
 
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data as rd
 
@@ -115,6 +116,9 @@ class CrawlConfig:
     checkpoint: bool = True
     checkpoint_interval: int = 1  # rounds between checkpoints (last round always)
     use_robots: bool = True
+    # Politeness-conformance audit: shards track per-host min release gap
+    # + robots-block counts (O(hosts) actor state, off the hot path).
+    audit: bool = False
     seed_urls: list | None = None  # override the corpus seeds table
     # Exact seen-set spill threshold (URLs held in a shard's in-memory delta
     # before a sorted run is spilled under out_dir/seen/shard-N). None =
@@ -272,6 +276,7 @@ class ShardedCrawl:
                     use_filters=cfg.use_filters,
                     seen_spill_dir=os.path.join(cfg.out_dir, "seen", f"shard-{s:04d}"),
                     seen_memory_cap=cfg.seen_memory_cap,
+                    audit=cfg.audit,
                 )
             )
 
@@ -574,6 +579,22 @@ class ShardedCrawl:
         if not parts:
             return rd.from_items([])
         return rd.read_parquet(parts)
+
+    def politeness_audit(self) -> pa.Table:
+        """Gather the per-host politeness/robots conformance rows from every
+        shard (requires ``CrawlConfig(audit=True)``). One row per
+        (host, shard); non-salted hosts live in exactly one shard, so
+        per-host figures read directly off the row. Sorted for stable
+        driver comparison."""
+        tables = ray.get([a.politeness_audit.remote() for a in self._actors])
+        non_empty = [t for t in tables if t.num_rows]
+        if not non_empty:
+            return tables[0]  # empty table, audit schema intact
+        out = pa.concat_tables(non_empty)
+        order = pc.sort_indices(
+            out, sort_keys=[("host", "ascending"), ("shard", "ascending")]
+        )
+        return out.take(order)
 
     def visited_urls(self) -> set[str]:
         out: set[str] = set()

@@ -81,6 +81,7 @@ class FrontierShard:
         use_filters: bool = True,
         seen_spill_dir: str | None = None,
         seen_memory_cap: int | None = None,
+        audit: bool = False,
     ):
         self.shard_id = shard_id
         self.num_shards = num_shards
@@ -108,6 +109,17 @@ class FrontierShard:
             "released": 0,
             "filter_false_positives": 0,
         }
+        # Politeness-conformance audit mode (diagnostic; off on the hot
+        # path). O(hosts) state only: per host we track the last virtual
+        # release time, the minimum observed gap, release count, and
+        # per-host robots blocks — enough to PROVE the per-host min-gap
+        # and robots claims from a finished crawl (north rule: politeness
+        # + robots gating), deterministic under the virtual clock.
+        self.audit = audit
+        self._audit_last_ms: dict[str, float] = {}
+        self._audit_min_gap: dict[str, float] = {}
+        self._audit_released: dict[str, int] = {}
+        self._audit_robots: dict[str, int] = {}
 
     # -- seen-set hybrid ---------------------------------------------------
     def _seen(self, url: str, h: int) -> bool:
@@ -170,6 +182,8 @@ class FrontierShard:
                 continue
             if not self.robots.allowed(host, url):
                 robots_blocked += 1
+                if self.audit:
+                    self._audit_robots[host] = self._audit_robots.get(host, 0) + 1
                 continue
             if url in batch_added:
                 dup += 1
@@ -318,6 +332,15 @@ class FrontierShard:
                 if max_urls is not None and n >= max_urls:
                     break
                 depth, negp, seq, url, uh = heapq.heappop(heap)
+                if self.audit:
+                    last = self._audit_last_ms.get(host)
+                    if last is not None:
+                        gap = t - last
+                        cur = self._audit_min_gap.get(host)
+                        if cur is None or gap < cur:
+                            self._audit_min_gap[host] = gap
+                    self._audit_last_ms[host] = t
+                    self._audit_released[host] = self._audit_released.get(host, 0) + 1
                 out["url"].append(url)
                 out["host"].append(host)
                 out["depth"].append(depth)
@@ -389,6 +412,48 @@ class FrontierShard:
     def get_stats(self) -> dict:
         return dict(self.stats, pending=self.pending_count(), shard=self.shard_id)
 
+    def politeness_audit(self) -> pa.Table:
+        """Per-host politeness/robots conformance rows (requires
+        ``audit=True``). One row per host this shard released or
+        robots-blocked: the minimum observed virtual gap between releases
+        must be >= the host's effective crawl delay (crawl_delay x hot-host
+        salt factor — each sub-shard of a salted host spaces its own stream
+        salt_k x delay apart so the host's AGGREGATE rate honors the
+        delay). Deterministic under the virtual clock."""
+        if not getattr(self, "audit", False):
+            raise RuntimeError("politeness_audit requires FrontierShard(audit=True)")
+        hosts = sorted(set(self._audit_released) | set(self._audit_robots))
+        rows = []
+        for h in hosts:
+            delay = self._effective_delay(h)
+            min_gap = self._audit_min_gap.get(h)
+            n_rel = self._audit_released.get(h, 0)
+            rows.append(
+                {
+                    "host": h,
+                    "shard": self.shard_id,
+                    "n_released": n_rel,
+                    # -1.0 = fewer than 2 releases, no gap to measure
+                    "min_gap_ms": -1.0 if min_gap is None else round(min_gap, 6),
+                    "effective_delay_ms": round(delay, 6),
+                    "robots_blocked": self._audit_robots.get(h, 0),
+                    # 1e-6 absorbs float accumulation in the virtual clock
+                    "politeness_ok": min_gap is None or min_gap + 1e-6 >= delay,
+                }
+            )
+        schema = pa.schema(
+            [
+                ("host", pa.string()),
+                ("shard", pa.int32()),
+                ("n_released", pa.int64()),
+                ("min_gap_ms", pa.float64()),
+                ("effective_delay_ms", pa.float64()),
+                ("robots_blocked", pa.int64()),
+                ("politeness_ok", pa.bool_()),
+            ]
+        )
+        return pa.Table.from_pylist(rows, schema=schema)
+
     def seen_count(self) -> int:
         return len(self.seen_exact)
 
@@ -457,4 +522,11 @@ class FrontierShard:
         f.quarantine_after = st["quarantine_after"]
         f.stats = st["stats"]
         f._next_seq = st["next_seq"]
+        # audit mode is a diagnostic, not crawl state: a restored shard
+        # starts with audit off and empty audit tallies
+        f.audit = False
+        f._audit_last_ms = {}
+        f._audit_min_gap = {}
+        f._audit_released = {}
+        f._audit_robots = {}
         return f

@@ -341,3 +341,34 @@ def test_seenset_add_idempotent_across_spills(tmp_path):
         s.add(u)
     assert len(s) == 50
     assert sorted(s) == sorted(urls)
+
+
+def test_frontier_politeness_audit():
+    # audit mode: per-host min release gap must equal/exceed the host's
+    # effective crawl delay; robots blocks counted per host
+    sh = _mk_shard(audit=True)
+    _admit(sh, [f"https://a.example/p{i}" for i in range(6)], ["a.example"] * 6)
+    _admit(sh, [f"https://b.example/q{i}" for i in range(4)], ["b.example"] * 4)
+    _admit(sh, ["https://a.example/private/x"], ["a.example"])  # robots block
+    # release across several small windows so gaps span round boundaries
+    for _ in range(8):
+        sh.release(300)
+    t = sh.politeness_audit()
+    rows = {r["host"]: r for r in t.to_pylist()}
+    assert rows["a.example"]["robots_blocked"] == 1
+    assert rows["b.example"]["robots_blocked"] == 0
+    assert rows["a.example"]["n_released"] == 6
+    assert rows["b.example"]["n_released"] == 4
+    # min gap == the exact delay (release() paces at exactly delay)
+    assert rows["a.example"]["min_gap_ms"] == 100.0
+    assert rows["b.example"]["min_gap_ms"] == 200.0
+    assert all(r["politeness_ok"] for r in t.to_pylist())
+
+
+def test_frontier_audit_off_raises():
+    sh = _mk_shard()
+    try:
+        sh.politeness_audit()
+        raise AssertionError("expected RuntimeError")
+    except RuntimeError:
+        pass
