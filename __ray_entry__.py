@@ -22,6 +22,21 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF0001 = "/root/testdata/sf0.001"
 
+# Corpus-change fixtures synthesize added ids as doc_id + _ADD_OFFSET. The
+# offset is mirrored literally in the oracle SQL, so it must stay a fixed
+# constant — this guard turns the no-collision assumption into an enforced
+# invariant (round-4 advice): if a corpus ever carries doc_ids >= the
+# offset, an added id would collide with an existing key and the Ray side
+# (upsert keeps one row per key) would diverge from the oracle's UNION ALL.
+_ADD_OFFSET = 1_000_000
+
+
+def _assert_add_offset_free(ids) -> None:
+    assert ids.size == 0 or int(ids.max()) < _ADD_OFFSET, (
+        "corpus doc_ids reached the fixture add-offset (1_000_000); bump the "
+        "offset in BOTH the Ray fixtures and their oracle SQL"
+    )
+
 # Serial-tokenizer delimiter class for RE2 (used verbatim in oracle SQL).
 _TOKEN_RE_SQL = r"[ \t\n\r.,;:!?\"()\[\]{}<>]+"
 
@@ -86,6 +101,7 @@ def _diff_docs(sf_dir: str):
             _pa.array(keep)
         )
         add_mask = ids % 11 == 0
+        _assert_add_offset_free(ids)
         added = _pa.table(
             {
                 "doc_id": _pa.array(ids[add_mask] + 1_000_000),
@@ -397,6 +413,7 @@ def _incremental_stats(sf_dir: str):
             {"doc_id": b["doc_id"], "source": b["source"], "text": changed}
         ).filter(_pa.array(keep))
         ad = ids % 11 == 0
+        _assert_add_offset_free(ids)
         added = _pa.table(
             {
                 "doc_id": _pa.array(ids[ad] + 1_000_000),
@@ -465,6 +482,7 @@ def _merge_apply(sf_dir: str):
             }
         )
         ad = ids % 11 == 0
+        _assert_add_offset_free(ids)
         added = _pa.table(
             {
                 "doc_id": _pa.array(ids[ad] + 1_000_000),
@@ -765,6 +783,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             mod = kid % 7 == 0
             ktxt[mod] = np.array([t + " v2" for t in ktxt[mod]], dtype=object)
             addm = ids % 11 == 0
+            _assert_add_offset_free(ids)
             aid = ids[addm] + 1_000_000
             atxt = np.array([f"new page {i}" for i in ids[addm]], dtype=object)
             return pa.table(
@@ -3442,7 +3461,7 @@ FROM t GROUP BY decile
 WITH e AS (
   SELECT event_id,
          CAST(round(value * 100, 0) AS BIGINT) AS v100,
-         epoch_ms(ts) + (event_id * 2654435761) % 5400000 AS arr,
+         epoch_ms(ts) + ((event_id % 5400000) * 2654435761) % 5400000 AS arr,
          (epoch_ms(ts) // 3600000) * 3600000 AS ws
   FROM events
 ),

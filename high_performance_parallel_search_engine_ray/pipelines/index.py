@@ -301,7 +301,15 @@ def live_postings_mask(batch: pa.Table, tomb, id_col: str = "doc_id"):
     ids_t, before_t = tomb
     ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
     if "gen" in batch.column_names:
-        gen = batch["gen"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # null-safe: compaction concats bucket files with
+        # promote_options='default', so a file that predates gen-stamping
+        # yields gen == null here (not a missing column); a raw astype on
+        # nulls NaN-casts to garbage gens and tombstoned rows could
+        # silently survive. Null gen == original build output == gen 0.
+        col = batch["gen"]
+        if col.null_count:
+            col = pc.fill_null(col, 0)
+        gen = col.to_numpy(zero_copy_only=False).astype(np.int64)
     else:
         gen = np.zeros(len(ids), np.int64)
     pos = np.clip(np.searchsorted(ids_t, ids), 0, max(ids_t.size - 1, 0))

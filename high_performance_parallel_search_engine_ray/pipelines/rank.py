@@ -970,15 +970,18 @@ def more_like_this(
     query every result page and recommendation sidebar runs, and the
     sparse lexical complement of the dense `ann.brute_force_topk` path.
 
-    Scale shape (ZERO extra shuffles past the shared tokenize pass):
-    `term_doc_tf` keeps each document's rows inside one batch, so per-doc
-    norms AND seed-dot partials are both complete within map_batches —
-    no per-doc groupby ever runs. The df model and the seed's (term,
+    Scale shape: per-batch PARTIAL (doc_id, dot, n2) sums inside
+    map_batches, then ONE groupby(doc_id) Sum merges partials before the
+    cosine — correct even when Ray Data's dynamic block splitting slices
+    a tokenize task's output mid-document (target_max_block_size), which
+    a block-local sqrt(n2) silently gets wrong at corpus scale. The
+    shuffle carries three numbers per (doc, batch) — the pre-aggregate
+    rule, not a fact-scale exchange. The df model and the seed's (term,
     weight) vector are vocab-/doc-bounded broadcasts (`ray.put` once,
     searchsorted lookup per batch); only (doc_id, cos) survivor rows
     reach the final sort/limit."""
     import ray
-    from ray.data.aggregate import Count
+    from ray.data.aggregate import Count, Sum
 
     from .index import term_doc_tf
 
@@ -1014,7 +1017,7 @@ def more_like_this(
     s_norm = float(np.sqrt(np.sum(s_w * s_w)))
     model_ref = ray.put((terms, dfs, s_terms, s_w))
 
-    def score(b: pa.Table) -> pa.Table:
+    def score_partial(b: pa.Table) -> pa.Table:
         import pandas as pd
 
         t_s, df_s, st, sw = ray.get(model_ref)
@@ -1032,19 +1035,40 @@ def more_like_this(
                 "n2": w * w,
             }
         )
+        # per-batch combine only — a doc's rows may straddle blocks, so
+        # no filtering here (a doc whose dot-partial is 0 in THIS batch
+        # may accumulate dot > 0 in another)
         agg = d.groupby("id", as_index=False, sort=False).sum()
-        agg = agg[(agg["dot"] > 0) & (agg["id"] != seed_doc_id)]
-        cos = agg["dot"].to_numpy() / (np.sqrt(agg["n2"].to_numpy()) * s_norm)
+        return pa.table(
+            {
+                id_col: pa.array(agg["id"].to_numpy().astype(np.int64)),
+                "dot": pa.array(agg["dot"].to_numpy(), pa.float64()),
+                "n2": pa.array(agg["n2"].to_numpy(), pa.float64()),
+            }
+        )
+
+    sums = (
+        tf.map_batches(score_partial, batch_format="pyarrow")
+        .groupby(id_col)
+        .aggregate(Sum("dot", alias_name="dot"), Sum("n2", alias_name="n2"))
+    )
+
+    def finalize(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy(zero_copy_only=False)
+        dot = b["dot"].to_numpy(zero_copy_only=False)
+        n2 = b["n2"].to_numpy(zero_copy_only=False)
+        m = (dot > 0) & (ids != seed_doc_id)
+        cos = dot[m] / (np.sqrt(n2[m]) * s_norm)
         if round_to is not None:
             cos = round_half_away(cos, round_to)
         return pa.table(
             {
-                id_col: pa.array(agg["id"].to_numpy().astype(np.int64)),
+                id_col: pa.array(ids[m].astype(np.int64)),
                 "cos_sim": pa.array(cos, pa.float64()),
             }
         )
 
-    sims = tf.map_batches(score, batch_format="pyarrow")
+    sims = sums.map_batches(finalize, batch_format="pyarrow")
     rows = (
         sims.sort(["cos_sim", id_col], descending=[True, False])
         .limit(k)

@@ -3593,7 +3593,12 @@ def events_watermark_agg(
         v100 = round_half_away(
             pc.multiply(b["value"], 100.0).to_numpy(), 0
         ).astype(np.int64)
-        arr = tms + (ids * 2654435761) % B
+        # overflow-safe jitter (round-4 advice): reduce mod B BEFORE the
+        # multiply — (e*k) % B == ((e%B)*k) % B, and (B-1)*k ~ 1.4e16 stays
+        # inside int64 at ANY id range (a raw e*k wraps silently in numpy
+        # at e >= ~3.5e9 while DuckDB raises, a latent parity split). The
+        # oracle SQL applies the same pre-reduction.
+        arr = tms + ((ids % B) * 2654435761) % B
         ws = tms // WIN * WIN
         t_fire = ws + FIRE
         bkt = arr // B

@@ -112,33 +112,71 @@ def read_csv_docs(dir_path: str, **kwargs):
     return rd.read_csv(dir_path, **kwargs)
 
 
+class _IpcDatasink:
+    """Proper Ray Data Datasink for Arrow IPC: filenames derive from the
+    write task's stable ``ctx.task_idx`` + per-task block ordinal, so a
+    RETRIED write task overwrites its own files instead of adding a second
+    copy (the round-3 advice: a uuid4-per-execution name plus tmp-then-
+    rename guards partial files but NOT re-execution — under task retry or
+    lineage reconstruction the first rename persists and the retry used to
+    add a duplicate part file)."""
+
+    def __init__(self, dir_path: str):
+        self.dir_path = dir_path
+
+    def on_write_start(self) -> None:
+        os.makedirs(self.dir_path, exist_ok=True)
+
+    def write(self, blocks, ctx) -> int:
+        import pyarrow.ipc as ipc
+        from ray.data.block import BlockAccessor
+
+        n = 0
+        for i, block in enumerate(blocks):
+            b = BlockAccessor.for_block(block).to_arrow()
+            name = f"part-{ctx.task_idx:06d}-{i:04d}.arrow"
+            tmp = os.path.join(self.dir_path, "." + name + ".tmp")
+            with ipc.RecordBatchFileWriter(tmp, b.schema) as w:
+                w.write_table(b)
+            os.replace(tmp, os.path.join(self.dir_path, name))
+            n += b.num_rows
+        return n
+
+    def on_write_complete(self, write_result) -> None:
+        pass
+
+    def on_write_failed(self, error: Exception) -> None:
+        pass
+
+    @property
+    def supports_distributed_writes(self) -> bool:
+        return True
+
+    @property
+    def min_rows_per_write(self):
+        return None
+
+    def get_name(self) -> str:
+        return "IpcDocs"
+
+
 def write_ipc_docs(docs_ds, dir_path: str) -> str:
     """Arrow IPC (Feather v2) sink — the zero-parse interchange format for
     engine-to-engine handoff (schema + types travel intact, no JSON/CSV
     stringification). Ray Data has no built-in IPC sink, so this is a
-    custom one: each BLOCK writes itself to ``dir_path/part-<uuid>.arrow``
-    inside map_batches (one file per block — the same resumable directory
-    layout as every sink here), tmp-then-rename so a killed write never
-    leaves a readable partial. Returns ``dir_path``."""
-    import os
-    import uuid
+    custom Datasink: one file per block under ``dir_path`` (the same
+    resumable directory layout as every sink here), tmp-then-rename so a
+    killed write never leaves a readable partial, and deterministic
+    task-indexed filenames so a retried task overwrites rather than
+    duplicates (idempotent under Ray task retry). Returns ``dir_path``."""
+    from ray.data import Datasink
 
-    import pyarrow as pa
+    # subclass inside the function so importing this module never needs ray;
+    # our mixin comes FIRST so its __init__/write win the MRO
+    class _IpcSink(_IpcDatasink, Datasink):
+        pass
 
-    os.makedirs(dir_path, exist_ok=True)
-
-    def write_block(b: pa.Table) -> pa.Table:
-        import pyarrow.ipc as ipc
-
-        name = f"part-{uuid.uuid4().hex}.arrow"
-        tmp = os.path.join(dir_path, "." + name + ".tmp")
-        with ipc.RecordBatchFileWriter(tmp, b.schema) as w:
-            w.write_table(b)
-        os.replace(tmp, os.path.join(dir_path, name))
-        return pa.table({"n_rows": pa.array([b.num_rows], pa.int64())})
-
-    # consume: the write happens as the blocks stream through
-    docs_ds.map_batches(write_block, batch_format="pyarrow").materialize()
+    docs_ds.write_datasink(_IpcSink(dir_path))
     return dir_path
 
 

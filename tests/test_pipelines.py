@@ -5511,3 +5511,60 @@ def test_eval_ndcg_hand_computed(ray_session):
     assert got.loc[0, "ndcg"] == round(dcg / idcg, 6)
     assert got.loc[0, "recall"] == round(2 / 3, 6)
     assert got.loc[1, "ndcg"] == 0.0 and got.loc[1, "recall"] == 0.0
+
+
+def test_more_like_this_split_blocks_equal(ray_session):
+    """Round-4 advice (medium): per-doc dot/n2 sums must survive dynamic
+    block splitting. Force tiny target blocks so a document's tf rows
+    straddle block boundaries; results must equal the default-context run."""
+    import ray.data as _rd
+    from ray.data import DataContext
+
+    from high_performance_parallel_search_engine_ray.pipelines import rank as rk
+
+    rows = [
+        {
+            "doc_id": i,
+            "text": " ".join(f"w{i}t{j}" for j in range(120))
+            + (" shared common tokens" if i < 6 else " other stuff entirely"),
+        }
+        for i in range(12)
+    ]
+    ds = _rd.from_items(rows)
+    base = rk.more_like_this(ds, 3, k=10).to_pandas()
+    assert len(base) == 5  # docs 0-5 minus the seed share IDF-weighted terms
+
+    ctx = DataContext.get_current()
+    saved = ctx.target_max_block_size
+    try:
+        ctx.target_max_block_size = 2048  # ~dozens of tf rows per block
+        split = rk.more_like_this(_rd.from_items(rows), 3, k=10).to_pandas()
+    finally:
+        ctx.target_max_block_size = saved
+    base_s = base.sort_values(["cos_sim", "doc_id"], ascending=[False, True]).reset_index(drop=True)
+    split_s = split.sort_values(["cos_sim", "doc_id"], ascending=[False, True]).reset_index(drop=True)
+    assert base_s["doc_id"].tolist() == split_s["doc_id"].tolist()
+    assert (base_s["cos_sim"] - split_s["cos_sim"]).abs().max() < 1e-9
+
+
+def test_live_postings_mask_null_gen():
+    """Round-4 advice: a gen column holding NULLs (bucket concat promoted a
+    missing column) must read as gen 0, so tombstones kill those rows."""
+    import numpy as np
+    import pyarrow as pa
+
+    from high_performance_parallel_search_engine_ray.pipelines.index import (
+        live_postings_mask,
+    )
+
+    batch = pa.table(
+        {
+            "doc_id": pa.array([1, 1, 2, 3], pa.int64()),
+            "gen": pa.array([None, 5, None, None], pa.int64()),
+        }
+    )
+    tomb = (np.array([1, 2], np.int64), np.array([3, 1], np.int64))
+    mask = live_postings_mask(batch, tomb)
+    # doc 1 gen-null (0) < before 3 -> dead; doc 1 gen 5 >= 3 -> alive;
+    # doc 2 gen-null (0) < before 1 -> dead; doc 3 untombstoned -> alive
+    assert list(mask) == [False, True, False, True]

@@ -209,12 +209,22 @@ def test_registry_ordering_contract():
         "incremental_stats",
         # wave-31 additions (same rationale)
         "source_quota_serp",
+        # round-4 exchange (verdict item 7): seven sweep-triple-covered
+        # relational rows moved past the horizon to promote the six r1/r2
+        # contract keys + the politeness audit into the driver window
+        "customer_supplier_nations", "top_events_per_user",
+        "events_sliding", "events_asof_signup", "brand_median_price",
+        "orders_above_cust_avg", "events_nearby_counts",
     }
     assert set(entry_mod.oracle_sql()) - overflow_ok <= first50
     for critical in (
         "crawl_sharded_smoke", "crawl_exact_trace", "curation_pipeline",
+        "crawl_politeness_audit",
         "media_features", "media_resize", "media_frame_samples",
         "ann_lsh_topk", "minhash_lsh_pairs", "simhash_dup_pairs",
         "embedding_dup_pairs_lsh",
+        # r1/r2 contract keys promoted back in round 4
+        "simhash_signatures", "bm25_reference_queries",
+        "kmv_distinct_users", "lang_id", "fingerprints", "ann_ivf_topk",
     ):
         assert critical in first50, critical
