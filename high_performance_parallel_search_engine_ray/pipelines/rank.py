@@ -488,11 +488,57 @@ def bm25_eval_queries() -> list[str]:
     ]
 
 
+def _df_model(tf, max_model_terms: int | None = None):
+    """Sorted (terms, dfs) numpy arrays for the vocabulary df model.
+
+    ``max_model_terms=None`` pulls the full vocabulary (exact; fine to a few
+    million terms). Bounded mode keeps the TOP-V terms by df (ties term-asc,
+    deterministic) via a distributed sort+limit — the pull and the ray.put
+    broadcast are then V-bounded no matter how pathological the corpus
+    vocabulary is (hashes, ids, mojibake push real web-text vocabularies
+    toward billions of types at 100 TB). Out-of-model terms take the tail
+    default df=1.0 at lookup time (`_df_lookup`): by construction every
+    dropped term has df <= the smallest kept df, so df=1 is the documented
+    lower-bound default (rare terms get max idf — graceful degradation for
+    keyword extraction / cosine weighting, never a KeyError).
+
+    100-TB setting: max_model_terms ~ 5-20M keeps the broadcast in the
+    hundreds of MB; leave None only when the tokenizer's vocabulary is known
+    bounded."""
+    from ray.data.aggregate import Count
+
+    g = tf.groupby("term").aggregate(Count(alias_name="df"))
+    if max_model_terms is None:
+        rows = g.take_all()  # vocab-bounded pull (see docstring)
+    else:
+        rows = (
+            g.sort(["df", "term"], descending=[True, False])
+            .limit(int(max_model_terms))
+            .take_all()
+        )
+    terms = np.array([r["term"] for r in rows])
+    dfs = np.array([r["df"] for r in rows], dtype=np.float64)
+    order = np.argsort(terms)
+    return terms[order], dfs[order]
+
+
+def _df_lookup(t_s: np.ndarray, df_s: np.ndarray, tt: np.ndarray,
+               default: float = 1.0) -> np.ndarray:
+    """Vectorized df lookup into a sorted (terms, dfs) model; misses (terms
+    outside a bounded model) take ``default``. With an unbounded model every
+    term hits and this is exactly the old searchsorted path."""
+    if t_s.size == 0:
+        return np.full(len(tt), default, np.float64)
+    pos = np.clip(np.searchsorted(t_s, tt), 0, t_s.size - 1)
+    return np.where(t_s[pos] == tt, df_s[pos], default)
+
+
 def tfidf_topk(
     docs,
     k: int = 5,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_model_terms: int | None = None,
 ):
     """Top-k terms per document by tf-idf (tfidf = tf * ln(N / df), rounded
     6dp BEFORE ranking; ties broken term-asc). The classic keyword-extraction
@@ -509,20 +555,17 @@ def tfidf_topk(
            expression the DuckDB oracle evaluates)
         -> per-doc top-k partition-grouped by hash(doc)%64 (one pandas
            sort+cumcount per PARTITION, not per doc — the per-group-tax
-           rule, pipelines/relational.py:433-440)."""
+           rule, pipelines/relational.py:433-440).
+
+    ``max_model_terms`` bounds the df model to the top-V terms by df
+    (out-of-model terms idf from df=1 — see `_df_model` for the 100-TB
+    setting); None = exact full vocabulary (the oracle contract)."""
     import pandas as pd
     import ray
-    from ray.data.aggregate import Count
 
     tf = term_doc_tf(docs, id_col, text_col).materialize()
 
-    df_rows = (
-        tf.groupby("term").aggregate(Count(alias_name="df")).take_all()
-    )  # vocab-bounded pull (see unigram_logprob's scale note)
-    terms = np.array([r["term"] for r in df_rows])
-    dfs = np.array([r["df"] for r in df_rows], dtype=np.float64)
-    order = np.argsort(terms)
-    model_ref = ray.put((terms[order], dfs[order]))
+    model_ref = ray.put(_df_model(tf, max_model_terms))
 
     # N = docs with >= 1 kept token (the oracle's COUNT(DISTINCT doc_id))
     n_docs = float(
@@ -538,8 +581,9 @@ def tfidf_topk(
     def score(b: pa.Table) -> pa.Table:
         t_s, df_s = ray.get(model_ref)
         tt = b["term"].to_numpy(zero_copy_only=False)
-        idx = np.searchsorted(t_s, tt)
-        tfidf = b["tf"].to_numpy(zero_copy_only=False) * np.log(n_docs / df_s[idx])
+        tfidf = b["tf"].to_numpy(zero_copy_only=False) * np.log(
+            n_docs / _df_lookup(t_s, df_s, tt)
+        )
         return pa.table(
             {
                 id_col: b[id_col],
@@ -964,6 +1008,7 @@ def more_like_this(
     id_col: str = "doc_id",
     text_col: str = "text",
     round_to: int | None = 6,
+    max_model_terms: int | None = None,
 ):
     """Related-documents serving ("more like this"): top-k docs by TF-IDF
     cosine similarity to a seed document — the content-based neighbor
@@ -979,18 +1024,16 @@ def more_like_this(
     rule, not a fact-scale exchange. The df model and the seed's (term,
     weight) vector are vocab-/doc-bounded broadcasts (`ray.put` once,
     searchsorted lookup per batch); only (doc_id, cos) survivor rows
-    reach the final sort/limit."""
+    reach the final sort/limit. ``max_model_terms`` bounds the df model
+    to the top-V terms by df (out-of-model terms weight with df=1 — see
+    `_df_model` for the 100-TB setting); None = exact."""
     import ray
-    from ray.data.aggregate import Count, Sum
+    from ray.data.aggregate import Sum
 
     from .index import term_doc_tf
 
     tf = term_doc_tf(docs, id_col, text_col).materialize()
-    df_rows = tf.groupby("term").aggregate(Count(alias_name="df")).take_all()
-    terms = np.array([r["term"] for r in df_rows])
-    dfs = np.array([r["df"] for r in df_rows], dtype=np.float64)
-    order = np.argsort(terms)
-    terms, dfs = terms[order], dfs[order]
+    terms, dfs = _df_model(tf, max_model_terms)
     n_docs = float(
         tf.map_batches(
             lambda b: pa.table({id_col: pc.unique(b[id_col])}),
@@ -1010,7 +1053,7 @@ def more_like_this(
         return out_schema.empty_table()
     s_terms = np.array([r["term"] for r in seed_rows])
     s_w = np.array([r["tf"] for r in seed_rows], np.float64) * np.log(
-        n_docs / dfs[np.searchsorted(terms, s_terms)]
+        n_docs / _df_lookup(terms, dfs, s_terms)
     )
     s_order = np.argsort(s_terms)
     s_terms, s_w = s_terms[s_order], s_w[s_order]
@@ -1023,7 +1066,7 @@ def more_like_this(
         t_s, df_s, st, sw = ray.get(model_ref)
         tt = b["term"].to_numpy(zero_copy_only=False)
         w = b["tf"].to_numpy(zero_copy_only=False) * np.log(
-            n_docs / df_s[np.searchsorted(t_s, tt)]
+            n_docs / _df_lookup(t_s, df_s, tt)
         )
         pos = np.clip(np.searchsorted(st, tt), 0, len(st) - 1)
         in_seed = st[pos] == tt
@@ -1087,6 +1130,7 @@ def related_terms(
     min_co: int = 2,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_model_terms: int | None = None,
 ):
     """Co-occurrence term suggestion: top-k terms by LIFT against a focal
     term — lift(t) = P(t | focal-doc) / P(t) = (co_df/df_focal)/(df/N) —
@@ -1098,7 +1142,10 @@ def related_terms(
     (broadcast once); co-occurrence counts are ONE groupby over the
     focal docs' postings slice; df/N ride the same vocab-bounded
     broadcast every rank op uses; lift, the min_co gate, and the
-    sort/limit all run distributed — no corpus row reaches the driver."""
+    sort/limit all run distributed — no corpus row reaches the driver.
+    ``max_model_terms`` bounds the df model to the top-V terms by df
+    (out-of-model terms take df=1, i.e. max lift, and are still co_df- and
+    min_co-gated — see `_df_model` for the 100-TB setting); None = exact."""
     import ray
     from ray.data.aggregate import Count
 
@@ -1108,11 +1155,7 @@ def related_terms(
         [("term", pa.string()), ("co_df", pa.int64()), ("lift", pa.float64())]
     )
     tf = term_doc_tf(docs, id_col, text_col).materialize()
-    df_rows = tf.groupby("term").aggregate(Count(alias_name="df")).take_all()
-    terms = np.array([r["term"] for r in df_rows])
-    dfs = np.array([r["df"] for r in df_rows], dtype=np.float64)
-    order = np.argsort(terms)
-    terms, dfs = terms[order], dfs[order]
+    terms, dfs = _df_model(tf, max_model_terms)
     n_docs = float(
         tf.map_batches(
             lambda b: pa.table({id_col: pc.unique(b[id_col])}),
@@ -1160,7 +1203,7 @@ def related_terms(
         tt = b["term"].to_numpy(zero_copy_only=False)
         cov = b["co_df"].to_numpy(zero_copy_only=False).astype(np.float64)
         lift = (cov * 1.0 / df_focal) / (
-            df_s[np.searchsorted(t_s, tt)] * 1.0 / n_docs
+            _df_lookup(t_s, df_s, tt) * 1.0 / n_docs
         )
         out = pa.table(
             {

@@ -301,7 +301,8 @@ def repetition_scores(docs, id_col: str = "doc_id", text_col: str = "text"):
 
 # -- unigram LM scoring (perplexity proxy) -----------------------------------
 
-def unigram_logprob(docs, id_col: str = "doc_id", text_col: str = "text"):
+def unigram_logprob(docs, id_col: str = "doc_id", text_col: str = "text",
+                    max_model_terms: int | None = None):
     """(doc_id, n_tokens, avg_logprob): per-document mean log-probability
     under a unigram language model trained on the corpus itself — the
     cheap stand-in for the KenLM-style perplexity gate curation pipelines
@@ -319,7 +320,18 @@ def unigram_logprob(docs, id_col: str = "doc_id", text_col: str = "text"):
 
     Token definition = the engine's serial-tokenizer semantics
     (pipelines/index.tokenize_batch), so the DuckDB oracle reuses the
-    shared toks CTE. Docs with zero kept tokens emit no row."""
+    shared toks CTE. Docs with zero kept tokens emit no row.
+
+    ``max_model_terms`` bounds the model pull/broadcast to the top-V terms
+    by count (ties term-asc; distributed sort+limit, so the driver never
+    sees the full vocabulary); out-of-model tokens take the tail default
+    logprob ln(1/total) — every dropped term has count <= the smallest
+    kept count, so count=1 is the documented lower bound (tail tokens
+    score as maximally rare; the gate degrades conservatively). ``total``
+    stays the EXACT global token count in both modes. 100-TB setting:
+    ~5-20M terms; None (the oracle contract) only when the vocabulary is
+    known bounded — on open web text distinct-token counts reach billions
+    (hashes, ids, mojibake)."""
     import numpy as np
     import ray
     from ray.data.aggregate import Sum
@@ -338,21 +350,36 @@ def unigram_logprob(docs, id_col: str = "doc_id", text_col: str = "text"):
         .aggregate(Sum("c", alias_name="cnt"))
         .materialize()
     )
-    rows = freq.take_all()  # vocab-bounded pull (see docstring)
+    if max_model_terms is None:
+        rows = freq.take_all()  # vocab-bounded pull (see docstring)
+        total = float(sum(r["cnt"] for r in rows))
+    else:
+        rows = (
+            freq.sort(["cnt", "term"], descending=[True, False])
+            .limit(int(max_model_terms))
+            .take_all()
+        )
+        total = float(freq.sum("cnt"))  # exact global count, small scalar
     terms = np.array([r["term"] for r in rows])
     cnts = np.array([r["cnt"] for r in rows], dtype=np.float64)
     order = np.argsort(terms)
     terms, cnts = terms[order], cnts[order]
-    total = float(cnts.sum())
     logp = np.log(cnts / total)  # same double division the SQL's LN does
+    tail_lp = float(np.log(1.0 / total))  # assume-count-1 tail default
     model_ref = ray.put((terms, logp))
 
     def score(b: pa.Table) -> pa.Table:
         t = tokenize_batch(b, id_col, text_col)
         terms_s, logp_s = ray.get(model_ref)
         tok_terms = t["term"].to_numpy(zero_copy_only=False)
-        idx = np.searchsorted(terms_s, tok_terms)
-        lp = logp_s[idx]  # every token's term is in the model by construction
+        if terms_s.size:
+            idx = np.clip(np.searchsorted(terms_s, tok_terms), 0,
+                          terms_s.size - 1)
+            # unbounded mode: every token hits by construction; bounded
+            # mode: misses take the tail default
+            lp = np.where(terms_s[idx] == tok_terms, logp_s[idx], tail_lp)
+        else:
+            lp = np.full(len(tok_terms), tail_lp)
         ids = t[id_col].to_numpy(zero_copy_only=False)
         uniq, inv = np.unique(ids, return_inverse=True)
         n_tok = np.bincount(inv)
@@ -1678,7 +1705,8 @@ def score_quality_classifier(
     return feats.map_batches(score, batch_format="pyarrow")
 
 
-def bigram_logprob(docs, id_col: str = "doc_id", text_col: str = "text"):
+def bigram_logprob(docs, id_col: str = "doc_id", text_col: str = "text",
+                   max_model_terms: int | None = None):
     """(doc_id, n_transitions, avg_logprob): per-document mean conditional
     log-probability under an add-1-smoothed BIGRAM language model trained
     on the corpus itself — one rung up the CCNet/KenLM perplexity-gate
@@ -1692,7 +1720,18 @@ def bigram_logprob(docs, id_col: str = "doc_id", text_col: str = "text"):
     sublinear in corpus size; same bounded-model contract the unigram
     gate documents) and broadcasts via ray.put; scoring is per-batch
     searchsorted over 'w1 w2' keys (terms never contain spaces — the
-    tokenizer splits on them)."""
+    tokenizer splits on them).
+
+    ``max_model_terms`` bounds the pull/broadcast to the top-V bigram
+    types AND top-V unigram types by count (two distributed sort+limits;
+    bigram types are strictly worse than unigram vocabulary at open-web
+    scale, so the bound matters here most). Tail defaults at lookup:
+    unseen bigram c(w1 w2)=0 (exactly what add-1 smoothing is for) and
+    unseen unigram c(w1)=1 (the lower bound — every dropped type was seen
+    at least once). V (the smoothing denominator's vocabulary size) stays
+    the EXACT distinct-term count in both modes (a scalar count, never a
+    pull). None = exact full model (the oracle contract); 100-TB setting
+    ~10-50M types."""
     import numpy as np
     import ray
     from ray.data.aggregate import Sum
@@ -1731,23 +1770,38 @@ def bigram_logprob(docs, id_col: str = "doc_id", text_col: str = "text"):
         )
         return pa.concat_tables([x.cast(schema) for x in out])
 
-    grams = (
+    gram_ds = (
         docs.map_batches(gram_partials, batch_format="pyarrow")
         .groupby(["w1", "w2"])
         .aggregate(Sum("n", alias_name="c"))
-        .take_all()  # bigram-type-bounded model pull (see docstring)
     )
-    uni_c: dict[str, int] = {}
-    bi_keys, bi_cnts = [], []
-    for r in grams:
-        if r["w2"] == "":
-            uni_c[r["w1"]] = int(r["c"])
-        else:
-            bi_keys.append(r["w1"] + " " + r["w2"])
-            bi_cnts.append(int(r["c"]))
-    V = len(uni_c)
-    bi_keys = np.array(bi_keys)
-    bi_cnts = np.array(bi_cnts, np.float64)
+    if max_model_terms is None:
+        grams = gram_ds.take_all()  # type-bounded model pull (see docstring)
+        uni_rows = [r for r in grams if r["w2"] == ""]
+        bi_rows = [r for r in grams if r["w2"] != ""]
+        V = len(uni_rows)
+    else:
+        gram_ds = gram_ds.materialize()
+        uni_only = gram_ds.map_batches(
+            lambda b: b.filter(pc.equal(b["w2"], "")), batch_format="pyarrow"
+        )
+        bi_only = gram_ds.map_batches(
+            lambda b: b.filter(pc.not_equal(b["w2"], "")), batch_format="pyarrow"
+        )
+        V = uni_only.count()  # exact vocab size in both modes (scalar)
+        uni_rows = (
+            uni_only.sort(["c", "w1"], descending=[True, False])
+            .limit(int(max_model_terms))
+            .take_all()
+        )
+        bi_rows = (
+            bi_only.sort(["c", "w1", "w2"], descending=[True, False, False])
+            .limit(int(max_model_terms))
+            .take_all()
+        )
+    uni_c = {r["w1"]: int(r["c"]) for r in uni_rows}
+    bi_keys = np.array([r["w1"] + " " + r["w2"] for r in bi_rows])
+    bi_cnts = np.array([float(r["c"]) for r in bi_rows], np.float64)
     order = np.argsort(bi_keys)
     bi_keys, bi_cnts = bi_keys[order], bi_cnts[order]
     u_terms = np.array(sorted(uni_c))
@@ -1784,8 +1838,18 @@ def bigram_logprob(docs, id_col: str = "doc_id", text_col: str = "text"):
                 }
             )
         keys = np.char.add(np.char.add(w1.astype(str), " "), w2.astype(str))
-        c_ab = bi_c[np.searchsorted(bi_k, keys)]  # trained on this corpus:
-        c_a = u_c[np.searchsorted(u_t, w1)]       # every pair is in-model
+        # unbounded mode: trained on this corpus, every pair/term hits;
+        # bounded mode: miss defaults c_ab=0 (add-1 smooths it), c_a=1
+        if bi_k.size:
+            bpos = np.clip(np.searchsorted(bi_k, keys), 0, bi_k.size - 1)
+            c_ab = np.where(bi_k[bpos] == keys, bi_c[bpos], 0.0)
+        else:
+            c_ab = np.zeros(len(keys))
+        if u_t.size:
+            upos = np.clip(np.searchsorted(u_t, w1), 0, u_t.size - 1)
+            c_a = np.where(u_t[upos] == w1, u_c[upos], 1.0)
+        else:
+            c_a = np.ones(len(w1))
         lp = np.log((c_ab + 1.0) / (c_a + v))
         uids, dinv = np.unique(tid, return_inverse=True)
         n_tr = np.bincount(dinv)
