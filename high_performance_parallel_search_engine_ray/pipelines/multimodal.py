@@ -1,11 +1,15 @@
 """Multimodal column plumbing (image/audio/video as opaque binary).
 
-The decode step is STUBBED (no image/audio libraries in this container, per
-the build contract): ``MediaFeatureStage(decode=True)`` raises
-NotImplementedError at the exact point a real decoder (PIL/torchaudio/
-pyav) would run; everything around it — schema, actor-pool signature, batch
-sizing for large binary payloads, deterministic fake features, output
-layout — is real and tested.
+``decode=True`` is REAL for one uncompressed format per modality —
+24-bit BMP / binary P6 PPM pixels, RIFF PCM16 WAV samples, and
+concatenated-P6 streams as the uncompressed video container — via the
+pure-numpy codecs in ``functions/mediacodec.py`` (the reference analog is
+the CUDA version's pixel kernels, `CUDA-OpenMP Hybrid Version/src/
+cuda_kernels.cu:287-321`). COMPRESSED formats (JPEG/PNG/MP3/MP4) remain the
+contract stub: the stages raise NotImplementedError at the exact seam where
+PIL/torchaudio/pyav would plug in (no codec libraries in this container).
+``decode=False`` (the default; what the oracle-shaped query entries use)
+keeps the deterministic byte-level stand-ins.
 
 Scale notes: binary payloads ride Arrow large_binary; keep batch_size small
 (the stage default is 64) so batch x concurrency fits worker heaps; feature
@@ -16,6 +20,19 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+
+from ..functions.mediacodec import (
+    decode_bmp,
+    decode_ppm,
+    decode_ppm_stream,
+    decode_wav,
+    detect_media_format,
+    encode_bmp,
+    encode_ppm,
+    encode_wav,
+    luminance,
+    resize_nearest,
+)
 
 MEDIA_SCHEMA = pa.schema(
     [
@@ -61,13 +78,96 @@ def attach_fake_media(docs, id_col: str = "doc_id", text_col: str = "text"):
     return docs.map_batches(mk, batch_format="pyarrow")
 
 
+def attach_decodable_media(docs, id_col: str = "doc_id"):
+    """Deterministically derive a media table whose payloads are REAL
+    uncompressed media (the decode=True path's synthetic input): images are
+    gradient BMP or P6 PPM (alternating by id hash), audio is a PCM16 WAV
+    ramp, video is a P6 frame stream. All dimensions are hash-derived and
+    tiny (<= 16 px, <= 512 samples, <= 5 frames) so payload x batch x
+    concurrency stays small; metadata columns reflect the true decoded
+    shape."""
+    from ..functions.hashing import stable_hash64
+
+    def mk(b: pa.Table) -> pa.Table:
+        ids = [str(x) for x in b[id_col].to_pylist()]
+        types, payloads = [], []
+        widths, heights, durs = [], [], []
+        for i in ids:
+            h = stable_hash64(i)
+            mt = ("image", "audio", "video")[h % 3]
+            types.append(mt)
+            if mt == "image":
+                w = 4 + (h >> 3) % 13
+                ht = 4 + (h >> 7) % 13
+                yy, xx = np.mgrid[0:ht, 0:w]
+                px = np.stack(
+                    [
+                        (xx * 255 // max(1, w - 1)).astype(np.uint8),
+                        (yy * 255 // max(1, ht - 1)).astype(np.uint8),
+                        ((xx + yy + h) % 256).astype(np.uint8),
+                    ],
+                    axis=-1,
+                )
+                payloads.append(
+                    encode_bmp(px) if (h >> 11) % 2 == 0 else encode_ppm(px)
+                )
+                widths.append(int(w))
+                heights.append(int(ht))
+                durs.append(-1)
+            elif mt == "audio":
+                n = 64 + (h >> 5) % 449
+                rate = 16_000
+                samples = (
+                    ((np.arange(n, dtype=np.int64) * ((h % 997) + 3)) % 65536)
+                    - 32768
+                ).astype(np.int16)
+                payloads.append(encode_wav(samples, rate))
+                widths.append(-1)
+                heights.append(-1)
+                durs.append(int(max(1, n * 1000 // rate)))
+            else:
+                f = 2 + (h >> 4) % 4
+                frames = []
+                for j in range(f):
+                    yy, xx = np.mgrid[0:6, 0:8]
+                    frames.append(
+                        np.stack(
+                            [
+                                ((xx * 36 + j * 40) % 256).astype(np.uint8),
+                                ((yy * 51 + j * 17) % 256).astype(np.uint8),
+                                np.full((6, 8), (h + j) % 256, np.uint8),
+                            ],
+                            axis=-1,
+                        )
+                    )
+                payloads.append(b"".join(encode_ppm(fr) for fr in frames))
+                widths.append(-1)
+                heights.append(-1)
+                durs.append(int(f * 1000))
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.string()),
+                "media_type": pa.array(types, pa.string()),
+                "payload": pa.array(payloads, pa.large_binary()),
+                "width": pa.array(widths, pa.int32()),
+                "height": pa.array(heights, pa.int32()),
+                "duration_ms": pa.array(durs, pa.int32()),
+            }
+        )
+
+    return docs.map_batches(mk, batch_format="pyarrow")
+
+
 class MediaFeatureStage:
     """Actor-pool feature extractor over binary media payloads.
 
-    decode=False (default): deterministic fake features — 16-bin byte
+    decode=False (default): deterministic byte-level features — 16-bin byte
     histogram (normalized) + size — real plumbing end to end.
-    decode=True: the seam where a real decoder goes; raises
-    NotImplementedError (clearly marked stub per the build contract).
+    decode=True: REAL decode for uncompressed formats (BMP/PPM pixels ->
+    16-bin BT.601-luminance histogram + pixel count; P6-stream video ->
+    luminance histogram over ALL frames; PCM16 WAV -> 16-bin amplitude
+    histogram + sample count). Compressed payloads hit the contract stub
+    (NotImplementedError at the PIL/pyav seam).
     """
 
     FEATURE_DIM = 17
@@ -76,22 +176,47 @@ class MediaFeatureStage:
         self.decode = decode
         self._bins = np.linspace(0, 256, 17)  # built once per actor
 
-    def __call__(self, b: pa.Table) -> pa.Table:
-        if self.decode:
-            raise NotImplementedError(
-                "real media decode requires PIL/pyav/torchaudio, not available "
-                "in this container; run with decode=False for histogram features"
+    def _decoded_values(self, payload: bytes, media_type: str) -> np.ndarray:
+        """Payload -> uint8 value stream in the decoded domain (luminance
+        pixels for images/video frames, 0..255-mapped amplitudes for PCM)."""
+        fmt = detect_media_format(payload)
+        if fmt == "bmp":
+            return luminance(decode_bmp(payload)).ravel()
+        if fmt == "ppm":
+            frames = (
+                decode_ppm_stream(payload)
+                if media_type == "video"
+                else [decode_ppm(payload)[0]]
             )
+            return np.concatenate([luminance(f).ravel() for f in frames])
+        if fmt == "wav":
+            samples, _rate = decode_wav(payload)
+            # int16 -> 0..255 (exact integer bucketing of the amplitude range)
+            return ((samples.astype(np.int32).ravel() + 32768) // 256).astype(
+                np.uint8
+            )
+        raise NotImplementedError(
+            "compressed media decode requires PIL/pyav/torchaudio (not in "
+            "this container); decode=True handles uncompressed BMP/PPM/WAV, "
+            "decode=False computes byte-level features for anything"
+        )
+
+    def __call__(self, b: pa.Table) -> pa.Table:
         feats = []
         sizes = []
-        for payload in b["payload"].to_pylist():
-            arr = np.frombuffer(payload, dtype=np.uint8)
+        for payload, mt in zip(
+            b["payload"].to_pylist(), b["media_type"].to_pylist()
+        ):
+            if self.decode:
+                arr = self._decoded_values(payload, mt)
+            else:
+                arr = np.frombuffer(payload, dtype=np.uint8)
             hist, _ = np.histogram(arr, bins=self._bins)
             total = max(1, arr.size)
             feats.append(
                 np.concatenate([hist / total, [float(arr.size)]]).astype(np.float32).tolist()
             )
-            sizes.append(arr.size)
+            sizes.append(len(payload))
         return pa.table(
             {
                 "media_id": b["media_id"],
@@ -115,9 +240,10 @@ def media_features(docs, concurrency: int = 2, batch_size: int = 64):
 
 
 class MediaResizeStage:
-    """Actor-pool image resize. Same stub contract as MediaFeatureStage:
-    decode=True is the seam where PIL/opencv pixel work goes
-    (NotImplementedError in this container); decode=False performs a
+    """Actor-pool image resize. decode=True performs REAL nearest-neighbor
+    pixel resampling for uncompressed BMP/PPM payloads (decode -> resize ->
+    re-encode in the SAME format); compressed payloads hit the contract stub
+    (NotImplementedError at the PIL/opencv seam). decode=False performs a
     deterministic byte-level stand-in (truncate/cycle the payload to
     target_w*target_h bytes) so the schema, actor signature, batch sizing
     and output layout are real and testable. Non-image rows pass through
@@ -129,12 +255,19 @@ class MediaResizeStage:
         self.decode = decode
         self._target_size = self.tw * self.th  # computed once per actor
 
+    def _resize_real(self, payload: bytes) -> bytes:
+        fmt = detect_media_format(payload)
+        if fmt == "bmp":
+            return encode_bmp(resize_nearest(decode_bmp(payload), self.tw, self.th))
+        if fmt == "ppm":
+            px, _end = decode_ppm(payload)
+            return encode_ppm(resize_nearest(px, self.tw, self.th))
+        raise NotImplementedError(
+            "compressed image resize requires PIL/opencv (not in this "
+            "container); decode=True handles uncompressed BMP/PPM"
+        )
+
     def __call__(self, b: pa.Table) -> pa.Table:
-        if self.decode:
-            raise NotImplementedError(
-                "real image resize requires PIL/opencv, not available in this "
-                "container; run with decode=False for the byte-level stand-in"
-            )
         payloads, widths, heights = [], [], []
         for mt, payload, w, h in zip(
             b["media_type"].to_pylist(), b["payload"].to_pylist(),
@@ -144,6 +277,11 @@ class MediaResizeStage:
                 payloads.append(payload)
                 widths.append(w)
                 heights.append(h)
+                continue
+            if self.decode:
+                payloads.append(self._resize_real(payload))
+                widths.append(self.tw)
+                heights.append(self.th)
                 continue
             arr = np.frombuffer(payload, dtype=np.uint8)
             reps = -(-self._target_size // max(1, arr.size))  # ceil
@@ -167,9 +305,14 @@ class FrameSampleStage:
     """Actor-pool video frame sampler: explodes each video row into
     ceil(duration_ms / interval_ms) frame rows (media_id, frame_idx, ts_ms,
     payload) — the flat_map-shaped stream expansion a video pipeline needs.
-    Frame payloads are deterministic byte slices of the source payload
-    (the decode seam is the same stub contract as the other stages);
-    non-video rows produce no frames."""
+    decode=True performs REAL frame extraction from the uncompressed
+    P6-stream container (consecutive binary PPM images — ffmpeg's
+    image2pipe ppm format): the stream's frames are taken as uniformly
+    spanning duration_ms, the frame nearest below each sample timestamp is
+    selected, and each sampled frame re-encodes as a standalone P6 payload.
+    Compressed containers hit the contract stub (NotImplementedError at the
+    pyav/ffmpeg seam). decode=False emits deterministic byte slices of the
+    source payload. Non-video rows produce no frames."""
 
     def __init__(self, interval_ms: int = 1000, max_frames: int = 32, decode: bool = False):
         self.interval_ms = int(interval_ms)
@@ -177,11 +320,6 @@ class FrameSampleStage:
         self.decode = decode
 
     def __call__(self, b: pa.Table) -> pa.Table:
-        if self.decode:
-            raise NotImplementedError(
-                "real frame extraction requires pyav/ffmpeg, not available in "
-                "this container; run with decode=False for byte-slice frames"
-            )
         out = {"media_id": [], "frame_idx": [], "ts_ms": [], "payload": []}
         for mid, mt, payload, dur in zip(
             b["media_id"].to_pylist(), b["media_type"].to_pylist(),
@@ -190,6 +328,23 @@ class FrameSampleStage:
             if mt != "video" or dur <= 0:
                 continue
             n = min(self.max_frames, -(-dur // self.interval_ms))
+            if self.decode:
+                if detect_media_format(payload) != "ppm":
+                    raise NotImplementedError(
+                        "compressed video demux requires pyav/ffmpeg (not in "
+                        "this container); decode=True handles uncompressed "
+                        "P6-stream payloads"
+                    )
+                frames = decode_ppm_stream(payload)
+                n_src = len(frames)
+                for i in range(n):
+                    ts = i * self.interval_ms
+                    src = min(n_src - 1, (ts * n_src) // max(1, dur))
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(i)
+                    out["ts_ms"].append(ts)
+                    out["payload"].append(encode_ppm(frames[src]))
+                continue
             chunk = max(1, len(payload) // max(1, n))
             for i in range(n):
                 out["media_id"].append(mid)
@@ -336,6 +491,54 @@ def media_frame_samples(docs, interval_ms: int = 1000, max_frames: int = 32,
     return media.map_batches(
         FrameSampleStage,
         fn_constructor_kwargs=dict(interval_ms=interval_ms, max_frames=max_frames),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
+def media_features_decoded(docs, concurrency: int = 2, batch_size: int = 64):
+    """Real-decode feature extraction over synthetic uncompressed payloads
+    (BMP/PPM luminance histograms, WAV amplitude histograms) — the
+    decode=True path end to end."""
+    media = attach_decodable_media(docs)
+    return media.map_batches(
+        MediaFeatureStage,
+        fn_constructor_kwargs=dict(decode=True),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
+def media_resize_decoded(docs, target_w: int = 16, target_h: int = 16,
+                         concurrency: int = 2, batch_size: int = 64):
+    """Real nearest-neighbor pixel resize over synthetic BMP/PPM payloads."""
+    media = attach_decodable_media(docs)
+    return media.map_batches(
+        MediaResizeStage,
+        fn_constructor_kwargs=dict(
+            target_w=target_w, target_h=target_h, decode=True
+        ),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
+def media_frame_samples_decoded(docs, interval_ms: int = 1000,
+                                max_frames: int = 32, concurrency: int = 2,
+                                batch_size: int = 64):
+    """Real frame extraction from synthetic P6-stream video payloads."""
+    media = attach_decodable_media(docs)
+    return media.map_batches(
+        FrameSampleStage,
+        fn_constructor_kwargs=dict(
+            interval_ms=interval_ms, max_frames=max_frames, decode=True
+        ),
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
