@@ -53,11 +53,16 @@ def bm25_topk(
     tokenize pass across queries (multi-query loops, expanded retries).
     Pass ``stats=(n_docs, avgdl)`` to serve from a PERSISTED index
     (``bm25_from_index``): ``docs`` may then be None and ``tf`` may be
-    pre-pruned to the query terms — no corpus pass runs at all."""
+    pre-pruned to the query terms — no corpus pass runs at all.
+
+    Scale note (100 TB): the plain single-query call runs ONE fused
+    tokenize pass and materializes only the query-term slice plus one
+    (token-sum, doc-count) sentinel row per batch — nothing corpus-scale
+    is ever pinned in the object store. Repeated serving should still use
+    a persisted index (``index.write_term_index`` + ``bm25_from_index``),
+    which reads only the query terms' hash buckets per query."""
     import ray
 
-    if tf is None:
-        tf = term_doc_tf(docs, id_col, text_col).materialize()
     id_type = (
         docs.schema().base_schema.field(id_col).type
         if docs is not None
@@ -73,24 +78,68 @@ def bm25_topk(
     def only_query_terms(b: pa.Table) -> pa.Table:
         return b.filter(pc.is_in(b["term"], value_set=qset))
 
-    # tf_q is tiny (query terms only) and consumed twice (df + scoring).
-    # ONE tokenize pass upstream: tf is consumed up to three times
-    # (total_tokens, df, scoring) and each action would otherwise re-run
-    # the whole tokenize pipeline (measured 3-4x redundant work per
-    # query); materialize() pins blocks in the OBJECT STORE, not the
-    # driver.
-    tf_q = tf.map_batches(only_query_terms, batch_format="pyarrow").materialize()
+    if tf is None and stats is None:
+        # Single-query ad-hoc path: ONE tokenize pass. Each batch emits its
+        # query-term tf rows plus one SENTINEL row (term="" — the tokenizer
+        # never emits empty terms) carrying the batch's total kept tokens
+        # (tf field) and input row count (dl field). Only this tiny result
+        # materializes; the full corpus tf table never pins.
+        from .index import tf_dl_batch
 
-    if stats is None:
-        # Global corpus stats: N docs, total kept tokens. Small aggregates.
-        n_docs = docs.count()
-        total_tokens = tf.map_batches(
-            lambda b: pa.table({"s": [pc.sum(b["tf"]).as_py() or 0]}),
+        def fused(b: pa.Table) -> pa.Table:
+            t = tf_dl_batch(b, id_col, text_col)
+            kept = t.filter(pc.is_in(t["term"], value_set=qset))
+            sentinel = pa.table(
+                {
+                    "term": pa.array([""], pa.string()),
+                    "doc_id": pa.array([None], t.schema.field("doc_id").type),
+                    "tf": pa.array(
+                        [pc.sum(t["tf"]).as_py() or 0],
+                        t.schema.field("tf").type,
+                    ),
+                    "dl": pa.array([b.num_rows], t.schema.field("dl").type),
+                }
+            )
+            return pa.concat_tables([kept, sentinel])
+
+        fused_mat = docs.map_batches(fused, batch_format="pyarrow").materialize()
+        meta = fused_mat.map_batches(
+            lambda b: b.filter(pc.equal(b["term"], "")),
             batch_format="pyarrow",
-        ).sum("s")
-        avgdl = (total_tokens or 0) / n_docs
+        )
+        n_docs = meta.sum("dl") or 0
+        total_tokens = meta.sum("tf") or 0
+        if n_docs == 0:
+            return out_schema.empty_table()
+        avgdl = total_tokens / n_docs
+        tf_q = fused_mat.map_batches(
+            lambda b: b.filter(pc.not_equal(b["term"], "")),
+            batch_format="pyarrow",
+        )
     else:
-        n_docs, avgdl = stats
+        if tf is None:
+            tf = term_doc_tf(docs, id_col, text_col).materialize()
+        # tf_q is tiny (query terms only) and consumed twice (df + scoring).
+        # ONE tokenize pass upstream: tf is consumed up to three times
+        # (total_tokens, df, scoring) and each action would otherwise re-run
+        # the whole tokenize pipeline (measured 3-4x redundant work per
+        # query); materialize() pins blocks in the OBJECT STORE, not the
+        # driver.
+        tf_q = tf.map_batches(
+            only_query_terms, batch_format="pyarrow"
+        ).materialize()
+
+        if stats is None:
+            # Global corpus stats: N docs, total kept tokens. Small
+            # aggregates over the shared materialized tf.
+            n_docs = docs.count()
+            total_tokens = tf.map_batches(
+                lambda b: pa.table({"s": [pc.sum(b["tf"]).as_py() or 0]}),
+                batch_format="pyarrow",
+            ).sum("s")
+            avgdl = (total_tokens or 0) / n_docs
+        else:
+            n_docs, avgdl = stats
 
     from ray.data.aggregate import Count
 
