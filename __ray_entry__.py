@@ -201,6 +201,45 @@ def _incremental_dedup(sf_dir: str):
     return dedup.dedup_against_store(odd, store, est_threshold=0.5)
 
 
+def _hooked_doc_stats(sf_dir: str):
+    """Registered-callback seam fixture: two document hooks (one vectorized
+    batch_fn, one emitting a named column) compiled into one map_batches
+    pass — the engine's analog of the reference's ProcessorCallback surface
+    (`MPI Version/src/parallel_processor.c:50-142`)."""
+    import pandas as pd
+
+    from high_performance_parallel_search_engine_ray.pipelines import hooks as hk
+
+    reg = hk.HookRegistry()
+
+    def _textlen(ids, texts):
+        s = pd.Series(texts, dtype="object").astype(str)
+        return {"value": s.str.len().to_numpy(np.int64)}
+
+    def _caps(ids, texts):
+        s = pd.Series(texts, dtype="object").astype(str)
+        return {"n_upper": s.str.count(r"[A-Z]").to_numpy(np.int64)}
+
+    reg.register_processor("textlen", batch_fn=_textlen)
+    reg.register_processor("caps", batch_fn=_caps)
+    return hk.process_documents(_docs(sf_dir), registry=reg)
+
+
+def _hooked_token_stats(sf_dir: str):
+    """TokenCallback analog: one vectorized + one per-row token hook over
+    the corpus's distinct terms (term, df, term_len, first_char)."""
+    from high_performance_parallel_search_engine_ray.pipelines import hooks as hk
+
+    reg = hk.HookRegistry()
+
+    def _tlen(terms):
+        return {"value": np.char.str_len(terms.astype(str)).astype(np.int64)}
+
+    reg.register_token_hook("term_len", batch_fn=_tlen)
+    reg.register_token_hook("first_char", fn=lambda t: t[:1])
+    return hk.process_tokens(_docs(sf_dir), registry=reg)
+
+
 def _pii_docs(sf_dir: str):
     """Documents with DETERMINISTIC synthetic PII appended to 2/3 of the
     rows (built from doc_id by the identical expression in the oracle SQL)
@@ -1574,6 +1613,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_frame_samples_decoded": lambda sf: (
             multimodal.media_frame_samples_decoded(_docs(sf))
         ),
+        # round 4: registered-callback extension seam (ProcessorCallback /
+        # TokenCallback analog) — user hooks compiled into one
+        # map_batches pass / one term-groupby respectively
+        "hooked_doc_stats": _hooked_doc_stats,
+        "hooked_token_stats": _hooked_token_stats,
     }
 
 
@@ -3823,6 +3867,21 @@ r AS (SELECT *, row_number() OVER (PARTITION BY l_returnflag
       FROM c)
 SELECT l_returnflag, q AS mode_quantity, CAST(n AS BIGINT) AS n
 FROM r WHERE rn = 1
+"""
+    # round 4: registered-callback seam (hooks.process_documents /
+    # process_tokens with the fixture hooks in _hooked_doc_stats /
+    # _hooked_token_stats)
+    sqls["hooked_doc_stats"] = """
+SELECT doc_id, length(text) AS textlen,
+       length(text) - length(regexp_replace(text, '[A-Z]', '', 'g'))
+           AS caps_n_upper
+FROM documents
+"""
+    sqls["hooked_token_stats"] = f"""
+WITH {_TOKS_CTE}
+SELECT term, count(DISTINCT doc_id) AS df, length(term) AS term_len,
+       substr(term, 1, 1) AS first_char
+FROM toks GROUP BY term
 """
     return sqls
 

@@ -56,6 +56,7 @@ def cmd_crawl(args) -> int:
         max_rounds=args.max_rounds,
         max_depth=args.max_depth,
         max_pages_total=args.max_pages,
+        load_strategy=args.load_strategy,
     )
     eng = ShardedCrawl(cfg)
     res = eng.run(resume=args.resume)
@@ -322,6 +323,11 @@ def main(argv=None) -> int:
     pw.add_argument("--max-pages", type=int, default=None)
     pw.add_argument("--resume", action="store_true")
     pw.add_argument("--num-cpus", type=int, default=None)
+    pw.add_argument("--load-strategy", default="",
+                    choices=["", "static", "dynamic", "adaptive"],
+                    help="fetch-pool work distribution (default: "
+                         "$GRAFT_LOAD_STRATEGY / "
+                         "$SEARCH_ENGINE_LOAD_STRATEGY, else static)")
     pw.set_defaults(fn=cmd_crawl)
 
     ps = sub.add_parser("search", help="BM25 search over a docs table or crawl output")

@@ -173,6 +173,34 @@ class CrawlConfig:
     # checkpoint is ~100 GB of shard snapshots PER ROUND — a week-long
     # crawl without GC leaks petabytes of dead snapshots.
     keep_checkpoints: int | None = 2
+    # Work-distribution strategy for routing a round's released URLs to the
+    # fetch pool — the user knob mirroring the reference's selectable
+    # SEARCH_ENGINE_LOAD_STRATEGY policies (`MPI Version/src/
+    # load_balancer.c:17-30`). "" = read $GRAFT_LOAD_STRATEGY (alias
+    # $SEARCH_ENGINE_LOAD_STRATEGY), defaulting to "static".
+    #  static   — hash-bucket ownership (url_hash % buckets % fetchers):
+    #             deterministic, host-affine (a host's pages hit the same
+    #             fetcher's page/robots cache). The analog of the
+    #             reference's size-balanced contiguous split.
+    #  dynamic  — master-worker work units: the round's URLs (in discovery
+    #             order) are cut into chunks of ``dynamic_unit_urls`` and
+    #             each chunk goes to the least-loaded fetcher so far — the
+    #             reference's work_unit_size=5 pull loop
+    #             (`load_balancer.c:95-142`) expressed as greedy driver-side
+    #             assignment (O(round) numpy, no extra RPCs).
+    #  adaptive — per-fetcher speed weights: each fetcher reports
+    #             (busy_s, n_fetched) once per round (FetchParse.load_report)
+    #             and the next round's contiguous discovery-order split is
+    #             sized proportional to an EMA of observed URLs/sec — the
+    #             "initial static then rebalance by load metrics" design the
+    #             reference's adaptive mode sketches.
+    # All three produce IDENTICAL crawls (assignment only moves compute;
+    # ordering and admission are assignment-independent — tested in
+    # test_load_strategies_equal): the knob exists for heterogeneous
+    # clusters where host-affinity (static) vs straggler-resistance
+    # (dynamic/adaptive) is a real trade.
+    load_strategy: str = ""
+    dynamic_unit_urls: int = 64
 
 
 def prune_checkpoints(out_dir: str, keep: int = 2) -> list[str]:
@@ -258,6 +286,89 @@ class ShardedCrawl:
         self.metrics_rows: list[dict] = []
         self._actors: list = []
         self._fetchers: list = []
+        self.load_strategy = (
+            cfg.load_strategy
+            or os.environ.get("GRAFT_LOAD_STRATEGY")
+            or os.environ.get("SEARCH_ENGINE_LOAD_STRATEGY")
+            or "static"
+        )
+        if self.load_strategy not in ("static", "dynamic", "adaptive"):
+            raise ValueError(
+                f"unknown load_strategy {self.load_strategy!r} "
+                "(expected static|dynamic|adaptive)"
+            )
+        # adaptive state: EMA of each fetcher's URLs/sec and the last-round
+        # cumulative (busy_s, n) baselines the per-round deltas subtract from
+        self._speed_ema: "np.ndarray | None" = None
+        self._load_base: list[tuple[float, int]] | None = None
+
+    def _assign_fetchers(self, frontier_all: pa.Table, nf: int):
+        """url index -> fetcher id per the configured load strategy (see
+        CrawlConfig.load_strategy). Returns an int64 numpy array. Assignment
+        only moves COMPUTE — admission order, politeness, dedup and the doc
+        set are assignment-independent, so all strategies crawl identically."""
+        import numpy as np
+
+        from ..sources.corpus import N_BUCKETS
+
+        n = frontier_all.num_rows
+        if self.load_strategy == "static" or nf == 1:
+            return (
+                frontier_all["url_hash"].to_numpy().astype(np.uint64)
+                % np.uint64(N_BUCKETS)
+            ).astype(np.int64) % nf
+        # both non-static strategies work over discovery order so a
+        # fetcher's slice is contiguous in seq (cache-friendlier than
+        # arbitrary scatter and deterministic for tests)
+        seq_order = np.argsort(
+            frontier_all["discovered_seq"].to_numpy(), kind="stable"
+        )
+        out = np.empty(n, dtype=np.int64)
+        if self.load_strategy == "dynamic":
+            unit = max(1, int(self.cfg.dynamic_unit_urls))
+            load = np.zeros(nf, dtype=np.int64)
+            for start in range(0, n, unit):
+                f = int(np.argmin(load))
+                chunk = seq_order[start : start + unit]
+                out[chunk] = f
+                load[f] += len(chunk)
+            return out
+        # adaptive: contiguous split sized by the speed EMA (uniform until
+        # the first round of telemetry exists)
+        w = (
+            self._speed_ema
+            if self._speed_ema is not None
+            else np.ones(nf, dtype=np.float64)
+        )
+        shares = np.maximum(w, 1e-9)
+        cuts = np.floor(np.cumsum(shares / shares.sum()) * n).astype(np.int64)
+        bounds = np.concatenate(([0], cuts))
+        bounds[-1] = n
+        for f in range(nf):
+            out[seq_order[bounds[f] : bounds[f + 1]]] = f
+        return out
+
+    def _update_speed_ema(self):
+        """Poll each fetcher's cumulative (busy_s, n_fetched), convert the
+        per-round delta to URLs/sec, fold into the EMA (alpha=0.5). Only
+        called when load_strategy == 'adaptive' — one tiny RPC per fetcher
+        per round."""
+        import numpy as np
+
+        reports = ray.get([f.load_report.remote() for f in self._fetchers])
+        if self._load_base is None:
+            self._load_base = reports
+            return
+        speeds = np.ones(len(reports), dtype=np.float64)
+        for i, ((b1, n1), (b0, n0)) in enumerate(zip(reports, self._load_base)):
+            db, dn = b1 - b0, n1 - n0
+            if db > 1e-6 and dn > 0:
+                speeds[i] = dn / db
+        self._load_base = reports
+        if self._speed_ema is None:
+            self._speed_ema = speeds
+        else:
+            self._speed_ema = 0.5 * self._speed_ema + 0.5 * speeds
 
     # -- lifecycle ---------------------------------------------------------
     def _spawn_actors(self):
@@ -401,19 +512,15 @@ class ShardedCrawl:
                 shutil.rmtree(docs_dir)  # partial round from a crash: redo
 
             t_rel = time.perf_counter() - t_r0
-            # Route frontier rows to their bucket-owning fetcher (frontier
-            # tables are small — bounded by the politeness window — so this
-            # driver-side routing is O(round size) numpy work).
+            # Route frontier rows to fetchers per the configured load
+            # strategy (frontier tables are small — bounded by the
+            # politeness window — so this driver-side routing is
+            # O(round size) numpy work).
             import numpy as np
-
-            from ..sources.corpus import N_BUCKETS
 
             frontier_all = pa.concat_tables(tables)
             nf = len(self._fetchers)
-            fetcher_of = (
-                frontier_all["url_hash"].to_numpy().astype(np.uint64)
-                % np.uint64(N_BUCKETS)
-            ).astype(np.int64) % nf
+            fetcher_of = self._assign_fetchers(frontier_all, nf)
             # Each fetcher call returns fetch_slice_groups contiguous
             # shard-range slices as SEPARATE object-store entries
             # (num_returns), so admission is a partitioned exchange: shard s
@@ -511,6 +618,8 @@ class ShardedCrawl:
                 "wall_s": round(time.perf_counter() - t0, 3),
             }
             self.metrics_rows.append(row)
+            if self.load_strategy == "adaptive":
+                self._update_speed_ema()
             t_c0 = time.perf_counter()
             if cfg.checkpoint and (self.round % cfg.checkpoint_interval == 0):
                 self._checkpoint()

@@ -88,6 +88,63 @@ class EngineHandle:
         }
 
 
+# Single-file dashboard front-end (reference analog: the static `WebSite/`
+# HTML/JS console). Original markup, inline CSS/JS, zero external assets —
+# the sandbox has no network and the control plane should not grow static
+# file serving. It drives the same four API routes the JSON clients use.
+DASHBOARD_HTML = """<!doctype html>
+<html lang="en"><head><meta charset="utf-8">
+<title>search engine console</title>
+<style>
+ body{font-family:system-ui,sans-serif;margin:2rem auto;max-width:52rem;
+      color:#222}
+ h1{font-size:1.3rem} h2{font-size:1rem;margin-top:1.5rem}
+ input,select,button{font-size:1rem;padding:.3rem .5rem;margin-right:.4rem}
+ #q{width:22rem}
+ table{border-collapse:collapse;margin-top:.6rem;width:100%}
+ td,th{border:1px solid #ccc;padding:.25rem .5rem;text-align:left;
+       font-size:.9rem}
+ #status,#metrics{white-space:pre-wrap;font-family:monospace;font-size:.85rem;
+      background:#f6f6f6;padding:.6rem;border-radius:4px}
+ .err{color:#a00}
+</style></head><body>
+<h1>search engine console</h1>
+<form id="f">
+ <input id="q" placeholder="query terms" autofocus>
+ <select id="v"><option>bm25</option><option>bm25_expanded</option>
+  <option>pattern</option></select>
+ <input id="k" type="number" value="10" min="1" max="100" style="width:4rem">
+ <button>search</button>
+</form>
+<div id="out"></div>
+<h2>engine status</h2><div id="status">loading…</div>
+<h2>query metrics</h2><div id="metrics">–</div>
+<script>
+const $=id=>document.getElementById(id);
+async function j(url,opts){const r=await fetch(url,opts);return r.json();}
+async function refresh(){
+  $("status").textContent=JSON.stringify(await j("/api/status"),null,1);
+  $("metrics").textContent=JSON.stringify(await j("/api/metrics"),null,1);
+}
+$("f").addEventListener("submit",async e=>{
+  e.preventDefault();
+  const body=JSON.stringify({query:$("q").value,version:$("v").value,
+                             k:+$("k").value});
+  const res=await j("/api/search",{method:"POST",body});
+  if(res.status!=="ok"){
+    $("out").innerHTML='<p class="err">'+res.error+"</p>";return;}
+  const rows=res.results.map(r=>{
+    const id=r.doc_id??r.url??"?";
+    const sc=r.score??r.n_matches??"";
+    return "<tr><td>"+id+"</td><td>"+sc+"</td></tr>";}).join("");
+  $("out").innerHTML="<table><tr><th>doc</th><th>score</th></tr>"+rows+
+    "</table><p>"+res.execution_time_ms+" ms · "+res.version+"</p>";
+  refresh();
+});
+refresh();
+</script></body></html>"""
+
+
 class _Handler(BaseHTTPRequestHandler):
     engine: EngineHandle  # set by make_server
 
@@ -108,9 +165,19 @@ class _Handler(BaseHTTPRequestHandler):
             return {}
         return json.loads(self.rfile.read(n).decode("utf-8"))
 
+    def _reply_html(self, code: int, html: str) -> None:
+        body = html.encode("utf-8")
+        self.send_response(code)
+        self.send_header("Content-Type", "text/html; charset=utf-8")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
     def do_GET(self):  # noqa: N802 — http.server API
         try:
-            if self.path == "/api/status":
+            if self.path in ("/", "/index.html"):
+                self._reply_html(200, DASHBOARD_HTML)
+            elif self.path == "/api/status":
                 self._reply(200, {"status": "ok", **self.engine.status()})
             elif self.path == "/api/metrics":
                 self._reply(

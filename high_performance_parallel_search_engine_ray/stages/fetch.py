@@ -132,6 +132,17 @@ class FetchParse:
         # URL is deterministic, so any later duplicate would be dropped at
         # the frontier anyway — suppressing it here just cuts shuffle volume.
         self._emitted: set[int] = set()
+        # cumulative busy-time telemetry for the adaptive load strategy
+        # (pipelines/crawl.ShardedCrawl._assign_fetchers): polled once per
+        # round, O(1) state, no hot-path cost beyond two perf_counter calls
+        self._busy_s = 0.0
+        self._n_fetched = 0
+
+    def load_report(self) -> tuple[float, int]:
+        """(cumulative busy seconds, cumulative URLs fetched) — the adaptive
+        strategy's per-worker speed signal (the Ray analog of the reference's
+        per-process load metrics, `MPI Version/src/load_balancer.c:15`)."""
+        return self._busy_s, self._n_fetched
 
     def reset_emitted(self) -> None:
         """New crawl adopting this (cache-warm) fetcher: clear the
@@ -173,6 +184,9 @@ class FetchParse:
         ]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import time as _time
+
+        _t0 = _time.perf_counter()
         urls = batch["url"].to_pylist()
         depths = batch["depth"].to_pylist()
         seqs = batch["discovered_seq"].to_pylist()
@@ -282,6 +296,8 @@ class FetchParse:
 
         if doc_rows["doc_id"]:
             self._write_docs(doc_rows)
+        self._busy_s += _time.perf_counter() - _t0
+        self._n_fetched += len(urls)
         return pa.table({f.name: pa.array(out[f.name], f.type) for f in LINKS_SCHEMA})
 
     def _write_docs(self, doc_rows: dict) -> None:

@@ -289,3 +289,32 @@ def test_checkpoint_gc_keeps_resume_working(ray_session, smoke_corpus):
     assert seen == seen_ref
     assert docs == docs_ref
     assert res["pages_crawled"] == ref["pages_crawled"]
+
+
+def test_load_strategies_equal(ray_session, smoke_corpus):
+    """All three work-distribution strategies (CrawlConfig.load_strategy —
+    the analog of the reference's selectable SEARCH_ENGINE_LOAD_STRATEGY,
+    `MPI Version/src/load_balancer.c:17-30`) must produce IDENTICAL crawls:
+    assignment only moves compute between fetchers; ordering, politeness,
+    dedup and the doc set are assignment-independent."""
+    r_s, seen_s, docs_s = _run(smoke_corpus, "/tmp/t_ls_static",
+                               load_strategy="static")
+    r_d, seen_d, docs_d = _run(smoke_corpus, "/tmp/t_ls_dyn",
+                               load_strategy="dynamic", dynamic_unit_urls=3)
+    r_a, seen_a, docs_a = _run(smoke_corpus, "/tmp/t_ls_adapt",
+                               load_strategy="adaptive")
+    assert seen_d == seen_s and docs_d == docs_s
+    assert seen_a == seen_s and docs_a == docs_s
+    assert r_d["pages_crawled"] == r_s["pages_crawled"]
+    assert r_a["pages_crawled"] == r_s["pages_crawled"]
+
+
+def test_load_strategy_env_alias(ray_session, smoke_corpus, monkeypatch):
+    """The reference's env var name selects the strategy when the config
+    field is left empty; bad values fail fast."""
+    monkeypatch.setenv("SEARCH_ENGINE_LOAD_STRATEGY", "dynamic")
+    eng = ShardedCrawl(_cfg(smoke_corpus, "/tmp/t_ls_env"))
+    assert eng.load_strategy == "dynamic"
+    monkeypatch.setenv("SEARCH_ENGINE_LOAD_STRATEGY", "bogus")
+    with pytest.raises(ValueError):
+        ShardedCrawl(_cfg(smoke_corpus, "/tmp/t_ls_env2"))

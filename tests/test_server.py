@@ -104,3 +104,18 @@ def test_error_envelope(server):
     with pytest.raises(urllib.error.HTTPError) as e:
         _get(f"{base}/api/nope")
     assert e.value.code == 404
+
+
+def test_dashboard_page(server):
+    """GET / serves the single-file dashboard (the `WebSite/` front-end
+    analog): HTML wired to the same four API routes."""
+    base, _ = server
+    with urllib.request.urlopen(f"{base}/", timeout=60) as r:
+        assert r.status == 200
+        assert r.headers["Content-Type"].startswith("text/html")
+        html = r.read().decode()
+    assert "search engine console" in html
+    for route in ("/api/status", "/api/search", "/api/metrics"):
+        assert route in html
+    with urllib.request.urlopen(f"{base}/index.html", timeout=60) as r:
+        assert r.status == 200
