@@ -30,8 +30,11 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 # Per-query timings are a ~5 KB blob that overflowed the driver's stdout
 # tail buffer in round 3 (BENCH_r03.json "parsed": null). They now go to
 # this side artifact; the one stdout JSON line stays under ~2 KB.
-QUERY_ARTIFACT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                              "BENCH", "bench_r4_queries.json")
+QUERY_ARTIFACT = os.environ.get(
+    "GRAFT_QUERY_ARTIFACT",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                 "BENCH", "bench_r4_queries.json"),
+)
 # Flagship subset kept inline in the stdout line (format contract: the
 # driver expects a "queries" dict; the FULL suite lives in QUERY_ARTIFACT).
 HEADLINE_QUERIES = [

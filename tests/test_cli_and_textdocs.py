@@ -224,6 +224,9 @@ def test_bench_fault_isolation_still_emits_json():
         GRAFT_SF_DIR="/root/testdata/sf0.001",
         RAY_GRAFT_CPUS="4",
         GRAFT_BENCH_SKIP_CRAWL="1",
+        # scratch artifact: the test must not clobber the real bench's
+        # per-query side file under BENCH/
+        GRAFT_QUERY_ARTIFACT="/tmp/bench_fault_isolation_queries.json",
     )
     code = (
         "import runpy, sys, bench\n"
@@ -241,7 +244,14 @@ def test_bench_fault_isolation_still_emits_json():
         check=True, cwd="/root/repo", env=env, timeout=400,
     )
     d = json.loads(r.stdout.strip().splitlines()[-1])
+    # stdout line carries HEADLINE timings + error COUNT (kept small for
+    # the driver's tail buffer); the full per-query map with the ERROR
+    # string lives in the side artifact (round-3 verdict item 1)
     assert isinstance(d["queries"]["pricing_summary"], float)
-    assert str(d["queries"]["__injected_failure__"]).startswith("ERROR:")
-    assert "__injected_failure__" in d.get("errors", {})
+    assert d["n_errors"] == 1
+    assert d["n_queries"] == 2
     assert d["value"] > 0
+    with open(os.path.join("/root/repo", d["queries_detail"])) as f:
+        detail = json.load(f)
+    assert str(detail["queries"]["__injected_failure__"]).startswith("ERROR:")
+    assert "__injected_failure__" in detail["errors"]

@@ -215,6 +215,9 @@ def test_registry_ordering_contract():
         "customer_supplier_nations", "top_events_per_user",
         "events_sliding", "events_asof_signup", "brand_median_price",
         "orders_above_cust_avg", "events_nearby_counts",
+        # round-4 appends (registry stays frozen — new keys land past the
+        # horizon; the sweep covers them at sf0.01)
+        "hooked_doc_stats", "hooked_token_stats",
     }
     assert set(entry_mod.oracle_sql()) - overflow_ok <= first50
     for critical in (
