@@ -1618,6 +1618,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # map_batches pass / one term-groupby respectively
         "hooked_doc_stats": _hooked_doc_stats,
         "hooked_token_stats": _hooked_token_stats,
+        # round 4: exact-substring duplicate marking (Lee-et-al-style span
+        # dedup): every occurrence of an 8-token shingle appearing in >= 2
+        # distinct docs, via one hash-partitioned gram exchange
+        "repeated_ngram_spans": lambda sf: dedup.repeated_ngram_spans(
+            _docs(sf), k=8, min_docs=2
+        ),
+        # round 4: ...and the cut that applies those marks — remove every
+        # token covered by a duplicated shingle window, rebuild the text
+        "cut_repeated_spans": lambda sf: dedup.cut_repeated_spans(
+            _docs(sf), k=8, min_docs=2
+        ),
     }
 
 
@@ -3882,6 +3893,42 @@ WITH {_TOKS_CTE}
 SELECT term, count(DISTINCT doc_id) AS df, length(term) AS term_len,
        substr(term, 1, 1) AS first_char
 FROM toks GROUP BY term
+"""
+    # round 4: exact-substring duplicate marking — 8-token whitespace
+    # shingles (the phrase_search token stream) occurring in >= 2 docs
+    sqls["repeated_ngram_spans"] = r"""
+WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS arr
+           FROM documents),
+i AS (SELECT doc_id, unnest(range(1, greatest(len(arr) - 6, 1))) AS i, arr
+      FROM t),
+u AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+             array_to_string(arr[i:i+7], ' ') AS gram FROM i),
+d AS (SELECT gram FROM u GROUP BY gram HAVING count(DISTINCT doc_id) >= 2)
+SELECT u.doc_id, u.pos, u.gram FROM u JOIN d USING (gram)
+"""
+    # round 4: the span CUT — drop tokens covered by any duplicated
+    # 8-shingle window, rebuild text (lowercased, single-space-joined)
+    sqls["cut_repeated_spans"] = r"""
+WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS arr
+           FROM documents),
+i AS (SELECT doc_id, unnest(range(1, greatest(len(arr) - 6, 1))) AS i, arr
+      FROM t),
+u AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+             array_to_string(arr[i:i+7], ' ') AS gram FROM i),
+d AS (SELECT gram FROM u GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+m AS (SELECT DISTINCT u.doc_id, u.pos FROM u JOIN d USING (gram)),
+tok AS (SELECT doc_id, unnest(arr) AS term,
+               unnest(range(0, len(arr))) AS tpos FROM t),
+cov AS (SELECT DISTINCT tok.doc_id, tok.tpos
+        FROM tok JOIN m ON tok.doc_id = m.doc_id
+              AND tok.tpos BETWEEN m.pos AND m.pos + 7)
+SELECT tok.doc_id,
+       coalesce(string_agg(CASE WHEN cov.tpos IS NULL THEN tok.term END,
+                           ' ' ORDER BY tok.tpos), '') AS clean_text,
+       CAST(count(cov.tpos) AS BIGINT) AS n_tokens_cut
+FROM tok LEFT JOIN cov
+  ON tok.doc_id = cov.doc_id AND tok.tpos = cov.tpos
+GROUP BY tok.doc_id
 """
     return sqls
 

@@ -2289,3 +2289,223 @@ def corpus_diff(
         )
 
     return both.groupby("part").map_groups(classify, batch_format="pandas")
+
+
+def repeated_ngram_spans(
+    docs,
+    k: int = 8,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """(doc_id, pos, gram): every occurrence of a k-token shingle that
+    appears in >= ``min_docs`` DISTINCT documents — exact-substring
+    duplicate MARKING, the span-level pass train-data curation runs after
+    document-level dedup (boilerplate, licenses, templated passages repeat
+    across pages that are NOT near-dups as whole documents). Downstream
+    either cuts the marked spans or drops docs whose marked fraction is
+    high. Tokens are lowercased whitespace runs (the phrase_search /
+    positional_postings stream), pos is the shingle's 0-based first-token
+    position.
+
+    Shape: block-local vectorized shingle build (k-1 chained np.char.add
+    joins over the exploded token stream; cross-doc windows masked), then
+    ONE hash-partitioned (gram) exchange; each partition counts distinct
+    docs per gram and keeps survivors co-located — no broadcast, no
+    driver-side pulls. Scale note (100 TB): the exchange here carries the
+    gram TEXT because the contract output includes it; a cut-only pipeline
+    should carry stable_hash64(gram) through the shuffle instead (8 B/row
+    vs ~k words/row) and re-derive text from (doc_id, pos) when cutting —
+    same topology, documented for the real-cluster setting."""
+    N_PARTS = 64
+
+    def explode_grams(b: pa.Table) -> pa.Table:
+        txt = pc.utf8_lower(pc.fill_null(b[text_col], ""))
+        toks = pc.split_pattern_regex(txt, r"\s+")
+        la = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+        counts = np.asarray(
+            pc.fill_null(pc.list_value_length(la), 0).to_numpy(
+                zero_copy_only=False
+            ),
+            dtype=np.int64,
+        )
+        flat = np.asarray(
+            la.flatten().to_numpy(zero_copy_only=False), dtype=object
+        )
+        out_schema = pa.schema(
+            [
+                ("gram", pa.string()),
+                (id_col, pa.int64()),
+                ("pos", pa.int64()),
+                ("part", pa.int32()),
+            ]
+        )
+        # drop empty tokens (split of "" yields [""]); renumber per doc
+        parent = np.repeat(np.arange(len(counts)), counts)
+        keep = flat != ""
+        flat, parent = flat[keep], parent[keep]
+        if len(flat) < k:
+            return out_schema.empty_table()
+        n_docs_b = len(counts)
+        kept_counts = np.bincount(parent, minlength=n_docs_b)
+        starts = np.cumsum(kept_counts) - kept_counts
+        pos = np.arange(len(flat)) - starts[parent]
+        # k-gram at j spans [j, j+k-1]; valid iff same doc at both ends
+        n = len(flat) - k + 1
+        valid = parent[:n] == parent[k - 1 :]
+        gram = flat[:n].astype(str)
+        for off in range(1, k):
+            gram = np.char.add(
+                np.char.add(gram, " "), flat[off : off + n].astype(str)
+            )
+        gram = gram[valid]
+        ids = (
+            b[id_col]
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)[parent[:n][valid]]
+        )
+        gpos = pos[:n][valid]
+        part = (
+            pd.util.hash_array(gram.astype(object), categorize=False) % N_PARTS
+        ).astype(np.int32)
+        return pa.table(
+            {
+                "gram": pa.array(gram, pa.string()),
+                id_col: pa.array(ids),
+                "pos": pa.array(gpos.astype(np.int64)),
+                "part": pa.array(part),
+            }
+        )
+
+    def survivors(g: pd.DataFrame) -> pd.DataFrame:
+        nd = g.groupby("gram")[id_col].nunique()
+        dup = nd[nd >= min_docs].index
+        out = g[g["gram"].isin(dup)]
+        return out[[id_col, "pos", "gram"]]
+
+    return (
+        docs.map_batches(explode_grams, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(survivors, batch_format="pandas")
+    )
+
+
+def cut_repeated_spans(
+    docs,
+    k: int = 8,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """(doc_id, clean_text, n_tokens_cut): apply the exact-substring dedup —
+    remove every token covered by ANY duplicated k-shingle window (the
+    union of [pos, pos+k-1] over ``repeated_ngram_spans`` marks) and
+    rebuild the text from the surviving tokens. Output text is lowercased
+    and single-space-joined (the marking pass's token stream is the
+    canonical form; byte-level reconstruction would need original offsets,
+    which the whitespace tokenizer deliberately normalizes away). A doc
+    whose every token is covered emits clean_text='' — curation drops or
+    re-gates those rows.
+
+    Topology: the (doc_id, pos) marks from the gram exchange re-shuffle
+    ONCE by hash(doc_id) to co-locate with the doc's exploded tokens; the
+    cover mask is a vectorized +1/-1 diff + prefix-sum per partition (no
+    per-mark loop), and text reassembly is one pandas groupby-join per
+    partition (the per-group-tax rule). Only (doc_id, pos) marks and
+    (doc_id, tpos, term) tokens enter the exchange — never whole texts."""
+    N_PARTS = 64
+
+    spans = repeated_ngram_spans(docs, k, min_docs, id_col, text_col)
+
+    def mark_rows(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        part = (
+            pd.util.hash_array(ids, categorize=False) % N_PARTS
+        ).astype(np.int32)
+        return pa.table(
+            {
+                id_col: pa.array(ids),
+                "tpos": b["pos"],
+                "term": pa.nulls(len(b), pa.string()),
+                "kind": pa.array(np.ones(len(b), np.int8)),
+                "part": pa.array(part),
+            }
+        )
+
+    def token_rows(b: pa.Table) -> pa.Table:
+        txt = pc.utf8_lower(pc.fill_null(b[text_col], ""))
+        toks = pc.split_pattern_regex(txt, r"\s+")
+        la = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+        counts = np.asarray(
+            pc.fill_null(pc.list_value_length(la), 0).to_numpy(
+                zero_copy_only=False
+            ),
+            dtype=np.int64,
+        )
+        flat = np.asarray(
+            la.flatten().to_numpy(zero_copy_only=False), dtype=object
+        )
+        parent = np.repeat(np.arange(len(counts)), counts)
+        keep = flat != ""
+        flat, parent = flat[keep], parent[keep]
+        kept_counts = np.bincount(parent, minlength=len(counts))
+        starts = np.cumsum(kept_counts) - kept_counts
+        pos = np.arange(len(flat)) - starts[parent]
+        ids = (
+            b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)[parent]
+        )
+        part = (
+            pd.util.hash_array(ids, categorize=False) % N_PARTS
+        ).astype(np.int32)
+        return pa.table(
+            {
+                id_col: pa.array(ids),
+                "tpos": pa.array(pos.astype(np.int64)),
+                "term": pa.array(flat, pa.string()),
+                "kind": pa.array(np.zeros(len(flat), np.int8)),
+                "part": pa.array(part),
+            }
+        )
+
+    both = docs.map_batches(token_rows, batch_format="pyarrow").union(
+        spans.map_batches(mark_rows, batch_format="pyarrow")
+    )
+
+    def rebuild(g: pd.DataFrame) -> pd.DataFrame:
+        toks = g[g["kind"] == 0]
+        marks = g[g["kind"] == 1]
+        # per-doc token counts -> contiguous global offsets so the cover
+        # diff/prefix-sum runs vectorized across every doc in the partition
+        n_per_doc = toks.groupby(id_col)["tpos"].max().add(1)
+        docs_idx = {d: i for i, d in enumerate(n_per_doc.index)}
+        bases = np.concatenate(([0], np.cumsum(n_per_doc.to_numpy())))
+        total = int(bases[-1])
+        diff = np.zeros(total + 1, np.int64)
+        if len(marks):
+            m_doc = marks[id_col].map(docs_idx).to_numpy()
+            valid = ~pd.isna(m_doc)
+            m_doc = m_doc[valid].astype(np.int64)
+            m_pos = marks["tpos"].to_numpy()[valid]
+            starts_g = bases[m_doc] + m_pos
+            ends_g = np.minimum(m_pos + k, n_per_doc.to_numpy()[m_doc]) + bases[m_doc]
+            np.add.at(diff, starts_g, 1)
+            np.add.at(diff, ends_g, -1)
+        covered = np.cumsum(diff[:-1]) > 0
+        t_doc = toks[id_col].map(docs_idx).to_numpy().astype(np.int64)
+        t_glob = bases[t_doc] + toks["tpos"].to_numpy()
+        keep_mask = ~covered[t_glob]
+        kept = toks[keep_mask].sort_values([id_col, "tpos"], kind="stable")
+        joined = kept.groupby(id_col)["term"].agg(" ".join)
+        out = pd.DataFrame({id_col: n_per_doc.index.to_numpy()})
+        out["clean_text"] = out[id_col].map(joined).fillna("")
+        n_cut = (
+            toks[~keep_mask].groupby(id_col)["tpos"].count()
+            if (~keep_mask).any()
+            else pd.Series(dtype="int64")
+        )
+        out["n_tokens_cut"] = (
+            out[id_col].map(n_cut).fillna(0).astype(np.int64)
+        )
+        return out
+
+    return both.groupby("part").map_groups(rebuild, batch_format="pandas")

@@ -5568,3 +5568,74 @@ def test_live_postings_mask_null_gen():
     # doc 1 gen-null (0) < before 3 -> dead; doc 1 gen 5 >= 3 -> alive;
     # doc 2 gen-null (0) < before 1 -> dead; doc 3 untombstoned -> alive
     assert list(mask) == [False, True, False, True]
+
+
+def test_repeated_ngram_spans_planted(ray_session):
+    """Exact-substring marking: a shared 8-token passage is marked in BOTH
+    docs at the right positions; a shingle repeated only WITHIN one doc
+    stays unmarked (min_docs=2 counts distinct docs)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from high_performance_parallel_search_engine_ray.pipelines import dedup
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], pa.int64()),
+                "text": pa.array(
+                    [
+                        "x " + shared + " y",           # shared at pos 1
+                        shared + " tail words here",    # shared at pos 0
+                        # 8-gram repeated twice INSIDE one doc only
+                        "p q r s t u v w p q r s t u v w",
+                    ],
+                    pa.string(),
+                ),
+            }
+        )
+    )
+    got = dedup.repeated_ngram_spans(docs, k=8, min_docs=2).to_pandas()
+    marked = {(r.doc_id, r.pos) for r in got.itertuples()}
+    assert (1, 1) in marked and (2, 0) in marked
+    assert all(d != 3 for d, _ in marked)
+    assert set(got[got.doc_id == 1]["gram"]) == {shared}
+
+
+def test_cut_repeated_spans_planted(ray_session):
+    """The cut removes exactly the union of duplicated-shingle windows and
+    counts the removed tokens; single-doc repeats survive."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from high_performance_parallel_search_engine_ray.pipelines import dedup
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], pa.int64()),
+                "text": pa.array(
+                    [
+                        "x " + shared + " y",
+                        shared + " tail words here",
+                        "p q r s t u v w p q r s t u v w",
+                    ],
+                    pa.string(),
+                ),
+            }
+        )
+    )
+    got = (
+        dedup.cut_repeated_spans(docs, k=8, min_docs=2)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert got.loc[1, "clean_text"] == "x y"
+    assert got.loc[1, "n_tokens_cut"] == 8
+    assert got.loc[2, "clean_text"] == "tail words here"
+    assert got.loc[2, "n_tokens_cut"] == 8
+    assert got.loc[3, "n_tokens_cut"] == 0
+    assert got.loc[3, "clean_text"] == "p q r s t u v w p q r s t u v w"

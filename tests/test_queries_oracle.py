@@ -217,7 +217,8 @@ def test_registry_ordering_contract():
         "orders_above_cust_avg", "events_nearby_counts",
         # round-4 appends (registry stays frozen — new keys land past the
         # horizon; the sweep covers them at sf0.01)
-        "hooked_doc_stats", "hooked_token_stats",
+        "hooked_doc_stats", "hooked_token_stats", "repeated_ngram_spans",
+        "cut_repeated_spans",
     }
     assert set(entry_mod.oracle_sql()) - overflow_ok <= first50
     for critical in (
