@@ -182,18 +182,18 @@ class CrawlConfig:
     #             deterministic, host-affine (a host's pages hit the same
     #             fetcher's page/robots cache). The analog of the
     #             reference's size-balanced contiguous split.
-    #  dynamic  — master-worker work units: the round's URLs (in discovery
-    #             order) are cut into chunks of ``dynamic_unit_urls`` and
-    #             each chunk goes to the least-loaded fetcher so far — the
-    #             reference's work_unit_size=5 pull loop
-    #             (`load_balancer.c:95-142`) expressed as greedy driver-side
-    #             assignment (O(round) numpy, no extra RPCs).
-    #  adaptive — per-fetcher speed weights: each fetcher reports
-    #             (busy_s, n_fetched) once per round (FetchParse.load_report)
-    #             and the next round's contiguous discovery-order split is
-    #             sized proportional to an EMA of observed URLs/sec — the
-    #             "initial static then rebalance by load metrics" design the
-    #             reference's adaptive mode sketches.
+    #  dynamic  — affinity-first work stealing toward EQUAL per-fetcher
+    #             counts: URLs start at their static owner; excess moves in
+    #             ``dynamic_unit_urls`` units from the most-overloaded to
+    #             the most-underloaded fetcher — the reference's
+    #             work_unit_size pull loop (`load_balancer.c:95-142`)
+    #             re-expressed so the pull only fires under real imbalance
+    #             (a no-op when hash balance is already even).
+    #  adaptive — same stealing, but target shares are proportional to an
+    #             EMA of each fetcher's observed URLs/sec
+    #             (FetchParse.load_report, one tiny RPC per fetcher per
+    #             round) — the "initial static then rebalance by load
+    #             metrics" design the reference's adaptive mode sketches.
     # All three produce IDENTICAL crawls (assignment only moves compute;
     # ordering and admission are assignment-independent — tested in
     # test_load_strategies_equal): the knob exists for heterogeneous
@@ -201,6 +201,11 @@ class CrawlConfig:
     # (dynamic/adaptive) is a real trade.
     load_strategy: str = ""
     dynamic_unit_urls: int = 64
+    # Per-fetcher page-store bucket-cache cap. None = auto: unbounded under
+    # static (bucket-affine) routing, 2x the affine working set under
+    # dynamic/adaptive (non-affine routing with an unbounded cache costs
+    # n_fetchers x corpus RAM — measured OOM at bench scale).
+    fetcher_cache_buckets: int | None = None
 
 
 def prune_checkpoints(out_dir: str, keep: int = 2) -> list[str]:
@@ -317,35 +322,85 @@ class ShardedCrawl:
                 frontier_all["url_hash"].to_numpy().astype(np.uint64)
                 % np.uint64(N_BUCKETS)
             ).astype(np.int64) % nf
-        # both non-static strategies work over discovery order so a
-        # fetcher's slice is contiguous in seq (cache-friendlier than
-        # arbitrary scatter and deterministic for tests)
-        seq_order = np.argsort(
-            frontier_all["discovered_seq"].to_numpy(), kind="stable"
-        )
-        out = np.empty(n, dtype=np.int64)
+        # Both non-static strategies are AFFINITY-FIRST with rebalancing:
+        # every URL starts at its static (bucket-hash) owner — preserving
+        # the per-fetcher page/robots/connection cache exactly like static
+        # — and only EXCESS work moves, in whole bucket-sized units, from
+        # overloaded to underloaded fetchers. (The first cut — fixed-size
+        # seq-ordered work units pulled by the least-loaded fetcher, the
+        # literal reference topology — destroyed bucket affinity: measured
+        # at bench scale, each fetcher re-read ~the whole corpus every
+        # round. Work-stealing over affine ownership keeps the pull
+        # semantics where it matters, under real imbalance, and is a no-op
+        # when hash balance is already even.)
+        static_owner = (
+            frontier_all["url_hash"].to_numpy().astype(np.uint64)
+            % np.uint64(N_BUCKETS)
+        ).astype(np.int64) % nf
+        out = static_owner.copy()
         if self.load_strategy == "dynamic":
-            unit = max(1, int(self.cfg.dynamic_unit_urls))
-            load = np.zeros(nf, dtype=np.int64)
-            for start in range(0, n, unit):
-                f = int(np.argmin(load))
-                chunk = seq_order[start : start + unit]
-                out[chunk] = f
-                load[f] += len(chunk)
-            return out
-        # adaptive: contiguous split sized by the speed EMA (uniform until
-        # the first round of telemetry exists)
-        w = (
-            self._speed_ema
-            if self._speed_ema is not None
-            else np.ones(nf, dtype=np.float64)
-        )
-        shares = np.maximum(w, 1e-9)
-        cuts = np.floor(np.cumsum(shares / shares.sum()) * n).astype(np.int64)
-        bounds = np.concatenate(([0], cuts))
-        bounds[-1] = n
-        for f in range(nf):
-            out[seq_order[bounds[f] : bounds[f + 1]]] = f
+            # equal target shares; steal in units of dynamic_unit_urls
+            targets = np.full(nf, n / nf)
+        else:
+            # adaptive: STRAGGLER-DEADBAND rebalancing. The busy-time
+            # signal confounds worker speed with WORK heaviness (page
+            # sizes, cache refills): reassigning heavy work doesn't make
+            # it cheaper, so on a homogeneous pool any movement driven by
+            # the EMA spread is pure loss (measured: proportional targets
+            # sent the ~20 s bench crawl to >9 min; even a +-10%/round
+            # rate limit left it at ~218 s — every moved unit costs a
+            # foreign-bucket cache fill). Only a worker whose EMA falls
+            # below 2/3 of the median — a REAL straggler (degraded node,
+            # noisy neighbor), the case adaptive exists for — sheds work,
+            # down to its measured relative capacity (floor 1/4); everyone
+            # inside the deadband keeps a uniform share, which on a
+            # healthy pool makes adaptive exactly static.
+            w = (
+                self._speed_ema
+                if self._speed_ema is not None
+                else np.ones(nf, dtype=np.float64)
+            )
+            med = max(float(np.median(w)), 1e-9)
+            ratio = w / med
+            shares = np.where(
+                ratio < 2.0 / 3.0, np.maximum(ratio, 0.25), 1.0
+            )
+            targets = n * shares / shares.sum()
+        load = np.bincount(static_owner, minlength=nf).astype(np.float64)
+        unit = max(1, int(self.cfg.dynamic_unit_urls))
+        if float(np.max(load - targets)) < 2 * unit:
+            return out  # hysteresis: don't churn caches for tiny imbalance
+        # move whole units from the most-over-target to the most-under-
+        # target fetcher until within one unit of balance (deterministic:
+        # ties resolve to the lowest fetcher id via argmax/argmin)
+        donors_pool: dict[int, np.ndarray] = {}
+        for _ in range(4 * nf):
+            over = load - targets
+            src = int(np.argmax(over))
+            dst = int(np.argmin(over))
+            if over[src] < unit or src == dst:
+                break
+            take = int(min(unit, over[src]))
+            if src not in donors_pool:
+                idx = np.nonzero(static_owner == src)[0]
+                # bucket-major order: the stolen tail is then a run of
+                # WHOLE buckets, so a thief's foreign working set stays a
+                # bucket or two instead of a scatter across all of them
+                b_of = (
+                    frontier_all["url_hash"]
+                    .to_numpy()
+                    .astype(np.uint64)[idx]
+                    % np.uint64(N_BUCKETS)
+                ).astype(np.int64)
+                donors_pool[src] = idx[np.argsort(b_of, kind="stable")]
+            pool = donors_pool[src]
+            avail = pool[out[pool] == src]
+            if len(avail) == 0:
+                break
+            grab = avail[-take:]
+            out[grab] = dst
+            load[src] -= len(grab)
+            load[dst] += len(grab)
         return out
 
     def _update_speed_ema(self):
@@ -416,6 +471,24 @@ class ShardedCrawl:
         # and the in-flight fetch task re-executes with identical results.
         # (FrontierShards hold crawl STATE and deliberately do NOT restart:
         # their recovery path is the checkpoint/resume machinery.)
+        # Bucket-cache bound: static routing is bucket-affine (each fetcher
+        # ever touches ~N_BUCKETS/n_fetchers buckets) so the cache is
+        # naturally bounded; dynamic/adaptive routing sends any bucket to
+        # any fetcher and an UNBOUNDED cache costs n_fetchers x corpus RAM
+        # (measured OOM on the bench corpus at 32 fetchers). Cap at 2x the
+        # affine working set so non-affine strategies trade cache misses,
+        # not memory.
+        if cfg.fetcher_cache_buckets is not None:
+            cache_buckets = cfg.fetcher_cache_buckets
+        elif self.load_strategy == "static":
+            cache_buckets = None
+        else:
+            from ..sources.corpus import N_BUCKETS
+
+            cache_buckets = max(
+                2, 2 * ((N_BUCKETS + cfg.fetch_concurrency - 1)
+                        // cfg.fetch_concurrency)
+            )
         self._fetchers = [
             Fetcher.options(num_cpus=0, max_restarts=-1, max_task_retries=1).remote(
                 corpus_dir=cfg.corpus_dir,
@@ -423,6 +496,7 @@ class ShardedCrawl:
                 num_shards=cfg.num_shards,
                 hot_hosts=cfg.hot_hosts,
                 max_depth=cfg.max_depth,
+                cache_buckets=cache_buckets,
             )
             for _ in range(cfg.fetch_concurrency)
         ]

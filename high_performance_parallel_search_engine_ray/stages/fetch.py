@@ -78,13 +78,25 @@ class PageStore:
     demand per row, so bucket load is a C-speed parquet read instead of a
     full python-object materialization (~10x faster, ~4x less memory)."""
 
-    def __init__(self, corpus_dir: str):
+    def __init__(self, corpus_dir: str, max_cached: int | None = None):
         self.corpus_dir = corpus_dir
-        self._buckets: dict[int, tuple] = {}  # b -> (index_dict, table)
+        # b -> (index_dict, table); insertion order doubles as LRU order
+        # (dicts are ordered; hits re-insert). ``max_cached=None`` =
+        # unbounded — correct ONLY under bucket-affine routing (static
+        # load strategy: each fetcher ever sees ~N_BUCKETS/n_fetchers
+        # buckets). Non-affine routing (dynamic/adaptive strategies) sends
+        # every bucket to every fetcher; unbounded caching then costs
+        # n_fetchers x corpus RAM — measured OOM at bench scale — so those
+        # paths pass an explicit cap and trade cache misses instead.
+        self._buckets: dict[int, tuple] = {}
+        self.max_cached = max_cached
 
     def _load_bucket(self, b: int) -> tuple:
         cached = self._buckets.get(b)
         if cached is not None:
+            if self.max_cached is not None:
+                self._buckets.pop(b)  # move-to-end = mark recently used
+                self._buckets[b] = cached
             return cached
         from ..sources.io import table_uri
 
@@ -93,6 +105,11 @@ class PageStore:
             path, columns=["url", "status", "content_type", "html", "latency_ms"]
         ).combine_chunks()
         index = {u: i for i, u in enumerate(t["url"].to_pylist())}
+        if (
+            self.max_cached is not None
+            and len(self._buckets) >= self.max_cached
+        ):
+            self._buckets.pop(next(iter(self._buckets)))  # evict LRU
         self._buckets[b] = (index, t)
         return self._buckets[b]
 
@@ -119,8 +136,9 @@ class FetchParse:
         max_link_candidates: int = 1000,
         per_page_link_cap: int = 20,
         max_depth: int = 3,
+        cache_buckets: int | None = None,
     ):
-        self.store = PageStore(corpus_dir)
+        self.store = PageStore(corpus_dir, max_cached=cache_buckets)
         self.docs_dir = docs_dir
         self.num_shards = num_shards
         self.hot_hosts = dict(hot_hosts or {})

@@ -318,3 +318,44 @@ def test_load_strategy_env_alias(ray_session, smoke_corpus, monkeypatch):
     monkeypatch.setenv("SEARCH_ENGINE_LOAD_STRATEGY", "bogus")
     with pytest.raises(ValueError):
         ShardedCrawl(_cfg(smoke_corpus, "/tmp/t_ls_env2"))
+
+
+def test_assign_fetchers_semantics(ray_session, smoke_corpus):
+    """Direct unit test of the work-distribution math: on a healthy pool
+    dynamic/adaptive equal static (no movement); a real straggler (EMA
+    below the 2/3-median deadband) sheds work toward its capacity, and
+    stolen rows move in whole-bucket runs."""
+    import numpy as np
+    import pyarrow as pa
+
+    eng = ShardedCrawl(_cfg(smoke_corpus, "/tmp/t_assign_sem"))
+    nf = 4
+    n = 8000
+    rng = np.random.RandomState(7)
+    frontier = pa.table(
+        {
+            "url_hash": pa.array(
+                rng.randint(0, 2**63 - 1, n, dtype=np.int64)
+            ),
+            "discovered_seq": pa.array(np.arange(n, dtype=np.int64)),
+        }
+    )
+    eng.load_strategy = "static"
+    static = eng._assign_fetchers(frontier, nf)
+    eng.load_strategy = "dynamic"
+    dyn = eng._assign_fetchers(frontier, nf)
+    # hash balance is already even -> hysteresis keeps dynamic == static
+    assert (dyn == static).all()
+    eng.load_strategy = "adaptive"
+    eng._speed_ema = np.array([1.0, 1.0, 1.0, 1.0])
+    healthy = eng._assign_fetchers(frontier, nf)
+    assert (healthy == static).all()
+    eng._speed_ema = np.array([1.0, 1.0, 1.0, 0.3])  # fetcher 3 degraded
+    shed = eng._assign_fetchers(frontier, nf)
+    c_static = np.bincount(static, minlength=nf)
+    c_shed = np.bincount(shed, minlength=nf)
+    assert c_shed[3] < 0.5 * c_static[3]  # straggler sheds most of its load
+    assert c_shed.sum() == n
+    # moved rows changed owner only AWAY from the straggler
+    moved = shed != static
+    assert set(static[moved].tolist()) == {3}

@@ -372,3 +372,45 @@ def test_frontier_audit_off_raises():
         raise AssertionError("expected RuntimeError")
     except RuntimeError:
         pass
+
+
+def test_pagestore_lru_bound(tmp_path):
+    """PageStore with max_cached keeps at most that many bucket tables and
+    evicts least-recently-used; unbounded mode never evicts."""
+    from high_performance_parallel_search_engine_ray.sources.corpus import (
+        generate_corpus,
+    )
+    from high_performance_parallel_search_engine_ray.stages.fetch import PageStore
+
+    corpus = generate_corpus("t1-smoke", seed=42)
+    import glob
+    import os as _os
+
+    import pyarrow.parquet as _pq
+
+    buckets = sorted(
+        glob.glob(_os.path.join(corpus, "pages", "bucket=*.parquet"))
+    )
+    urls = []
+    for p in buckets[:6]:
+        t = _pq.read_table(p, columns=["url"])
+        if t.num_rows:
+            urls.append(t["url"][0].as_py())
+    assert len(urls) >= 3
+    ps = PageStore(corpus, max_cached=2)
+    for u in urls:
+        assert ps.get(u) is not None
+        assert len(ps._buckets) <= 2
+    # LRU semantics: re-hitting the most recent keeps it resident
+    u_last = urls[-1]
+    ps.get(u_last)
+    ps.get(urls[0])
+    assert len(ps._buckets) <= 2
+    unbounded = PageStore(corpus)
+    for u in urls:
+        unbounded.get(u)
+    assert len(unbounded._buckets) == len({
+        __import__("high_performance_parallel_search_engine_ray.functions.hashing",
+                   fromlist=["stable_hash64"]).stable_hash64(u) % 64
+        for u in urls
+    })
