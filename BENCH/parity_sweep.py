@@ -82,10 +82,11 @@ def main() -> int:
     import __ray_entry__ as em
 
     qs, sq = em.queries(), em.oracle_sql()
+    only = {k for k in os.environ.get("GRAFT_PARITY_ONLY", "").split(",") if k}
     t_all = time.perf_counter()
     per_query, all_green = {}, True
     for name in qs:
-        if name not in sq:
+        if name not in sq or (only and name not in only):
             continue
         t0 = time.perf_counter()
         try:

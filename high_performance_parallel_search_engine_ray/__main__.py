@@ -284,12 +284,18 @@ def cmd_serve(args) -> int:
     """REST control plane (reference dashboard API, `WebSite/api.py:
     350-520`): /api/status, /api/search, /api/metrics, /api/compare over a
     loaded docs table. The CLI owns the Ray session; the server only
-    serves."""
+    serves. Default serving path persists the term index once (or reuses
+    --index-dir if it already holds one) and answers bm25 queries from the
+    bucket-pruned on-disk layout; --adhoc keeps the old materialized-tf
+    fallback."""
     _ray_init(args.num_cpus)
     from .server import EngineHandle, serve
 
     docs = _docs_dataset(args.docs)
-    serve(EngineHandle(docs), args.port)
+    serve(
+        EngineHandle(docs, index_dir=args.index_dir, adhoc=args.adhoc),
+        args.port,
+    )
     return 0
 
 
@@ -387,6 +393,12 @@ def main(argv=None) -> int:
                      help="documents parquet or crawl out_dir to serve")
     psv.add_argument("--port", type=int, default=5001)
     psv.add_argument("--num-cpus", type=int, default=None)
+    psv.add_argument("--index-dir", default=None,
+                     help="persisted term-index dir (reused if it already "
+                          "holds a manifest; built there otherwise)")
+    psv.add_argument("--adhoc", action="store_true",
+                     help="materialize the tf table instead of serving "
+                          "from a persisted index")
     psv.set_defaults(fn=cmd_serve)
 
     pst = sub.add_parser("status", help="show a crawl checkpoint manifest")

@@ -131,8 +131,11 @@ def process_documents(
                 out = batch_fn(ids, texts)
             else:
                 rows = [fn(i, t) for i, t in zip(ids, texts)]
-                keys = rows[0].keys() if rows else ()
-                out = {k: [r[k] for r in rows] for k in keys}
+                # union keys across ALL rows (a hook may emit different
+                # keys per row; first-row-only would KeyError or silently
+                # drop later-only columns) — missing values become nulls
+                keys = sorted({k for r in rows for k in r})
+                out = {k: [r.get(k) for r in rows] for k in keys}
             for col, vals in _columns_from(out, len(b)).items():
                 cols[name if col == "value" else f"{name}_{col}"] = vals
         return pa.table(cols)

@@ -185,23 +185,17 @@ def bm25_topk(
     )
 
 
-def bm25_from_index(
-    index_dir: str,
-    query: str,
-    k: int = 10,
-    id_col: str = "doc_id",
-    round_to: int | None = 6,
-):
-    """BM25 served from a PERSISTED index (`index.write_term_index`
-    layout): reads only the query terms' bucket directories with a
-    ``term IN (...)`` predicate pushed into the parquet scan, takes corpus
-    stats from the manifest — zero corpus passes per query, the serving
-    shape the reference's query loop uses against its in-memory index.
-    Value-identical to ``bm25_topk`` over the same corpus (oracle-checked
-    via the bm25_served entry). Tombstones left by
-    `index.update_term_index` are honored: dead (doc, gen) rows are
-    dropped from the tiny query-terms slice before scoring, so an updated
-    index serves the new snapshot without waiting for compaction."""
+def index_term_slice(index_dir: str, terms: list[str], id_col: str = "doc_id"):
+    """(manifest, tf-slice Dataset | None) for a set of terms against a
+    persisted `index.write_term_index` layout: reads only the terms' hash
+    bucket directories with a ``term IN (...)`` predicate pushed into the
+    parquet scan, honoring tombstones left by `index.update_term_index`
+    (dead (doc, gen) rows are dropped from the tiny slice). This is the
+    serving read primitive shared by `bm25_from_index`,
+    `bm25_from_index_expanded` and the REST server — at 100 TB the read is
+    postings-of-q, never the corpus."""
+    import glob
+
     import pandas as pd
     import pyarrow.dataset as pads
     import ray.data as rd
@@ -212,16 +206,13 @@ def bm25_from_index(
     man = read_manifest(index_dir)
     if man is None:
         raise FileNotFoundError(f"no index manifest under {index_dir}")
-    qterms = tokenize_query(query)
-    if not qterms:
-        return pa.table({id_col: pa.array([]), "score": pa.array([], pa.float64())})
-    uniq = sorted(set(qterms))
+    uniq = sorted(set(terms))
+    if not uniq:
+        return man, None
     hashes = pd.util.hash_array(np.asarray(uniq, dtype=object), categorize=False)
     # modulo on the ARRAY: a np.uint64 SCALAR % python-int promotes to
     # float64 and silently corrupts the bucket (>2^53 hashes)
     buckets = sorted(set((hashes % man["n_buckets"]).astype(np.int64).tolist()))
-    import glob
-
     # ray.data's parquet reader rejects directory paths in a list when a
     # scan filter is attached -> enumerate the partition files explicitly
     paths = [
@@ -231,27 +222,89 @@ def bm25_from_index(
     ]
     tomb = read_tombstones(index_dir)
     if not paths:
-        tf_q = None
-    else:
-        cols = ["term", id_col, "tf", "dl"] + (["gen"] if tomb else [])
-        tf_q = rd.read_parquet(
-            paths,
-            columns=cols,
-            filter=pads.field("term").isin(uniq),
+        return man, None
+    cols = ["term", id_col, "tf", "dl"] + (["gen"] if tomb else [])
+    tf_q = rd.read_parquet(
+        paths,
+        columns=cols,
+        filter=pads.field("term").isin(uniq),
+    ).materialize()
+    if tomb is not None:
+        tf_q = tf_q.map_batches(
+            lambda b: b.filter(
+                pa.array(live_postings_mask(b, tomb, id_col))
+            ).select(["term", id_col, "tf", "dl"]),
+            batch_format="pyarrow",
         ).materialize()
-        if tomb is not None:
-            tf_q = tf_q.map_batches(
-                lambda b: b.filter(
-                    pa.array(live_postings_mask(b, tomb, id_col))
-                ).select(["term", id_col, "tf", "dl"]),
-                batch_format="pyarrow",
-            ).materialize()
+    return man, tf_q
+
+
+def bm25_from_index(
+    index_dir: str,
+    query: str,
+    k: int = 10,
+    id_col: str = "doc_id",
+    round_to: int | None = 6,
+):
+    """BM25 served from a PERSISTED index (`index.write_term_index`
+    layout) via `index_term_slice` — zero corpus passes per query, the
+    serving shape the reference's query loop uses against its in-memory
+    index (`Serial Version/src/main.c` build-once then query-many).
+    Value-identical to ``bm25_topk`` over the same corpus (oracle-checked
+    via the bm25_served entry)."""
+    qterms = tokenize_query(query)
+    if not qterms:
+        return pa.table({id_col: pa.array([]), "score": pa.array([], pa.float64())})
+    man, tf_q = index_term_slice(index_dir, qterms, id_col)
     if tf_q is None or tf_q.count() == 0:
         id_type = pa.int64()
         return pa.schema([(id_col, id_type), ("score", pa.float64())]).empty_table()
     return bm25_topk(
         None,
         query,
+        k=k,
+        id_col=id_col,
+        round_to=round_to,
+        tf=tf_q,
+        stats=(man["n_docs"], man["avgdl"]),
+    )
+
+
+def bm25_from_index_expanded(
+    index_dir: str,
+    query: str,
+    k: int = 10,
+    id_col: str = "doc_id",
+    round_to: int | None = 6,
+):
+    """The OpenMP plural/singular expansion (`expand_query_terms`,
+    `OpenMP Version/src/ranking.c:110-150`) served from a persisted index:
+    ONE bucket-pruned read of the candidate expansions (t, t+'s', t[:-1] —
+    a 3|q|-element set), term existence decided from that slice, then the
+    expanded query scored against the SAME slice filtered down — no corpus
+    pass and no second index read. Value-identical to
+    `bm25_topk_expanded` over the same corpus."""
+    qterms = tokenize_query(query)
+    if not qterms:
+        return pa.table({id_col: pa.array([]), "score": pa.array([], pa.float64())})
+    cands: set[str] = set()
+    for t in qterms:
+        cands.update((t, t + "s", t[:-1] if len(t) > 1 else t))
+    man, slice_ds = index_term_slice(index_dir, sorted(cands), id_col)
+    if slice_ds is None or slice_ds.count() == 0:
+        return pa.schema([(id_col, pa.int64()), ("score", pa.float64())]).empty_table()
+    known = set(distinct_values(slice_ds.select_columns(["term"]), "term"))
+    expanded = expand_query_terms(qterms, known)
+    exp_arr = pa.array(sorted(set(expanded)))
+    tf_q = slice_ds.map_batches(
+        lambda b: b.filter(pc.is_in(b["term"], value_set=exp_arr)),
+        batch_format="pyarrow",
+    ).materialize()
+    if tf_q.count() == 0:
+        return pa.schema([(id_col, pa.int64()), ("score", pa.float64())]).empty_table()
+    return bm25_topk(
+        None,
+        " ".join(expanded),
         k=k,
         id_col=id_col,
         round_to=round_to,

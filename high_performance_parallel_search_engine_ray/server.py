@@ -25,27 +25,68 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 
 class EngineHandle:
-    """Holds the loaded docs Dataset and the shared tokenize pass.
+    """Serving handle over a docs Dataset, backed by a PERSISTED term index.
 
-    tf is materialized ONCE (object store) at construction — every search
-    request reuses it, the server-side analog of the reference's
-    build-index-once evaluate loop (`Serial Version/src/evaluate.c:28-66`).
+    Default (``adhoc=False``): the server-side analog of the reference's
+    build-index-once evaluate loop (`Serial Version/src/evaluate.c:28-66`)
+    at deployment shape — the inverted index is written ONCE to disk
+    (`index.write_term_index` layout; reused as-is when ``index_dir``
+    already holds a manifest) and every bm25 / bm25_expanded request reads
+    only the query terms' hash buckets (`rank.bm25_from_index`). Nothing
+    corpus-scale is ever pinned in the object store: at 100 TB the server's
+    steady-state footprint is the manifest dict, and a query reads
+    postings-of-q from disk. The ``pattern`` variant is an inherent corpus
+    scan (substring counts over full text) and streams ``docs`` lazily.
+
+    ``adhoc=True`` keeps the previous behavior — the full tf table
+    materialized in the object store at construction — as a fallback for
+    corpora too small/ephemeral to bother persisting. Equality of the two
+    paths is pytest-asserted (test_server.py) and oracle-checked
+    (bm25_served).
     """
 
     VARIANTS = ("bm25", "bm25_expanded", "pattern")
 
-    def __init__(self, docs, metrics=None):
-        from .pipelines.index import term_doc_tf
+    def __init__(self, docs, metrics=None, index_dir=None, adhoc=False):
         from .pipelines.metrics import MetricsRecorder
+        from .sources.io import read_manifest
 
         self.docs = docs
-        self.num_docs = docs.count()
-        self.tf = term_doc_tf(docs).materialize()
         self.metrics = metrics or MetricsRecorder(None)
         self._lock = threading.Lock()
+        self.adhoc = adhoc
+        self.tf = None
+        self.index_dir = None
+        if adhoc:
+            from .pipelines.index import term_doc_tf
+
+            self.num_docs = docs.count()
+            self.tf = term_doc_tf(docs).materialize()
+            return
+        import tempfile
+
+        from .pipelines.index import write_term_index
+
+        self.index_dir = index_dir or tempfile.mkdtemp(prefix="hppse_index_")
+        man = read_manifest(self.index_dir)
+        if man is None:
+            if docs is None:
+                raise FileNotFoundError(
+                    f"no index manifest under {self.index_dir} and no docs "
+                    "to build one from"
+                )
+            man = write_term_index(docs, self.index_dir)
+        self.manifest = man
+        self.num_docs = int(man["n_docs"])
 
     def search(self, query: str, k: int = 10, variant: str = "bm25") -> dict:
-        from .pipelines.rank import bm25_topk, bm25_topk_expanded, pattern_match_counts
+        from .pipelines.rank import (
+            bm25_from_index,
+            bm25_from_index_expanded,
+            bm25_topk,
+            bm25_topk_expanded,
+            pattern_match_counts,
+        )
 
         if variant not in self.VARIANTS:
             raise ValueError(
@@ -55,10 +96,23 @@ class EngineHandle:
         t0 = time.perf_counter()
         with self._lock:
             if variant == "bm25":
-                rows = bm25_topk(self.docs, query, k=k, tf=self.tf).to_pylist()
+                if self.adhoc:
+                    rows = bm25_topk(self.docs, query, k=k, tf=self.tf).to_pylist()
+                else:
+                    rows = bm25_from_index(self.index_dir, query, k=k).to_pylist()
             elif variant == "bm25_expanded":
-                rows = bm25_topk_expanded(self.docs, query, k=k).to_pylist()
+                if self.adhoc:
+                    rows = bm25_topk_expanded(self.docs, query, k=k).to_pylist()
+                else:
+                    rows = bm25_from_index_expanded(
+                        self.index_dir, query, k=k
+                    ).to_pylist()
             else:
+                if self.docs is None:
+                    raise ValueError(
+                        "pattern search needs the docs table; server was "
+                        "started index-only"
+                    )
                 t = pattern_match_counts(self.docs, [query])
                 rows = (
                     t.sort(["n_matches", "doc_id"], descending=[True, False])
@@ -80,6 +134,7 @@ class EngineHandle:
         return {
             "engine": "ray-data",
             "api_version": "1.0",
+            "serving": "adhoc" if self.adhoc else "index",
             "num_docs": self.num_docs,
             "versions": {v: {"available": True} for v in self.VARIANTS},
             "ray_cpus": ray.cluster_resources().get("CPU")
@@ -121,6 +176,10 @@ DASHBOARD_HTML = """<!doctype html>
 <h2>query metrics</h2><div id="metrics">–</div>
 <script>
 const $=id=>document.getElementById(id);
+// crawled content (doc ids/urls) and server error strings are untrusted —
+// escape before any innerHTML interpolation (stored/reflected XSS otherwise)
+const esc=s=>String(s).replace(/[&<>"']/g,
+  c=>({"&":"&amp;","<":"&lt;",">":"&gt;",'"':"&quot;","'":"&#39;"}[c]));
 async function j(url,opts){const r=await fetch(url,opts);return r.json();}
 async function refresh(){
   $("status").textContent=JSON.stringify(await j("/api/status"),null,1);
@@ -132,13 +191,13 @@ $("f").addEventListener("submit",async e=>{
                              k:+$("k").value});
   const res=await j("/api/search",{method:"POST",body});
   if(res.status!=="ok"){
-    $("out").innerHTML='<p class="err">'+res.error+"</p>";return;}
+    $("out").innerHTML='<p class="err">'+esc(res.error)+"</p>";return;}
   const rows=res.results.map(r=>{
     const id=r.doc_id??r.url??"?";
     const sc=r.score??r.n_matches??"";
-    return "<tr><td>"+id+"</td><td>"+sc+"</td></tr>";}).join("");
+    return "<tr><td>"+esc(id)+"</td><td>"+esc(sc)+"</td></tr>";}).join("");
   $("out").innerHTML="<table><tr><th>doc</th><th>score</th></tr>"+rows+
-    "</table><p>"+res.execution_time_ms+" ms · "+res.version+"</p>";
+    "</table><p>"+esc(res.execution_time_ms)+" ms · "+esc(res.version)+"</p>";
   refresh();
 });
 refresh();

@@ -89,7 +89,10 @@ class PageStore:
         # n_fetchers x corpus RAM — measured OOM at bench scale — so those
         # paths pass an explicit cap and trade cache misses instead.
         self._buckets: dict[int, tuple] = {}
-        self.max_cached = max_cached
+        # A cache that can hold zero buckets can serve nothing (every get
+        # loads a bucket) — clamp explicit 0/negative configs to 1 so the
+        # eviction path never pops from an empty dict.
+        self.max_cached = max(1, max_cached) if max_cached is not None else None
 
     def _load_bucket(self, b: int) -> tuple:
         cached = self._buckets.get(b)

@@ -84,6 +84,26 @@ def test_hook_selection_and_errors(ray_session):
         reg.register_processor("neither")
 
 
+def test_ragged_row_hook_keys_union(ray_session):
+    """A per-row hook emitting different keys per row unions the key set
+    across the batch; rows missing a key get null (first-row-only key
+    capture used to KeyError / silently drop later-only columns)."""
+    reg = hk.HookRegistry()
+    reg.register_processor(
+        "ragged",
+        fn=lambda i, t: {"len": len(t), "caps": 1} if i == 1 else {"len": len(t)},
+    )
+    got = (
+        hk.process_documents(_docs().repartition(1), registry=reg)
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    assert sorted(got.columns) == ["doc_id", "ragged_caps", "ragged_len"]
+    assert got["ragged_len"].tolist() == [13, 15, 7]
+    caps = got["ragged_caps"].tolist()
+    assert caps[0] == 1 and pd.isna(caps[1]) and pd.isna(caps[2])
+
+
 def test_bad_hook_output_length_fails(ray_session):
     reg = hk.HookRegistry()
     reg.register_processor("bad", batch_fn=lambda ids, texts: {"value": [1]})

@@ -21,7 +21,7 @@ def server(ray_session):
     )
 
     docs = rd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
-    eng = EngineHandle(docs)
+    eng = EngineHandle(docs)  # default: persisted-index serving
     srv = make_server(eng, port=0)
     t = threading.Thread(target=srv.serve_forever, daemon=True)
     t.start()
@@ -49,17 +49,64 @@ def test_status(server):
     d = _get(f"{base}/api/status")
     assert d["status"] == "ok" and d["api_version"] == "1.0"
     assert d["num_docs"] == 500
+    assert d["serving"] == "index"
     assert set(d["versions"]) == {"bm25", "bm25_expanded", "pattern"}
 
 
+def test_serves_from_persisted_index_no_tf_pin(server):
+    """Default mode builds the on-disk term index once and pins nothing
+    corpus-scale: no materialized tf table, manifest on disk."""
+    import os
+
+    _, eng = server
+    assert eng.tf is None and not eng.adhoc
+    assert os.path.exists(f"{eng.index_dir}/MANIFEST.json")
+    assert os.path.isdir(f"{eng.index_dir}/postings")
+
+
 def test_search_matches_direct_pipeline(server):
+    """Served-vs-adhoc equality: the index-served bm25 result equals the
+    fused single-pass corpus computation, row for row."""
     from high_performance_parallel_search_engine_ray.pipelines.rank import bm25_topk
 
     base, eng = server
     d = _post(f"{base}/api/search", {"query": "hash join", "k": 5})
     assert d["status"] == "ok" and d["execution_time_ms"] > 0
-    direct = bm25_topk(eng.docs, "hash join", k=5, tf=eng.tf).to_pylist()
+    direct = bm25_topk(eng.docs, "hash join", k=5).to_pylist()
     assert d["results"] == json.loads(json.dumps(direct))
+
+
+def test_expanded_served_equals_adhoc(server):
+    """bm25_expanded over the persisted index == the corpus-pass expanded
+    pipeline, including when a term only matches via plural/singular
+    fallback."""
+    from high_performance_parallel_search_engine_ray.pipelines.rank import (
+        bm25_from_index_expanded,
+        bm25_topk_expanded,
+    )
+
+    base, eng = server
+    for q in ("hash joins", "scan operator xyzzynonterm"):
+        served = bm25_from_index_expanded(eng.index_dir, q, k=5).to_pylist()
+        adhoc = bm25_topk_expanded(eng.docs, q, k=5).to_pylist()
+        assert served == adhoc
+        d = _post(
+            f"{base}/api/search", {"query": q, "k": 5, "version": "bm25_expanded"}
+        )
+        assert d["results"] == json.loads(json.dumps(served))
+
+
+def test_adhoc_fallback_equality(server):
+    """The --adhoc fallback (materialized tf) returns the same top-k as
+    the index-served default."""
+    from high_performance_parallel_search_engine_ray.server import EngineHandle
+
+    base, eng = server
+    adhoc_eng = EngineHandle(eng.docs, adhoc=True)
+    assert adhoc_eng.adhoc and adhoc_eng.tf is not None
+    a = adhoc_eng.search("hash join", k=5)["results"]
+    d = _post(f"{base}/api/search", {"query": "hash join", "k": 5})
+    assert d["results"] == json.loads(json.dumps(a))
 
 
 def test_search_pattern_variant(server):

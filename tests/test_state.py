@@ -414,3 +414,10 @@ def test_pagestore_lru_bound(tmp_path):
                    fromlist=["stable_hash64"]).stable_hash64(u) % 64
         for u in urls
     })
+    # explicit max_cached=0 (reachable via CrawlConfig.fetcher_cache_buckets=0)
+    # clamps to 1 instead of crashing on the first bucket load
+    degenerate = PageStore(corpus, max_cached=0)
+    assert degenerate.max_cached == 1
+    for u in urls:
+        assert degenerate.get(u) is not None
+        assert len(degenerate._buckets) <= 1
