@@ -2291,32 +2291,26 @@ def corpus_diff(
     return both.groupby("part").map_groups(classify, batch_format="pandas")
 
 
-def repeated_ngram_spans(
+def _ngram_mark_rows(
     docs,
-    k: int = 8,
-    min_docs: int = 2,
-    id_col: str = "doc_id",
-    text_col: str = "text",
+    k: int,
+    min_docs: int,
+    id_col: str,
+    text_col: str,
+    carry_text: bool,
 ):
-    """(doc_id, pos, gram): every occurrence of a k-token shingle that
-    appears in >= ``min_docs`` DISTINCT documents — exact-substring
-    duplicate MARKING, the span-level pass train-data curation runs after
-    document-level dedup (boilerplate, licenses, templated passages repeat
-    across pages that are NOT near-dups as whole documents). Downstream
-    either cuts the marked spans or drops docs whose marked fraction is
-    high. Tokens are lowercased whitespace runs (the phrase_search /
-    positional_postings stream), pos is the shingle's 0-based first-token
-    position.
-
-    Shape: block-local vectorized shingle build (k-1 chained np.char.add
-    joins over the exploded token stream; cross-doc windows masked), then
-    ONE hash-partitioned (gram) exchange; each partition counts distinct
-    docs per gram and keeps survivors co-located — no broadcast, no
-    driver-side pulls. Scale note (100 TB): the exchange here carries the
-    gram TEXT because the contract output includes it; a cut-only pipeline
-    should carry stable_hash64(gram) through the shuffle instead (8 B/row
-    vs ~k words/row) and re-derive text from (doc_id, pos) when cutting —
-    same topology, documented for the real-cluster setting."""
+    """Shared mark topology for the exact-substring family: block-local
+    vectorized shingle build, ONE hash-partitioned gram exchange, distinct-
+    doc count per partition. ``carry_text=True`` ships the gram TEXT
+    through the exchange and returns (doc_id, pos, gram) — the public
+    `repeated_ngram_spans` contract. ``carry_text=False`` ships only the
+    64-bit gram hash (pd.util.hash_array — the same cross-process-stable
+    siphash the persisted index buckets rely on): 8 B/row instead of
+    ~k words/row through the shuffle, the 100-TB shape for cut-only
+    pipelines that never need the gram text back. A 64-bit collision can
+    merge two distinct grams and over-mark (~n_grams^2 / 2^65 expected
+    false marks — vanishing at any real corpus size; equality on the test
+    corpora is pytest-asserted against the text path)."""
     N_PARTS = 64
 
     def explode_grams(b: pa.Table) -> pa.Table:
@@ -2334,7 +2328,7 @@ def repeated_ngram_spans(
         )
         out_schema = pa.schema(
             [
-                ("gram", pa.string()),
+                ("gram", pa.string()) if carry_text else ("gram_h", pa.int64()),
                 (id_col, pa.int64()),
                 ("pos", pa.int64()),
                 ("part", pa.int32()),
@@ -2365,23 +2359,30 @@ def repeated_ngram_spans(
             .astype(np.int64)[parent[:n][valid]]
         )
         gpos = pos[:n][valid]
-        part = (
-            pd.util.hash_array(gram.astype(object), categorize=False) % N_PARTS
-        ).astype(np.int32)
+        h = pd.util.hash_array(gram.astype(object), categorize=False)
+        part = (h % N_PARTS).astype(np.int32)
+        gram_col = (
+            pa.array(gram, pa.string())
+            if carry_text
+            else pa.array(h.view(np.int64))
+        )
         return pa.table(
             {
-                "gram": pa.array(gram, pa.string()),
+                "gram" if carry_text else "gram_h": gram_col,
                 id_col: pa.array(ids),
                 "pos": pa.array(gpos.astype(np.int64)),
                 "part": pa.array(part),
             }
         )
 
+    key = "gram" if carry_text else "gram_h"
+
     def survivors(g: pd.DataFrame) -> pd.DataFrame:
-        nd = g.groupby("gram")[id_col].nunique()
+        nd = g.groupby(key)[id_col].nunique()
         dup = nd[nd >= min_docs].index
-        out = g[g["gram"].isin(dup)]
-        return out[[id_col, "pos", "gram"]]
+        out = g[g[key].isin(dup)]
+        cols = [id_col, "pos"] + (["gram"] if carry_text else [])
+        return out[cols]
 
     return (
         docs.map_batches(explode_grams, batch_format="pyarrow")
@@ -2390,12 +2391,37 @@ def repeated_ngram_spans(
     )
 
 
+def repeated_ngram_spans(
+    docs,
+    k: int = 8,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """(doc_id, pos, gram): every occurrence of a k-token shingle that
+    appears in >= ``min_docs`` DISTINCT documents — exact-substring
+    duplicate MARKING, the span-level pass train-data curation runs after
+    document-level dedup (boilerplate, licenses, templated passages repeat
+    across pages that are NOT near-dups as whole documents). Downstream
+    either cuts the marked spans or drops docs whose marked fraction is
+    high. Tokens are lowercased whitespace runs (the phrase_search /
+    positional_postings stream), pos is the shingle's 0-based first-token
+    position.
+
+    Shape: see `_ngram_mark_rows` — this public contract includes the gram
+    text, so the exchange carries it; `cut_repeated_spans` uses the
+    hash-carried variant (8 B/row through the shuffle) because cutting
+    only needs (doc_id, pos)."""
+    return _ngram_mark_rows(docs, k, min_docs, id_col, text_col, carry_text=True)
+
+
 def cut_repeated_spans(
     docs,
     k: int = 8,
     min_docs: int = 2,
     id_col: str = "doc_id",
     text_col: str = "text",
+    hash_marks: bool = True,
 ):
     """(doc_id, clean_text, n_tokens_cut): apply the exact-substring dedup —
     remove every token covered by ANY duplicated k-shingle window (the
@@ -2412,10 +2438,17 @@ def cut_repeated_spans(
     cover mask is a vectorized +1/-1 diff + prefix-sum per partition (no
     per-mark loop), and text reassembly is one pandas groupby-join per
     partition (the per-group-tax rule). Only (doc_id, pos) marks and
-    (doc_id, tpos, term) tokens enter the exchange — never whole texts."""
+    (doc_id, tpos, term) tokens enter the exchange — never whole texts.
+    The mark pass itself runs hash-carried by default (``hash_marks``):
+    the gram exchange ships the 64-bit gram hash, 8 B/row, instead of the
+    ~k-word gram text the public marking contract carries —
+    `_ngram_mark_rows`. ``hash_marks=False`` routes through the
+    text-carrying pass instead (equality of the two is pytest-asserted)."""
     N_PARTS = 64
 
-    spans = repeated_ngram_spans(docs, k, min_docs, id_col, text_col)
+    spans = _ngram_mark_rows(
+        docs, k, min_docs, id_col, text_col, carry_text=not hash_marks
+    )
 
     def mark_rows(b: pa.Table) -> pa.Table:
         ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)

@@ -5639,3 +5639,54 @@ def test_cut_repeated_spans_planted(ray_session):
     assert got.loc[2, "n_tokens_cut"] == 8
     assert got.loc[3, "n_tokens_cut"] == 0
     assert got.loc[3, "clean_text"] == "p q r s t u v w p q r s t u v w"
+
+
+def test_cut_repeated_spans_hash_equals_text_path(ray_session):
+    """The default hash-carried mark exchange (8 B/row gram hashes) cuts
+    identically to the text-carrying mark pass, on the planted corpus AND
+    a deterministic fuzz corpus with heavy cross-doc shingle reuse."""
+    import random
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from high_performance_parallel_search_engine_ray.pipelines import dedup
+
+    rng = random.Random(1234)
+    vocab = [f"w{i}" for i in range(40)]
+    phrases = [
+        " ".join(rng.choice(vocab) for _ in range(rng.randint(4, 10)))
+        for _ in range(12)
+    ]
+    texts = []
+    for _ in range(60):
+        parts = []
+        for _ in range(rng.randint(1, 6)):
+            if rng.random() < 0.5:
+                parts.append(rng.choice(phrases))
+            else:
+                parts.append(" ".join(rng.choice(vocab) for _ in range(rng.randint(1, 12))))
+        texts.append(" ".join(parts))
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(60), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+    )
+    for kk, md in ((4, 2), (6, 3)):
+        h = (
+            dedup.cut_repeated_spans(docs, k=kk, min_docs=md)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        t = (
+            dedup.cut_repeated_spans(docs, k=kk, min_docs=md, hash_marks=False)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert h.equals(t), f"hash/text cut mismatch at k={kk} min_docs={md}"
+        assert (h["n_tokens_cut"] > 0).any()  # the fuzz corpus really cuts
