@@ -13,9 +13,12 @@ Formats (all public, byte-exact per spec):
   back-to-back form a valid raw video stream (the ffmpeg image2pipe ppm
   format) — used as the uncompressed "video" container for frame sampling.
 - WAV  — RIFF/WAVE PCM 16-bit (mono or interleaved stereo).
+- PNG  — non-interlaced 8-bit RGB/RGBA (public spec + stdlib zlib), the one
+  COMPRESSED format decodable without new dependencies: full five-filter
+  defilter on decode, filter-0 rows on encode.
 
-Compressed formats (JPEG/PNG/MP3/MP4) still belong behind the contract stub:
-a real deployment swaps PIL/pyav in at the same seam.
+Remaining compressed formats (JPEG/MP3/MP4) still belong behind the contract
+stub: a real deployment swaps PIL/pyav in at the same seam.
 """
 
 from __future__ import annotations
@@ -27,14 +30,20 @@ import numpy as np
 # ---------------------------------------------------------------- sniffing
 
 
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
 def detect_media_format(payload: bytes) -> str | None:
-    """'bmp' | 'ppm' | 'wav' by magic bytes; None when unrecognized."""
+    """'bmp' | 'ppm' | 'wav' | 'png' by magic bytes; None when
+    unrecognized."""
     if payload[:2] == b"BM":
         return "bmp"
     if payload[:2] == b"P6":
         return "ppm"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return "wav"
+    if payload[:8] == PNG_MAGIC:
+        return "png"
     return None
 
 
@@ -140,6 +149,126 @@ def decode_ppm_stream(payload: bytes) -> list[np.ndarray]:
         px, pos = decode_ppm(payload, pos)
         frames.append(px)
     return frames
+
+
+# --------------------------------------------------------------------- PNG
+
+
+def _png_chunk(tag: bytes, data: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + tag
+        + data
+        + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(px: np.ndarray) -> bytes:
+    """H x W x 3 (RGB) or H x W x 4 (RGBA) uint8 -> non-interlaced 8-bit
+    PNG: filter-0 rows, one IDAT, stdlib zlib. Spec: ISO/IEC 15948."""
+    import zlib
+
+    px = np.ascontiguousarray(px, dtype=np.uint8)
+    h, w, c = px.shape
+    if c not in (3, 4):
+        raise ValueError("encode_png expects H x W x 3 (RGB) or x 4 (RGBA)")
+    color_type = 2 if c == 3 else 6
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    rows = np.zeros((h, 1 + w * c), np.uint8)  # leading 0 = filter None
+    rows[:, 1:] = px.reshape(h, w * c)
+    idat = zlib.compress(rows.tobytes(), 6)
+    return (
+        PNG_MAGIC
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", idat)
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """Non-interlaced 8-bit RGB/RGBA PNG -> H x W x {3,4} uint8. Implements
+    all five row filters (None/Sub/Up/Average/Paeth) per spec; ancillary
+    chunks are skipped, IDAT chunks are concatenated. Grayscale, palette,
+    16-bit and Adam7-interlaced images raise (they stay behind the
+    PIL seam with JPEG)."""
+    import zlib
+
+    if payload[:8] != PNG_MAGIC:
+        raise ValueError("not a PNG payload")
+    pos, n = 8, len(payload)
+    w = h = bpp = None
+    idat = bytearray()
+    while pos + 8 <= n:
+        (length,) = struct.unpack_from(">I", payload, pos)
+        tag = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + length]
+        if tag == b"IHDR":
+            w, h, depth, color_type, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if depth != 8 or color_type not in (2, 6):
+                raise ValueError(
+                    "only 8-bit RGB/RGBA PNG supported "
+                    f"(depth={depth}, color_type={color_type})"
+                )
+            if comp != 0 or filt != 0 or interlace != 0:
+                raise ValueError("unsupported PNG compression/filter/interlace")
+            bpp = 3 if color_type == 2 else 4
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+        pos += 12 + length  # length + tag + data + crc
+    if w is None or not idat:
+        raise ValueError("missing IHDR/IDAT chunk")
+    raw = zlib.decompress(bytes(idat))
+    stride = 1 + w * bpp
+    if len(raw) != h * stride:
+        raise ValueError("PNG pixel data length mismatch")
+    arr = np.frombuffer(raw, np.uint8).reshape(h, stride)
+    filters = arr[:, 0]
+    out = np.zeros((h, w * bpp), np.uint16)  # wide dtype: sums stay exact
+    prev = np.zeros(w * bpp, np.uint16)
+    for y in range(h):
+        cur = arr[y, 1:].astype(np.uint16)
+        f = filters[y]
+        if f == 0:  # None
+            recon = cur
+        elif f == 1:  # Sub: recon[x] = cur[x] + recon[x-bpp]
+            recon = (np.cumsum(cur.reshape(w, bpp), axis=0) & 0xFF).ravel()
+        elif f == 2:  # Up
+            recon = (cur + prev) & 0xFF
+        elif f == 3:  # Average — sequential in x, per-pixel vector steps
+            recon = np.zeros(w * bpp, np.uint16)
+            left = np.zeros(bpp, np.uint16)
+            for x in range(w):
+                s = slice(x * bpp, (x + 1) * bpp)
+                left = (cur[s] + ((left + prev[s]) >> 1)) & 0xFF
+                recon[s] = left
+        elif f == 4:  # Paeth — sequential in x
+            recon = np.zeros(w * bpp, np.uint16)
+            left = np.zeros(bpp, np.int32)
+            ul = np.zeros(bpp, np.int32)
+            for x in range(w):
+                s = slice(x * bpp, (x + 1) * bpp)
+                up = prev[s].astype(np.int32)
+                p = left + up - ul
+                pa_ = np.abs(p - left)
+                pb = np.abs(p - up)
+                pc_ = np.abs(p - ul)
+                pred = np.where(
+                    (pa_ <= pb) & (pa_ <= pc_), left, np.where(pb <= pc_, up, ul)
+                )
+                left = (cur[s].astype(np.int32) + pred) & 0xFF
+                recon[s] = left.astype(np.uint16)
+                ul = up
+        else:
+            raise ValueError(f"invalid PNG filter type {f}")
+        out[y] = recon
+        prev = recon
+    return np.ascontiguousarray(out.astype(np.uint8).reshape(h, w, bpp))
 
 
 # --------------------------------------------------------------------- WAV

@@ -2,12 +2,14 @@
 
 ``decode=True`` is REAL for one uncompressed format per modality —
 24-bit BMP / binary P6 PPM pixels, RIFF PCM16 WAV samples, and
-concatenated-P6 streams as the uncompressed video container — via the
-pure-numpy codecs in ``functions/mediacodec.py`` (the reference analog is
-the CUDA version's pixel kernels, `CUDA-OpenMP Hybrid Version/src/
-cuda_kernels.cu:287-321`). COMPRESSED formats (JPEG/PNG/MP3/MP4) remain the
-contract stub: the stages raise NotImplementedError at the exact seam where
-PIL/torchaudio/pyav would plug in (no codec libraries in this container).
+concatenated-P6 streams as the uncompressed video container — plus ONE
+compressed image format, non-interlaced 8-bit RGB/RGBA PNG (public spec +
+stdlib zlib) — via the pure-numpy codecs in ``functions/mediacodec.py``
+(the reference analog is the CUDA version's pixel kernels,
+`CUDA-OpenMP Hybrid Version/src/cuda_kernels.cu:287-321`). The REMAINING
+compressed formats (JPEG/MP3/MP4) stay the contract stub: the stages raise
+NotImplementedError at the exact seam where PIL/torchaudio/pyav would plug
+in (no codec libraries in this container).
 ``decode=False`` (the default; what the oracle-shaped query entries use)
 keeps the deterministic byte-level stand-ins.
 
@@ -23,11 +25,13 @@ import pyarrow as pa
 
 from ..functions.mediacodec import (
     decode_bmp,
+    decode_png,
     decode_ppm,
     decode_ppm_stream,
     decode_wav,
     detect_media_format,
     encode_bmp,
+    encode_png,
     encode_ppm,
     encode_wav,
     luminance,
@@ -81,7 +85,7 @@ def attach_fake_media(docs, id_col: str = "doc_id", text_col: str = "text"):
 def attach_decodable_media(docs, id_col: str = "doc_id"):
     """Deterministically derive a media table whose payloads are REAL
     uncompressed media (the decode=True path's synthetic input): images are
-    gradient BMP or P6 PPM (alternating by id hash), audio is a PCM16 WAV
+    gradient BMP, P6 PPM or zlib PNG (rotating by id hash), audio is a PCM16 WAV
     ramp, video is a P6 frame stream. All dimensions are hash-derived and
     tiny (<= 16 px, <= 512 samples, <= 5 frames) so payload x batch x
     concurrency stays small; metadata columns reflect the true decoded
@@ -108,9 +112,8 @@ def attach_decodable_media(docs, id_col: str = "doc_id"):
                     ],
                     axis=-1,
                 )
-                payloads.append(
-                    encode_bmp(px) if (h >> 11) % 2 == 0 else encode_ppm(px)
-                )
+                enc = (encode_bmp, encode_ppm, encode_png)[(h >> 11) % 3]
+                payloads.append(enc(px))
                 widths.append(int(w))
                 heights.append(int(ht))
                 durs.append(-1)
@@ -182,6 +185,9 @@ class MediaFeatureStage:
         fmt = detect_media_format(payload)
         if fmt == "bmp":
             return luminance(decode_bmp(payload)).ravel()
+        if fmt == "png":
+            # alpha (if any) doesn't enter luminance
+            return luminance(decode_png(payload)[..., :3]).ravel()
         if fmt == "ppm":
             frames = (
                 decode_ppm_stream(payload)
@@ -196,9 +202,9 @@ class MediaFeatureStage:
                 np.uint8
             )
         raise NotImplementedError(
-            "compressed media decode requires PIL/pyav/torchaudio (not in "
-            "this container); decode=True handles uncompressed BMP/PPM/WAV, "
-            "decode=False computes byte-level features for anything"
+            "JPEG/MP3/MP4 decode requires PIL/pyav/torchaudio (not in this "
+            "container); decode=True handles BMP/PPM/WAV/PNG, decode=False "
+            "computes byte-level features for anything"
         )
 
     def __call__(self, b: pa.Table) -> pa.Table:
@@ -259,12 +265,15 @@ class MediaResizeStage:
         fmt = detect_media_format(payload)
         if fmt == "bmp":
             return encode_bmp(resize_nearest(decode_bmp(payload), self.tw, self.th))
+        if fmt == "png":
+            # channel count (RGB vs RGBA) survives the round-trip
+            return encode_png(resize_nearest(decode_png(payload), self.tw, self.th))
         if fmt == "ppm":
             px, _end = decode_ppm(payload)
             return encode_ppm(resize_nearest(px, self.tw, self.th))
         raise NotImplementedError(
-            "compressed image resize requires PIL/opencv (not in this "
-            "container); decode=True handles uncompressed BMP/PPM"
+            "JPEG image resize requires PIL/opencv (not in this container); "
+            "decode=True handles uncompressed BMP/PPM and zlib PNG"
         )
 
     def __call__(self, b: pa.Table) -> pa.Table:

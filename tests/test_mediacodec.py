@@ -73,7 +73,88 @@ def test_detect_media_format():
     assert mc.detect_media_format(mc.encode_bmp(_gradient(2, 2))) == "bmp"
     assert mc.detect_media_format(mc.encode_ppm(_gradient(2, 2))) == "ppm"
     assert mc.detect_media_format(mc.encode_wav(np.zeros(4, np.int16))) == "wav"
+    assert mc.detect_media_format(mc.encode_png(_gradient(2, 2))) == "png"
     assert mc.detect_media_format(b"\xff\xd8\xff jpeg-ish") is None
+
+
+def test_png_roundtrip_rgb_and_rgba():
+    px = _gradient(5, 3)
+    assert np.array_equal(mc.decode_png(mc.encode_png(px)), px)
+    rgba = np.dstack([px, ((np.arange(15) * 17) % 256).reshape(5, 3).astype(np.uint8)])
+    out = mc.decode_png(mc.encode_png(rgba))
+    assert out.shape == (5, 3, 4) and np.array_equal(out, rgba)
+
+
+def _png_with_filters(px, ftypes):
+    """Forward-filter each row with the given per-row filter types (the
+    encoder only emits filter 0; external PNGs use all five)."""
+    import struct
+    import zlib
+
+    h, w, c = px.shape
+    cur = px.reshape(h, w * c).astype(np.int32)
+    prev = np.zeros(w * c, np.int32)
+    raws = []
+    for y in range(h):
+        row, ftype = cur[y], ftypes[y % len(ftypes)]
+        left = np.zeros_like(row)
+        left[c:] = row[:-c]
+        if ftype == 0:
+            filt = row
+        elif ftype == 1:
+            filt = (row - left) & 0xFF
+        elif ftype == 2:
+            filt = (row - prev) & 0xFF
+        elif ftype == 3:
+            filt = (row - ((left + prev) // 2)) & 0xFF
+        else:  # Paeth
+            ul = np.zeros_like(prev)
+            ul[c:] = prev[:-c]
+            p = left + prev - ul
+            pa_, pb, pc_ = abs(p - left), abs(p - prev), abs(p - ul)
+            pred = np.where(
+                (pa_ <= pb) & (pa_ <= pc_), left, np.where(pb <= pc_, prev, ul)
+            )
+            filt = (row - pred) & 0xFF
+        raws.append(bytes([ftype]) + bytes(filt.astype(np.uint8)))
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2 if c == 3 else 6, 0, 0, 0)
+    return (
+        mc.PNG_MAGIC
+        + mc._png_chunk(b"IHDR", ihdr)
+        + mc._png_chunk(b"IDAT", zlib.compress(b"".join(raws)))
+        + mc._png_chunk(b"IEND", b"")
+    )
+
+
+def test_png_decode_all_filter_types():
+    rng = np.random.default_rng(7)
+    for c in (3, 4):
+        px = rng.integers(0, 256, (8, 6, c), dtype=np.uint8)
+        for ftype in range(5):
+            got = mc.decode_png(_png_with_filters(px, [ftype]))
+            assert np.array_equal(got, px), f"filter {ftype}, {c} channels"
+        # mixed per-row filters, the realistic external-encoder case
+        got = mc.decode_png(_png_with_filters(px, [0, 1, 2, 3, 4]))
+        assert np.array_equal(got, px)
+
+
+def test_png_unsupported_variants_raise():
+    import struct
+    import zlib
+
+    def mk(depth, color_type, interlace=0):
+        ihdr = struct.pack(">IIBBBBB", 2, 2, depth, color_type, 0, 0, interlace)
+        return (
+            mc.PNG_MAGIC
+            + mc._png_chunk(b"IHDR", ihdr)
+            + mc._png_chunk(b"IDAT", zlib.compress(b"\x00" * 8))
+            + mc._png_chunk(b"IEND", b"")
+        )
+
+    for bad in (mk(16, 2), mk(8, 0), mk(8, 3), mk(8, 2, interlace=1)):
+        with pytest.raises(ValueError):
+            mc.decode_png(bad)
 
 
 def test_resize_nearest_known_values():
@@ -106,11 +187,12 @@ def test_feature_stage_decoded_known_histogram():
     # half black / half white image: luminance 0 and 255 -> bins 0 and 15
     px = np.zeros((2, 4, 3), np.uint8)
     px[:, 2:, :] = 255
-    out = mm.MediaFeatureStage(decode=True)(_media_row(mc.encode_bmp(px)))
-    f = np.array(out["features"].to_pylist()[0])
-    assert f[0] == pytest.approx(0.5) and f[15] == pytest.approx(0.5)
-    assert f[1:15].sum() == 0 and f[16] == 8.0  # 8 pixels
-    assert out["n_bytes"].to_pylist()[0] == len(mc.encode_bmp(px))
+    for enc in (mc.encode_bmp, mc.encode_png):  # PNG: the compressed path
+        out = mm.MediaFeatureStage(decode=True)(_media_row(enc(px)))
+        f = np.array(out["features"].to_pylist()[0])
+        assert f[0] == pytest.approx(0.5) and f[15] == pytest.approx(0.5)
+        assert f[1:15].sum() == 0 and f[16] == 8.0  # 8 pixels
+        assert out["n_bytes"].to_pylist()[0] == len(enc(px))
 
 
 def test_feature_stage_decoded_wav_amplitudes():
@@ -139,7 +221,8 @@ def test_feature_stage_decoded_video_all_frames():
 def test_resize_stage_decoded_known_pixels():
     px = _gradient(4, 4)
     for codec_enc, codec_dec in ((mc.encode_bmp, mc.decode_bmp),
-                                 (mc.encode_ppm, lambda d: mc.decode_ppm(d)[0])):
+                                 (mc.encode_ppm, lambda d: mc.decode_ppm(d)[0]),
+                                 (mc.encode_png, mc.decode_png)):
         out = mm.MediaResizeStage(target_w=2, target_h=2, decode=True)(
             _media_row(codec_enc(px))
         )
@@ -205,17 +288,24 @@ def test_media_resize_decoded_pipeline(ray_session):
             assert r["payload"] == media[r["media_id"]]["payload"]
             continue
         n_img += 1
-        fmt = mc.detect_media_format(r["payload"])
-        px = (mc.decode_bmp(r["payload"]) if fmt == "bmp"
-              else mc.decode_ppm(r["payload"])[0])
+
+        def dec(d):
+            f = mc.detect_media_format(d)
+            if f == "bmp":
+                return f, mc.decode_bmp(d)
+            if f == "png":
+                return f, mc.decode_png(d)
+            return f, mc.decode_ppm(d)[0]
+
+        fmt, px = dec(r["payload"])
         assert px.shape == (5, 6, 3)
         # spot-check: output (0,0) is the source's (0,0) pixel
-        src = media[r["media_id"]]["payload"]
-        sfmt = mc.detect_media_format(src)
-        spx = mc.decode_bmp(src) if sfmt == "bmp" else mc.decode_ppm(src)[0]
+        sfmt, spx = dec(media[r["media_id"]]["payload"])
         assert np.array_equal(px[0, 0], spx[0, 0])
         assert fmt == sfmt  # re-encoded in the SAME format
     assert n_img > 0
+    assert {mc.detect_media_format(r["payload"]) for r in out
+            if r["media_type"] == "image"} >= {"png"}  # generator emits PNGs
 
 
 def test_media_frame_samples_decoded_pipeline(ray_session):
