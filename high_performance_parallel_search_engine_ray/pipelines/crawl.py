@@ -206,6 +206,16 @@ class CrawlConfig:
     # dynamic/adaptive (non-affine routing with an unbounded cache costs
     # n_fetchers x corpus RAM — measured OOM at bench scale).
     fetcher_cache_buckets: int | None = None
+    # Deterministic fault injection (chaos testing): kill ONE actor while
+    # the given round's fetch tasks are in flight.
+    #   {"round": r, "target": "fetcher" | "shard", "index": i}
+    # A killed FETCHER must be invisible (max_restarts brings it back and
+    # the in-flight fetch re-executes; docs writes are content-keyed
+    # idempotent). A killed SHARD is fatal by design (shards hold crawl
+    # state and do not restart): the run raises and the recovery path is
+    # checkpoint resume. Both behaviors are equality-tested under real
+    # ray.kill in tests/test_resume.py. One-shot per engine instance.
+    chaos_kill: dict | None = None
 
 
 def prune_checkpoints(out_dir: str, keep: int = 2) -> list[str]:
@@ -306,6 +316,7 @@ class ShardedCrawl:
         # cumulative (busy_s, n) baselines the per-round deltas subtract from
         self._speed_ema: "np.ndarray | None" = None
         self._load_base: list[tuple[float, int]] | None = None
+        self._chaos_fired = False  # cfg.chaos_kill is one-shot per engine
 
     def _assign_fetchers(self, frontier_all: pa.Table, nf: int):
         """url index -> fetcher id per the configured load strategy (see
@@ -632,6 +643,19 @@ class ShardedCrawl:
                         )
                     wave_refs[w].append(refs)
             flat_refs = [r for wave in wave_refs for refs in wave for r in refs]
+            if (
+                cfg.chaos_kill
+                and not self._chaos_fired
+                and cfg.chaos_kill.get("round") == self.round
+            ):
+                # mid-round fault injection: the round's fetch tasks are in
+                # flight right now (see CrawlConfig.chaos_kill)
+                self._chaos_fired = True
+                idx = int(cfg.chaos_kill.get("index", 0))
+                if cfg.chaos_kill["target"] == "fetcher":
+                    ray.kill(self._fetchers[idx], no_restart=False)
+                else:
+                    ray.kill(self._actors[idx])
             t_f0 = time.perf_counter()
             # Direct shuffle through the object store: each shard actor
             # reads its own pre-sliced outputs (zero-copy plasma reads) and

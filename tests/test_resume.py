@@ -231,6 +231,58 @@ def test_fetcher_kill_and_restart_equality(ray_session, smoke_corpus):
     assert res["pages_crawled"] == ref["pages_crawled"]
 
 
+def test_fetcher_killed_mid_round_invisible(ray_session, smoke_corpus):
+    """Kill a fetch actor WHILE its round's fetch tasks are in flight
+    (chaos_kill fires after wave submission): max_restarts revives it, the
+    in-flight tasks re-execute, the content-keyed docs write dedupes the
+    retry — the whole crawl completes in ONE run() with state identical to
+    an unperturbed run. No resume needed."""
+    ref, seen_ref, docs_ref = _run(smoke_corpus, "/tmp/t_midkill_ref")
+
+    res, seen, docs = _run(
+        smoke_corpus,
+        "/tmp/t_midkill_f",
+        chaos_kill={"round": 1, "target": "fetcher", "index": 1},
+    )
+    assert seen == seen_ref
+    assert docs == docs_ref
+    assert res["pages_crawled"] == ref["pages_crawled"]
+    assert res["rounds"] == ref["rounds"]
+
+
+def test_frontier_shard_killed_mid_round_recovers_via_resume(
+    ray_session, smoke_corpus
+):
+    """Kill a FrontierShard actor mid-round (fetch tasks in flight): shards
+    hold crawl state and deliberately do NOT restart, so the run fails
+    fast; a fresh engine resuming from the last durable checkpoint reaches
+    the exact seen-set/docs/page-count of an uninterrupted crawl — the
+    partial round's docs directory is discarded and refetched, admission
+    is idempotent."""
+    import glob as _glob
+
+    full, seen_full, docs_full = _run(smoke_corpus, "/tmp/t_shardkill_full")
+
+    eng = ShardedCrawl(
+        _cfg(
+            smoke_corpus,
+            "/tmp/t_shardkill",
+            chaos_kill={"round": 2, "target": "shard", "index": 0},
+        )
+    )
+    with pytest.raises(Exception):
+        eng.run()
+    eng.shutdown()
+    # rounds 0..1 checkpointed before the kill; the dead round may have left
+    # a partial docs dir, which resume must discard and redo
+    assert _glob.glob("/tmp/t_shardkill/ckpt/round=*")
+
+    res, seen, docs = _run(smoke_corpus, "/tmp/t_shardkill", resume=True)
+    assert seen == seen_full
+    assert docs == docs_full
+    assert res["pages_crawled"] == full["pages_crawled"]
+
+
 def test_docs_write_is_idempotent(ray_session, tmp_path):
     """_write_docs keys the part filename on the doc-id content, so a
     retried fetch task rewrites the SAME file instead of duplicating doc
