@@ -206,6 +206,15 @@ class CrawlConfig:
     # dynamic/adaptive (non-affine routing with an unbounded cache costs
     # n_fetchers x corpus RAM — measured OOM at bench scale).
     fetcher_cache_buckets: int | None = None
+    # Multi-node placement: schedule frontier shards and the fetch pool
+    # with scheduling_strategy="SPREAD" so state and fetch capacity land
+    # across the cluster's nodes instead of packing the head node (the
+    # actors are num_cpus<=0.1, so default scheduling would happily pack
+    # them wherever the driver runs). Default on; single-node runs are
+    # unaffected (SPREAD over one node is a no-op). Cross-node placement
+    # is tested against a two-node ray.cluster_utils.Cluster
+    # (tests/test_placement.py).
+    spread_actors: bool = True
     # Deterministic fault injection (chaos testing): kill ONE actor while
     # the given round's fetch tasks are in flight.
     #   {"round": r, "target": "fetcher" | "shard", "index": i}
@@ -441,10 +450,13 @@ class ShardedCrawl:
         cfg = self.cfg
         robots_rows = load_robots_rows(cfg.corpus_dir) if cfg.use_robots else []
         Actor = ray.remote(FrontierShard)
+        opts = {"num_cpus": 0.1}
+        if cfg.spread_actors:
+            opts["scheduling_strategy"] = "SPREAD"
         self._actors = []
         for s in range(cfg.num_shards):
             self._actors.append(
-                Actor.options(num_cpus=0.1).remote(
+                Actor.options(**opts).remote(
                     s,
                     cfg.num_shards,
                     expected_urls=cfg.expected_urls_per_shard,
@@ -500,8 +512,11 @@ class ShardedCrawl:
                 2, 2 * ((N_BUCKETS + cfg.fetch_concurrency - 1)
                         // cfg.fetch_concurrency)
             )
+        fopts = {"num_cpus": 0, "max_restarts": -1, "max_task_retries": 1}
+        if cfg.spread_actors:
+            fopts["scheduling_strategy"] = "SPREAD"
         self._fetchers = [
-            Fetcher.options(num_cpus=0, max_restarts=-1, max_task_retries=1).remote(
+            Fetcher.options(**fopts).remote(
                 corpus_dir=cfg.corpus_dir,
                 docs_dir="",  # per-round dir passed per call
                 num_shards=cfg.num_shards,
@@ -515,11 +530,14 @@ class ShardedCrawl:
     def _restore_actors(self, snapshot_dir: str):
         cfg = self.cfg
         RestoredActor = ray.remote(_RestorableShard)
+        opts = {"num_cpus": 0.1}
+        if cfg.spread_actors:
+            opts["scheduling_strategy"] = "SPREAD"
         self._actors = []
         for s in range(cfg.num_shards):
             with open(os.path.join(snapshot_dir, f"shard-{s:04d}.bin"), "rb") as f:
                 payload = f.read()
-            self._actors.append(RestoredActor.options(num_cpus=0.1).remote(payload))
+            self._actors.append(RestoredActor.options(**opts).remote(payload))
 
     def seed(self, seeds_table: pa.Table | None = None):
         if seeds_table is None:

@@ -165,6 +165,13 @@ class FetchParse:
         per-process load metrics, `MPI Version/src/load_balancer.c:15`)."""
         return self._busy_s, self._n_fetched
 
+    def runtime_node(self) -> str:
+        """Node this actor landed on — placement diagnostics (the SPREAD
+        scheduling test asserts the fetch pool spans a multi-node cluster)."""
+        import ray
+
+        return ray.get_runtime_context().get_node_id()
+
     def reset_emitted(self) -> None:
         """New crawl adopting this (cache-warm) fetcher: clear the
         cross-round emission-suppression state, keep the page cache."""

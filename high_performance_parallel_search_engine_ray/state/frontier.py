@@ -457,6 +457,13 @@ class FrontierShard:
     def seen_count(self) -> int:
         return len(self.seen_exact)
 
+    def runtime_node(self) -> str:
+        """Node this actor landed on — placement diagnostics (the SPREAD
+        scheduling test asserts shards span a multi-node cluster)."""
+        import ray
+
+        return ray.get_runtime_context().get_node_id()
+
     # -- snapshot / restore (per-partition checkpoint payload) -------------
     def snapshot(self) -> bytes:
         return pickle.dumps(
