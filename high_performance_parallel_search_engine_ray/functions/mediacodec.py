@@ -13,12 +13,14 @@ Formats (all public, byte-exact per spec):
   back-to-back form a valid raw video stream (the ffmpeg image2pipe ppm
   format) — used as the uncompressed "video" container for frame sampling.
 - WAV  — RIFF/WAVE PCM 16-bit (mono or interleaved stereo).
-- PNG  — non-interlaced 8-bit RGB/RGBA (public spec + stdlib zlib), the one
-  COMPRESSED format decodable without new dependencies: full five-filter
-  defilter on decode, filter-0 rows on encode.
+- PNG  — non-interlaced 8-bit RGB/RGBA (public spec + stdlib zlib): full
+  five-filter defilter on decode, filter-0 rows on encode.
+- JPEG — baseline sequential JFIF (`functions/jpegcodec.py`, pure numpy +
+  struct): any sampling factors on decode (4:4:4/4:2:2/4:2:0), 4:4:4
+  Annex-K encode. Progressive JPEG raises at the documented seam.
 
-Remaining compressed formats (JPEG/MP3/MP4) still belong behind the contract
-stub: a real deployment swaps PIL/pyav in at the same seam.
+Remaining compressed formats (MP3/MP4 audio/video) still belong behind the
+contract stub: a real deployment swaps pyav/torchaudio in at the same seam.
 """
 
 from __future__ import annotations
@@ -32,9 +34,11 @@ import numpy as np
 
 PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
+from .jpegcodec import decode_jpeg, encode_jpeg  # noqa: E402,F401 — codec family
+
 
 def detect_media_format(payload: bytes) -> str | None:
-    """'bmp' | 'ppm' | 'wav' | 'png' by magic bytes; None when
+    """'bmp' | 'ppm' | 'wav' | 'png' | 'jpeg' by magic bytes; None when
     unrecognized."""
     if payload[:2] == b"BM":
         return "bmp"
@@ -44,6 +48,8 @@ def detect_media_format(payload: bytes) -> str | None:
         return "wav"
     if payload[:8] == PNG_MAGIC:
         return "png"
+    if payload[:3] == b"\xff\xd8\xff":
+        return "jpeg"
     return None
 
 

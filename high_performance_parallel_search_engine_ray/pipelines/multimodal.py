@@ -2,14 +2,15 @@
 
 ``decode=True`` is REAL for one uncompressed format per modality —
 24-bit BMP / binary P6 PPM pixels, RIFF PCM16 WAV samples, and
-concatenated-P6 streams as the uncompressed video container — plus ONE
-compressed image format, non-interlaced 8-bit RGB/RGBA PNG (public spec +
-stdlib zlib) — via the pure-numpy codecs in ``functions/mediacodec.py``
+concatenated-P6 streams as the uncompressed video container — plus BOTH
+compressed image formats a web crawl actually meets: non-interlaced 8-bit
+RGB/RGBA PNG (stdlib zlib) and baseline sequential JPEG (pure numpy,
+`functions/jpegcodec.py`) — via the codecs in ``functions/mediacodec.py``
 (the reference analog is the CUDA version's pixel kernels,
 `CUDA-OpenMP Hybrid Version/src/cuda_kernels.cu:287-321`). The REMAINING
-compressed formats (JPEG/MP3/MP4) stay the contract stub: the stages raise
-NotImplementedError at the exact seam where PIL/torchaudio/pyav would plug
-in (no codec libraries in this container).
+compressed formats (MP3/MP4 audio/video, progressive JPEG) stay the
+contract stub: the stages raise at the exact seam where
+PIL/torchaudio/pyav would plug in (no codec libraries in this container).
 ``decode=False`` (the default; what the oracle-shaped query entries use)
 keeps the deterministic byte-level stand-ins.
 
@@ -25,12 +26,14 @@ import pyarrow as pa
 
 from ..functions.mediacodec import (
     decode_bmp,
+    decode_jpeg,
     decode_png,
     decode_ppm,
     decode_ppm_stream,
     decode_wav,
     detect_media_format,
     encode_bmp,
+    encode_jpeg,
     encode_png,
     encode_ppm,
     encode_wav,
@@ -85,7 +88,9 @@ def attach_fake_media(docs, id_col: str = "doc_id", text_col: str = "text"):
 def attach_decodable_media(docs, id_col: str = "doc_id"):
     """Deterministically derive a media table whose payloads are REAL
     uncompressed media (the decode=True path's synthetic input): images are
-    gradient BMP, P6 PPM or zlib PNG (rotating by id hash), audio is a PCM16 WAV
+    gradient BMP, P6 PPM, zlib PNG or baseline JPEG (rotating by id hash;
+    the JPEG leg is lossy, so value tests compare with tolerance there),
+    audio is a PCM16 WAV
     ramp, video is a P6 frame stream. All dimensions are hash-derived and
     tiny (<= 16 px, <= 512 samples, <= 5 frames) so payload x batch x
     concurrency stays small; metadata columns reflect the true decoded
@@ -112,7 +117,9 @@ def attach_decodable_media(docs, id_col: str = "doc_id"):
                     ],
                     axis=-1,
                 )
-                enc = (encode_bmp, encode_ppm, encode_png)[(h >> 11) % 3]
+                enc = (encode_bmp, encode_ppm, encode_png, encode_jpeg)[
+                    (h >> 11) % 4
+                ]
                 payloads.append(enc(px))
                 widths.append(int(w))
                 heights.append(int(ht))
@@ -188,6 +195,8 @@ class MediaFeatureStage:
         if fmt == "png":
             # alpha (if any) doesn't enter luminance
             return luminance(decode_png(payload)[..., :3]).ravel()
+        if fmt == "jpeg":
+            return luminance(decode_jpeg(payload)).ravel()
         if fmt == "ppm":
             frames = (
                 decode_ppm_stream(payload)
@@ -202,9 +211,9 @@ class MediaFeatureStage:
                 np.uint8
             )
         raise NotImplementedError(
-            "JPEG/MP3/MP4 decode requires PIL/pyav/torchaudio (not in this "
-            "container); decode=True handles BMP/PPM/WAV/PNG, decode=False "
-            "computes byte-level features for anything"
+            "MP3/MP4 decode requires pyav/torchaudio (not in this "
+            "container); decode=True handles BMP/PPM/WAV/PNG/baseline-JPEG, "
+            "decode=False computes byte-level features for anything"
         )
 
     def __call__(self, b: pa.Table) -> pa.Table:
@@ -268,12 +277,16 @@ class MediaResizeStage:
         if fmt == "png":
             # channel count (RGB vs RGBA) survives the round-trip
             return encode_png(resize_nearest(decode_png(payload), self.tw, self.th))
+        if fmt == "jpeg":
+            # lossy re-encode, same as any thumbnailer
+            return encode_jpeg(resize_nearest(decode_jpeg(payload), self.tw, self.th))
         if fmt == "ppm":
             px, _end = decode_ppm(payload)
             return encode_ppm(resize_nearest(px, self.tw, self.th))
         raise NotImplementedError(
-            "JPEG image resize requires PIL/opencv (not in this container); "
-            "decode=True handles uncompressed BMP/PPM and zlib PNG"
+            "unrecognized image container; decode=True handles BMP/PPM, "
+            "zlib PNG and baseline JPEG (progressive JPEG stays behind "
+            "the PIL seam)"
         )
 
     def __call__(self, b: pa.Table) -> pa.Table:

@@ -74,7 +74,8 @@ def test_detect_media_format():
     assert mc.detect_media_format(mc.encode_ppm(_gradient(2, 2))) == "ppm"
     assert mc.detect_media_format(mc.encode_wav(np.zeros(4, np.int16))) == "wav"
     assert mc.detect_media_format(mc.encode_png(_gradient(2, 2))) == "png"
-    assert mc.detect_media_format(b"\xff\xd8\xff jpeg-ish") is None
+    assert mc.detect_media_format(mc.encode_jpeg(_gradient(2, 2))) == "jpeg"
+    assert mc.detect_media_format(b"\x00\x01 unknown-container") is None
 
 
 def test_png_roundtrip_rgb_and_rgba():
@@ -137,6 +138,197 @@ def test_png_decode_all_filter_types():
         # mixed per-row filters, the realistic external-encoder case
         got = mc.decode_png(_png_with_filters(px, [0, 1, 2, 3, 4]))
         assert np.array_equal(got, px)
+
+
+def test_jpeg_uniform_blocks_exact():
+    """Uniform 8x8-aligned color regions are DC-only: the baseline JPEG
+    round trip at quality 95 reproduces them exactly."""
+    from high_performance_parallel_search_engine_ray.functions import jpegcodec as jc
+
+    px = np.zeros((16, 24, 3), np.uint8)
+    px[:8] = [200, 30, 90]
+    px[8:] = [10, 250, 120]
+    out = jc.decode_jpeg(jc.encode_jpeg(px, quality=95))
+    assert out.shape == px.shape
+    assert np.array_equal(out, px)
+
+
+def test_jpeg_gradient_roundtrip_tolerance():
+    """Lossy but bounded: a gradient with odd (non-multiple-of-8) dims
+    survives encode/decode within tight error at quality 90; padding never
+    leaks into the cropped output shape."""
+    from high_performance_parallel_search_engine_ray.functions import jpegcodec as jc
+
+    yy, xx = np.mgrid[0:21, 0:13]
+    px = np.stack(
+        [(xx * 19) % 256, (yy * 11) % 256, (xx + yy) % 256], -1
+    ).astype(np.uint8)
+    out = jc.decode_jpeg(jc.encode_jpeg(px, quality=90))
+    assert out.shape == (21, 13, 3)
+    diff = np.abs(out.astype(int) - px.astype(int))
+    assert diff.mean() < 3 and diff.max() <= 32
+
+
+def test_jpeg_grayscale_single_component():
+    """A 1-component (grayscale) baseline stream decodes via the generic
+    MCU loop and replicates to 3 channels."""
+    import struct
+    import zlib  # noqa: F401 — parallel to the PNG helpers' imports
+
+    from high_performance_parallel_search_engine_ray.functions.jpegcodec import (
+        DCT_M, HT_AC_LUM, HT_DC_LUM, ZIGZAG, _BitWriter, _blockify,
+        _huff_codes, _magnitude, _quality_tables, decode_jpeg,
+    )
+
+    g = ((np.arange(16)[:, None] * 16 + np.arange(16)[None, :]) % 256).astype(
+        np.uint8
+    )
+    qy, _ = _quality_tables(95)
+    blocks = _blockify(g.astype(float)) - 128.0
+    coef = np.einsum("ij,njk,lk->nil", DCT_M, blocks, DCT_M)
+    quant = np.round(coef / qy).astype(np.int64).reshape(-1, 64)[:, ZIGZAG]
+    dc, ac = _huff_codes(*HT_DC_LUM), _huff_codes(*HT_AC_LUM)
+    bw = _BitWriter()
+    pred = 0
+    for zz in quant:
+        size, bits = _magnitude(int(zz[0]) - pred)
+        pred = int(zz[0])
+        c, ln = dc[size]
+        bw.write(c, ln)
+        bw.write(bits, size)
+        run = 0
+        for k in range(1, 64):
+            v = int(zz[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                c, ln = ac[0xF0]
+                bw.write(c, ln)
+                run -= 16
+            size, bits = _magnitude(v)
+            c, ln = ac[(run << 4) | size]
+            bw.write(c, ln)
+            bw.write(bits, size)
+            run = 0
+        if run:
+            c, ln = ac[0x00]
+            bw.write(c, ln)
+
+    def seg(m, b):
+        return struct.pack(">HH", m, len(b) + 2) + b
+
+    data = bytearray(b"\xff\xd8")
+    data += seg(0xFFDB, bytes([0]) + bytes(qy.reshape(64)[ZIGZAG].astype(np.uint8)))
+    data += seg(0xFFC0, bytes([8]) + struct.pack(">HH", 16, 16) + bytes([1, 1, 0x11, 0]))
+    data += seg(0xFFC4, bytes([0x00]) + bytes(HT_DC_LUM[0]) + bytes(HT_DC_LUM[1]))
+    data += seg(0xFFC4, bytes([0x10]) + bytes(HT_AC_LUM[0]) + bytes(HT_AC_LUM[1]))
+    data += seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    data += bw.flush() + b"\xff\xd9"
+    out = decode_jpeg(bytes(data))
+    assert out.shape == (16, 16, 3)
+    assert np.array_equal(out[:, :, 0], out[:, :, 1])
+    assert np.max(np.abs(out[:, :, 0].astype(int) - g.astype(int))) <= 2
+
+
+def test_jpeg_420_subsampled_decode():
+    """A hand-built 4:2:0 stream (2x2 luma blocks + 1 chroma block per
+    MCU) decodes through the generic sampling-factor MCU loop; a uniform
+    color reproduces exactly after chroma upsampling."""
+    import struct
+
+    from high_performance_parallel_search_engine_ray.functions.jpegcodec import (
+        DCT_M, HT_AC_CHR, HT_AC_LUM, HT_DC_CHR, HT_DC_LUM, ZIGZAG,
+        _BitWriter, _blockify, _huff_codes, _magnitude, _quality_tables,
+        decode_jpeg,
+    )
+
+    h = w = 16  # one 4:2:0 MCU = 16x16 luma, 8x8 chroma
+    rgb = np.full((h, w, 3), [120, 200, 60], np.uint8)
+    f = rgb.astype(np.float64)
+    y = 0.299 * f[..., 0] + 0.587 * f[..., 1] + 0.114 * f[..., 2]
+    cb = -0.168736 * f[..., 0] - 0.331264 * f[..., 1] + 0.5 * f[..., 2] + 128
+    cr = 0.5 * f[..., 0] - 0.418688 * f[..., 1] - 0.081312 * f[..., 2] + 128
+    cb_s = cb.reshape(8, 2, 8, 2).mean(axis=(1, 3))  # 2x2 average subsample
+    cr_s = cr.reshape(8, 2, 8, 2).mean(axis=(1, 3))
+    qy, qc = _quality_tables(95)
+
+    def quantize(plane, qt):
+        blocks = _blockify(plane) - 128.0
+        coef = np.einsum("ij,njk,lk->nil", DCT_M, blocks, DCT_M)
+        return np.round(coef / qt).astype(np.int64).reshape(-1, 64)[:, ZIGZAG]
+
+    yq, cbq, crq = quantize(y, qy), quantize(cb_s, qc), quantize(cr_s, qc)
+    tabs = {
+        0: (_huff_codes(*HT_DC_LUM), _huff_codes(*HT_AC_LUM)),
+        1: (_huff_codes(*HT_DC_CHR), _huff_codes(*HT_AC_CHR)),
+    }
+    bw = _BitWriter()
+    pred = {0: 0, 1: 0, 2: 0}
+
+    def put_block(zz, comp, tid):
+        dc, ac = tabs[tid]
+        size, bits = _magnitude(int(zz[0]) - pred[comp])
+        pred[comp] = int(zz[0])
+        c, ln = dc[size]
+        bw.write(c, ln)
+        bw.write(bits, size)
+        run = 0
+        for k in range(1, 64):
+            v = int(zz[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                c, ln = ac[0xF0]
+                bw.write(c, ln)
+                run -= 16
+            size, bits = _magnitude(v)
+            c, ln = ac[(run << 4) | size]
+            bw.write(c, ln)
+            bw.write(bits, size)
+            run = 0
+        if run:
+            c, ln = ac[0x00]
+            bw.write(c, ln)
+
+    # MCU order: Y blocks raster within MCU (2x2), then Cb, then Cr.
+    # _blockify of the 16x16 Y plane yields raster block order 0,1,2,3
+    # which matches the (by,bx) order for a single MCU.
+    for bi in range(4):
+        put_block(yq[bi], 0, 0)
+    put_block(cbq[0], 1, 1)
+    put_block(crq[0], 2, 1)
+
+    def seg(m, b):
+        return struct.pack(">HH", m, len(b) + 2) + b
+
+    data = bytearray(b"\xff\xd8")
+    data += seg(0xFFDB, bytes([0]) + bytes(qy.reshape(64)[ZIGZAG].astype(np.uint8)))
+    data += seg(0xFFDB, bytes([1]) + bytes(qc.reshape(64)[ZIGZAG].astype(np.uint8)))
+    data += seg(
+        0xFFC0,
+        bytes([8]) + struct.pack(">HH", h, w)
+        + bytes([3, 1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1]),
+    )
+    data += seg(0xFFC4, bytes([0x00]) + bytes(HT_DC_LUM[0]) + bytes(HT_DC_LUM[1]))
+    data += seg(0xFFC4, bytes([0x10]) + bytes(HT_AC_LUM[0]) + bytes(HT_AC_LUM[1]))
+    data += seg(0xFFC4, bytes([0x01]) + bytes(HT_DC_CHR[0]) + bytes(HT_DC_CHR[1]))
+    data += seg(0xFFC4, bytes([0x11]) + bytes(HT_AC_CHR[0]) + bytes(HT_AC_CHR[1]))
+    data += seg(0xFFDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+    data += bw.flush() + b"\xff\xd9"
+    out = decode_jpeg(bytes(data))
+    assert out.shape == (16, 16, 3)
+    assert np.max(np.abs(out.astype(int) - rgb.astype(int))) <= 1
+
+
+def test_jpeg_progressive_rejected():
+    from high_performance_parallel_search_engine_ray.functions import jpegcodec as jc
+
+    d = jc.encode_jpeg(_gradient(8, 8), quality=90)
+    i = d.find(b"\xff\xc0")
+    with pytest.raises(ValueError, match="baseline"):
+        jc.decode_jpeg(d[:i] + b"\xff\xc2" + d[i + 2 :])
 
 
 def test_png_unsupported_variants_raise():
@@ -230,6 +422,15 @@ def test_resize_stage_decoded_known_pixels():
         assert np.array_equal(got, px[[0, 2]][:, [0, 2]])
         assert out["width"].to_pylist() == [2]
         assert out["height"].to_pylist() == [2]
+    # JPEG leg: decode -> resize -> lossy re-encode; bounded error, not exact
+    big = np.repeat(np.repeat(_gradient(4, 4), 4, 0), 4, 1)  # 16x16, smooth
+    out = mm.MediaResizeStage(target_w=8, target_h=8, decode=True)(
+        _media_row(mc.encode_jpeg(big))
+    )
+    got = mc.decode_jpeg(out["payload"].to_pylist()[0])
+    want = mc.resize_nearest(big, 8, 8)
+    assert got.shape == (8, 8, 3)
+    assert np.abs(got.astype(int) - want.astype(int)).mean() < 8
 
 
 def test_frame_stage_decoded_samples_expected_frames():
@@ -295,17 +496,24 @@ def test_media_resize_decoded_pipeline(ray_session):
                 return f, mc.decode_bmp(d)
             if f == "png":
                 return f, mc.decode_png(d)
+            if f == "jpeg":
+                return f, mc.decode_jpeg(d)
             return f, mc.decode_ppm(d)[0]
 
         fmt, px = dec(r["payload"])
         assert px.shape == (5, 6, 3)
-        # spot-check: output (0,0) is the source's (0,0) pixel
+        # spot-check: output (0,0) is the source's (0,0) pixel (JPEG legs
+        # are lossy on BOTH decode and re-encode — tolerance there)
         sfmt, spx = dec(media[r["media_id"]]["payload"])
-        assert np.array_equal(px[0, 0], spx[0, 0])
+        if fmt == "jpeg":
+            assert np.abs(px[0, 0].astype(int) - spx[0, 0].astype(int)).max() <= 32
+        else:
+            assert np.array_equal(px[0, 0], spx[0, 0])
         assert fmt == sfmt  # re-encoded in the SAME format
     assert n_img > 0
-    assert {mc.detect_media_format(r["payload"]) for r in out
-            if r["media_type"] == "image"} >= {"png"}  # generator emits PNGs
+    fmts = {mc.detect_media_format(r["payload"]) for r in out
+            if r["media_type"] == "image"}
+    assert fmts >= {"png"}  # generator emits compressed formats too
 
 
 def test_media_frame_samples_decoded_pipeline(ray_session):
