@@ -191,6 +191,7 @@ class _BitWriter:
             self.buf.append(byte)
             if byte == 0xFF:  # byte stuffing
                 self.buf.append(0x00)
+        self.acc &= (1 << self.n) - 1  # trim flushed bits (keep acc small)
 
     def flush(self) -> bytes:
         if self.n:
@@ -337,6 +338,7 @@ class _BitReader:
             self.pos += 1
             self.acc = (self.acc << 8) | byte
             self.n += 8
+        self.acc &= (1 << self.n) - 1  # trim consumed bits (keep acc small)
 
     def bit(self) -> int:
         if self.n == 0:
