@@ -33,7 +33,7 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 QUERY_ARTIFACT = os.environ.get(
     "GRAFT_QUERY_ARTIFACT",
     os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                 "BENCH", "bench_r4_queries.json"),
+                 "BENCH", "bench_r5_queries.json"),
 )
 # Flagship subset kept inline in the stdout line (format contract: the
 # driver expects a "queries" dict; the FULL suite lives in QUERY_ARTIFACT).
@@ -207,6 +207,14 @@ BENCH_QUERIES = [
     "serp_dedup",
     "incremental_stats",
     "source_quota_serp",
+    # round-4/5 additions (appends only — earlier entries stay comparable)
+    "repeated_ngram_spans",
+    "cut_repeated_spans",
+    "hooked_doc_stats",
+    "hooked_token_stats",
+    "media_features_decoded",
+    "media_resize_decoded",
+    "media_frame_samples_decoded",
 ]
 
 
