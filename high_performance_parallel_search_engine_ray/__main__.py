@@ -291,7 +291,13 @@ def cmd_serve(args) -> int:
     _ray_init(args.num_cpus)
     from .server import EngineHandle, serve
 
-    docs = _docs_dataset(args.docs)
+    # index-only deployment: a prebuilt --index-dir serves bm25 variants
+    # without the corpus on board (the pattern variant then 400s)
+    if args.docs is None and (args.adhoc or args.index_dir is None):
+        print(json.dumps({"error": "--docs is required unless --index-dir "
+                                   "points at a built index"}))
+        return 1
+    docs = _docs_dataset(args.docs) if args.docs else None
     serve(
         EngineHandle(docs, index_dir=args.index_dir, adhoc=args.adhoc),
         args.port,
@@ -389,8 +395,9 @@ def main(argv=None) -> int:
         "serve",
         help="REST control plane: /api/status /api/search /api/metrics /api/compare",
     )
-    psv.add_argument("--docs", required=True,
-                     help="documents parquet or crawl out_dir to serve")
+    psv.add_argument("--docs", default=None,
+                     help="documents parquet or crawl out_dir to serve "
+                          "(optional when --index-dir holds a built index)")
     psv.add_argument("--port", type=int, default=5001)
     psv.add_argument("--num-cpus", type=int, default=None)
     psv.add_argument("--index-dir", default=None,

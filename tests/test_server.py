@@ -96,6 +96,36 @@ def test_expanded_served_equals_adhoc(server):
         assert d["results"] == json.loads(json.dumps(served))
 
 
+def test_index_only_serving(server):
+    """An EngineHandle over a prebuilt index with NO docs table serves the
+    bm25 variants (the ship-the-index deployment); the pattern variant —
+    an inherent corpus scan — errors cleanly."""
+    from high_performance_parallel_search_engine_ray.server import EngineHandle
+
+    base, eng = server
+    index_only = EngineHandle(None, index_dir=eng.index_dir)
+    got = index_only.search("hash join", k=5)["results"]
+    d = _post(f"{base}/api/search", {"query": "hash join", "k": 5})
+    assert got == json.loads(json.dumps(d["results"]))
+    exp = index_only.search("hash joins", k=5, variant="bm25_expanded")["results"]
+    assert exp  # expansion works from the index alone
+    with pytest.raises(ValueError, match="pattern"):
+        index_only.search("scan", variant="pattern")
+
+
+def test_dashboard_escapes_untrusted_values(server):
+    """The console escapes crawled/server strings before any innerHTML
+    interpolation (regression pin for the stored/reflected XSS finding)."""
+    import urllib.request
+
+    base, _ = server
+    with urllib.request.urlopen(f"{base}/", timeout=60) as r:
+        html = r.read().decode()
+    assert "const esc=" in html
+    for use in ("esc(res.error)", "esc(id)", "esc(sc)"):
+        assert use in html
+
+
 def test_adhoc_fallback_equality(server):
     """The --adhoc fallback (materialized tf) returns the same top-k as
     the index-served default."""
