@@ -166,11 +166,6 @@ def _huff_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
     return codes
 
 
-def _huff_lut(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
-    """(length, code) -> symbol, for bit-serial decoding."""
-    return {(ln, c): s for s, (c, ln) in _huff_codes(bits, vals).items()}
-
-
 # ----------------------------------------------------------------- encoder
 
 
@@ -311,69 +306,91 @@ def encode_jpeg(px: np.ndarray, quality: int = 90) -> bytes:
 # ----------------------------------------------------------------- decoder
 
 
-class _BitReader:
-    """MSB-first reader over entropy-coded data with 0xFF00 unstuffing and
-    RSTn awareness (markers are consumed by sync())."""
+def _huff_lut16(bits: list[int], vals: list[int]):
+    """(symbol list[65536], length bytes[65536]): decode a symbol with ONE
+    16-bit peek + two O(1) lookups instead of a bit-serial dict walk —
+    the classic full-width Huffman LUT (max JPEG code length is 16).
+    length 0 marks an invalid code. Plain list/bytes, not numpy: scalar
+    indexing of numpy arrays costs ~10x a list index in the per-symbol
+    hot loop."""
+    sym = np.full(65536, -1, np.int16)
+    ln = np.zeros(65536, np.uint8)
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            base = code << (16 - length)
+            span = 1 << (16 - length)
+            sym[base : base + span] = vals[k]
+            ln[base : base + span] = length
+            code += 1
+            k += 1
+        code <<= 1
+    return sym.tolist(), bytes(ln)
 
-    def __init__(self, data: bytes, pos: int) -> None:
+
+def _entropy_segments(payload: bytes, start: int) -> list[bytes]:
+    """Entropy-coded data split at RSTn markers, each segment unstuffed
+    (0xFF00 -> 0xFF). In entropy data a literal 0xFF is ALWAYS followed by
+    0x00, so any 0xFF + D0..D7 is a restart marker and any other 0xFF +
+    nonzero byte ends the scan (EOI / next header)."""
+    segs: list[bytes] = []
+    i = start
+    seg_start = start
+    n = len(payload)
+    while i + 1 < n:
+        if payload[i] == 0xFF:
+            nxt = payload[i + 1]
+            if nxt == 0x00:
+                i += 2
+                continue
+            segs.append(payload[seg_start:i].replace(b"\xff\x00", b"\xff"))
+            if 0xD0 <= nxt <= 0xD7:  # restart marker
+                i += 2
+                seg_start = i
+                continue
+            return segs
+        i += 1
+    segs.append(payload[seg_start:n].replace(b"\xff\x00", b"\xff"))
+    return segs
+
+
+class _SegReader:
+    """MSB-first bit reader over ONE unstuffed entropy segment. Past the
+    end it pads with 1-bits, per spec."""
+
+    __slots__ = ("data", "pos", "acc", "n")
+
+    def __init__(self, data: bytes) -> None:
         self.data = data
-        self.pos = pos
+        self.pos = 0
         self.acc = 0
         self.n = 0
 
-    def _fill(self) -> None:
-        d = self.data
-        while self.n <= 24:
-            if self.pos >= len(d):
-                break
-            byte = d[self.pos]
-            if byte == 0xFF:
-                nxt = d[self.pos + 1] if self.pos + 1 < len(d) else 0xD9
-                if nxt == 0x00:  # stuffed 0xFF data byte
-                    self.pos += 2
-                    self.acc = (self.acc << 8) | 0xFF
-                    self.n += 8
-                    continue
-                break  # restart marker / EOI / next segment: stop filling
+    def peek16(self) -> int:
+        while self.n < 16:
+            byte = self.data[self.pos] if self.pos < len(self.data) else 0xFF
             self.pos += 1
             self.acc = (self.acc << 8) | byte
             self.n += 8
-        self.acc &= (1 << self.n) - 1  # trim consumed bits (keep acc small)
+        return (self.acc >> (self.n - 16)) & 0xFFFF
 
-    def bit(self) -> int:
-        if self.n == 0:
-            self._fill()
-            if self.n == 0:
-                return 1  # 1-padding at segment end, per spec
-        self.n -= 1
-        return (self.acc >> self.n) & 1
+    def skip(self, k: int) -> None:
+        self.n -= k
+        self.acc &= (1 << self.n) - 1
 
-    def bits(self, k: int) -> int:
-        v = 0
-        for _ in range(k):
-            v = (v << 1) | self.bit()
-        return v
-
-    def sync_restart(self) -> None:
-        """Consume a RSTn marker and byte-align (DRI intervals)."""
-        self.acc = 0
-        self.n = 0
-        d = self.data
-        while self.pos + 1 < len(d):
-            if d[self.pos] == 0xFF and 0xD0 <= d[self.pos + 1] <= 0xD7:
-                self.pos += 2
-                return
+    def get(self, k: int) -> int:
+        if k == 0:
+            return 0
+        while self.n < k:
+            byte = self.data[self.pos] if self.pos < len(self.data) else 0xFF
             self.pos += 1
-
-
-def _decode_huff(br: _BitReader, lut: dict[tuple[int, int], int]) -> int:
-    code = 0
-    for length in range(1, 17):
-        code = (code << 1) | br.bit()
-        sym = lut.get((length, code))
-        if sym is not None:
-            return sym
-    raise ValueError("invalid JPEG Huffman code")
+            self.acc = (self.acc << 8) | byte
+            self.n += 8
+        self.n -= k
+        v = (self.acc >> self.n) & ((1 << k) - 1)
+        self.acc &= (1 << self.n) - 1
+        return v
 
 
 def _extend(bits: int, size: int) -> int:
@@ -422,7 +439,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 bits = list(body[b + 1 : b + 17])
                 nv = sum(bits)
                 vals = list(body[b + 17 : b + 17 + nv])
-                huff[(cls, tid)] = _huff_lut(bits, vals)
+                huff[(cls, tid)] = _huff_lut16(bits, vals)
                 b += 17 + nv
         elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 (baseline/ext seq)
             prec = body[0]
@@ -473,37 +490,51 @@ def _decode_scan(payload, data_start, frame, scan, qtabs, huff, restart_interval
         bh_ = mcus_y * comp["v"]
         grids.append(np.zeros((bh_ * bw_, 64), np.int64))
 
-    br = _BitReader(payload, data_start)
+    segments = _entropy_segments(payload, data_start)
+    seg_idx = 0
+    br = _SegReader(segments[0])
     pred = [0] * len(scan)
     mcu_count = 0
     for my in range(mcus_y):
         for mx in range(mcus_x):
             if restart_interval and mcu_count and mcu_count % restart_interval == 0:
-                br.sync_restart()
+                seg_idx += 1
+                if seg_idx >= len(segments):
+                    raise ValueError("missing restart segment")
+                br = _SegReader(segments[seg_idx])
                 pred = [0] * len(scan)
             for si, (comp, dct, act) in enumerate(scan):
-                dc_lut = huff[(0, dct)]
-                ac_lut = huff[(1, act)]
+                dc_sym, dc_len = huff[(0, dct)]
+                ac_sym, ac_len = huff[(1, act)]
                 for by in range(comp["v"]):
                     for bx in range(comp["h"]):
-                        zz = np.zeros(64, np.int64)
-                        size = _decode_huff(br, dc_lut)
-                        diff = _extend(br.bits(size), size)
-                        pred[si] += diff
+                        zz = [0] * 64
+                        v16 = br.peek16()
+                        ln = dc_len[v16]
+                        if ln == 0:
+                            raise ValueError("invalid JPEG Huffman code")
+                        br.skip(ln)
+                        size = dc_sym[v16]
+                        pred[si] += _extend(br.get(size), size)
                         zz[0] = pred[si]
                         k = 1
                         while k < 64:
-                            sym = _decode_huff(br, ac_lut)
+                            v16 = br.peek16()
+                            ln = ac_len[v16]
+                            if ln == 0:
+                                raise ValueError("invalid JPEG Huffman code")
+                            br.skip(ln)
+                            sym = ac_sym[v16]
                             if sym == 0x00:  # EOB
                                 break
-                            run, sz = sym >> 4, sym & 0xF
                             if sym == 0xF0:  # ZRL
                                 k += 16
                                 continue
-                            k += run
+                            k += sym >> 4
                             if k > 63:
                                 raise ValueError("AC run past block end")
-                            zz[k] = _extend(br.bits(sz), sz)
+                            sz = sym & 0xF
+                            zz[k] = _extend(br.get(sz), sz)
                             k += 1
                         row = my * comp["v"] + by
                         col = mx * comp["h"] + bx

@@ -322,6 +322,71 @@ def test_jpeg_420_subsampled_decode():
     assert np.max(np.abs(out.astype(int) - rgb.astype(int))) <= 1
 
 
+def test_jpeg_restart_intervals():
+    """A DRI=1 grayscale stream with an RSTn marker between MCUs decodes
+    correctly: DC prediction resets at each restart segment."""
+    import struct
+
+    from high_performance_parallel_search_engine_ray.functions.jpegcodec import (
+        DCT_M, HT_AC_LUM, HT_DC_LUM, ZIGZAG, _BitWriter, _blockify,
+        _huff_codes, _magnitude, _quality_tables, decode_jpeg,
+    )
+
+    g = np.zeros((8, 16), np.uint8)
+    g[:, :8] = 40
+    g[:, 8:] = 200
+    qy, _ = _quality_tables(95)
+    blocks = _blockify(g.astype(float)) - 128.0
+    coef = np.einsum("ij,njk,lk->nil", DCT_M, blocks, DCT_M)
+    quant = np.round(coef / qy).astype(np.int64).reshape(-1, 64)[:, ZIGZAG]
+    dc, ac = _huff_codes(*HT_DC_LUM), _huff_codes(*HT_AC_LUM)
+
+    def entropy_for(zz, pred):
+        bw = _BitWriter()
+        size, bits = _magnitude(int(zz[0]) - pred)
+        c, ln = dc[size]
+        bw.write(c, ln)
+        bw.write(bits, size)
+        run = 0
+        for k in range(1, 64):
+            v = int(zz[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                c, ln = ac[0xF0]
+                bw.write(c, ln)
+                run -= 16
+            size, bits = _magnitude(v)
+            c, ln = ac[(run << 4) | size]
+            bw.write(c, ln)
+            bw.write(bits, size)
+            run = 0
+        if run:
+            c, ln = ac[0x00]
+            bw.write(c, ln)
+        return bw.flush()
+
+    # DRI=1: each MCU is its own restart segment, DC pred resets to 0
+    entropy = entropy_for(quant[0], 0) + b"\xff\xd0" + entropy_for(quant[1], 0)
+
+    def seg(m, b):
+        return struct.pack(">HH", m, len(b) + 2) + b
+
+    data = bytearray(b"\xff\xd8")
+    data += seg(0xFFDB, bytes([0]) + bytes(qy.reshape(64)[ZIGZAG].astype(np.uint8)))
+    data += seg(0xFFC0, bytes([8]) + struct.pack(">HH", 8, 16) + bytes([1, 1, 0x11, 0]))
+    data += seg(0xFFC4, bytes([0x00]) + bytes(HT_DC_LUM[0]) + bytes(HT_DC_LUM[1]))
+    data += seg(0xFFC4, bytes([0x10]) + bytes(HT_AC_LUM[0]) + bytes(HT_AC_LUM[1]))
+    data += seg(0xFFDD, struct.pack(">H", 1))  # DRI = 1 MCU
+    data += seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    data += bytes(entropy) + b"\xff\xd9"
+    out = decode_jpeg(bytes(data))
+    assert out.shape == (8, 16, 3)
+    assert np.max(np.abs(out[:, :8, 0].astype(int) - 40)) <= 1
+    assert np.max(np.abs(out[:, 8:, 0].astype(int) - 200)) <= 1
+
+
 def test_jpeg_progressive_rejected():
     from high_performance_parallel_search_engine_ray.functions import jpegcodec as jc
 
