@@ -57,12 +57,18 @@ class HookRegistry:
         fn: Callable[[Any, str], dict] | None = None,
         *,
         batch_fn: Callable[[np.ndarray, np.ndarray], dict] | None = None,
+        columns: list[str] | None = None,
     ) -> None:
         """Register a document hook. Exactly one of ``fn`` (per-row) /
-        ``batch_fn`` (vectorized) must be given."""
+        ``batch_fn`` (vectorized) must be given. ``columns`` optionally
+        declares the hook's output keys up front: rows/batches missing a
+        declared key emit null and undeclared keys raise — without it, a
+        per-row hook whose key set varies across BATCHES produces blocks
+        with different schemas (per-batch key union only sees its own
+        batch), which downstream operators reject."""
         if (fn is None) == (batch_fn is None):
             raise ValueError("register exactly one of fn= or batch_fn=")
-        self._doc_hooks[name] = (fn, batch_fn)
+        self._doc_hooks[name] = (fn, batch_fn, tuple(columns) if columns else None)
 
     def register_token_hook(
         self,
@@ -126,7 +132,7 @@ def process_documents(
         ids = b[id_col].to_numpy(zero_copy_only=False)
         texts = b[text_col].to_numpy(zero_copy_only=False)
         cols: dict[str, Any] = {id_col: b[id_col]}
-        for name, fn, batch_fn in chosen:
+        for name, fn, batch_fn, declared in chosen:
             if batch_fn is not None:
                 out = batch_fn(ids, texts)
             else:
@@ -136,6 +142,15 @@ def process_documents(
                 # drop later-only columns) — missing values become nulls
                 keys = sorted({k for r in rows for k in r})
                 out = {k: [r.get(k) for r in rows] for k in keys}
+            if declared is not None:
+                # declared schema: stable across batches regardless of
+                # which keys this batch's rows happened to emit
+                extra = set(out) - set(declared)
+                if extra:
+                    raise ValueError(
+                        f"hook {name!r} emitted undeclared columns {sorted(extra)}"
+                    )
+                out = {k: out.get(k, [None] * len(b)) for k in declared}
             for col, vals in _columns_from(out, len(b)).items():
                 cols[name if col == "value" else f"{name}_{col}"] = vals
         return pa.table(cols)

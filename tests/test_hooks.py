@@ -104,6 +104,36 @@ def test_ragged_row_hook_keys_union(ray_session):
     assert caps[0] == 1 and pd.isna(caps[1]) and pd.isna(caps[2])
 
 
+def test_declared_columns_stable_across_batches(ray_session):
+    """columns=[...] pins the hook's output schema: a key no row in a
+    given BATCH emits still appears (all-null), so blocks agree on schema
+    even when the emitted key set varies batch to batch; undeclared keys
+    raise."""
+    reg = hk.HookRegistry()
+    reg.register_processor(
+        "r",
+        fn=lambda i, t: {"len": len(t), "caps": 1} if i == 1 else {"len": len(t)},
+        columns=["len", "caps"],
+    )
+    # repartition(3): one row per batch -> batches 2 and 3 emit only 'len'
+    got = (
+        hk.process_documents(_docs().repartition(3), registry=reg)
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    assert sorted(got.columns) == ["doc_id", "r_caps", "r_len"]
+    assert got["r_len"].tolist() == [13, 15, 7]
+    caps = got["r_caps"].tolist()
+    assert caps[0] == 1 and pd.isna(caps[1]) and pd.isna(caps[2])
+
+    bad = hk.HookRegistry()
+    bad.register_processor(
+        "r", fn=lambda i, t: {"len": len(t), "rogue": 0}, columns=["len"]
+    )
+    with pytest.raises(Exception, match="undeclared"):
+        hk.process_documents(_docs(), registry=bad).materialize()
+
+
 def test_bad_hook_output_length_fails(ray_session):
     reg = hk.HookRegistry()
     reg.register_processor("bad", batch_fn=lambda ids, texts: {"value": [1]})
