@@ -293,15 +293,21 @@ def cmd_serve(args) -> int:
 
     # index-only deployment: a prebuilt --index-dir serves bm25 variants
     # without the corpus on board (the pattern variant then 400s)
+    if args.adhoc and args.index_dir:
+        print(json.dumps({"error": "--adhoc and --index-dir are mutually "
+                                   "exclusive (adhoc never touches an index)"}))
+        return 1
     if args.docs is None and (args.adhoc or args.index_dir is None):
         print(json.dumps({"error": "--docs is required unless --index-dir "
                                    "points at a built index"}))
         return 1
     docs = _docs_dataset(args.docs) if args.docs else None
-    serve(
-        EngineHandle(docs, index_dir=args.index_dir, adhoc=args.adhoc),
-        args.port,
-    )
+    try:
+        engine = EngineHandle(docs, index_dir=args.index_dir, adhoc=args.adhoc)
+    except (FileNotFoundError, ValueError) as e:
+        print(json.dumps({"error": str(e)}))
+        return 1
+    serve(engine, args.port)
     return 0
 
 

@@ -7,9 +7,11 @@ JPEG — the overwhelming majority of web JPEGs:
 
 - decode: SOF0 (baseline), 8-bit, 1 or 3 components, any sampling factors
   (4:4:4 / 4:2:2 / 4:2:0 handled by the generic MCU loop + nearest
-  upsample), restart markers honored. Progressive (SOF2), arithmetic
-  coding, 12-bit and hierarchical modes raise ValueError — they stay
-  behind the PIL seam.
+  upsample; a single-component scan uses the spec's non-interleaved
+  one-block MCU geometry), restart markers honored. Progressive (SOF2),
+  arithmetic coding, 12-bit, hierarchical, 4-component (CMYK/YCCK) and
+  non-interleaved multi-scan streams raise ValueError — they stay behind
+  the PIL seam rather than decode wrong pixels silently.
 - encode: 4:4:4 YCbCr, Annex K quantization tables scaled by the IJG
   quality formula, Annex K Huffman tables, byte stuffing, no subsampling.
 
@@ -447,6 +449,14 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 raise ValueError("only 8-bit JPEG supported")
             fh, fw = struct.unpack_from(">HH", body, 1)
             nc = body[5]
+            if nc not in (1, 3):
+                # 4-component = Adobe CMYK/YCCK: decoding the first three
+                # planes as YCbCr would return garbage colors with no
+                # error — stays behind the PIL seam
+                raise ValueError(
+                    f"only 1- or 3-component JPEG supported (got {nc}; "
+                    "CMYK/YCCK stays behind the PIL seam)"
+                )
             comps = []
             for ci in range(nc):
                 cid, samp, qid = body[6 + 3 * ci : 9 + 3 * ci]
@@ -463,6 +473,14 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             if frame is None:
                 raise ValueError("SOS before SOF")
             ns = body[0]
+            if ns < len(frame["comps"]):
+                # a baseline frame split into sequential one-component
+                # scans (T.81 allows it): decoding only the first scan
+                # would silently return the Y plane as the whole image
+                raise ValueError(
+                    "non-interleaved multi-scan baseline JPEG unsupported "
+                    "(stays behind the PIL seam)"
+                )
             scan = []
             for si in range(ns):
                 cid, tabs = body[1 + 2 * si], body[2 + 2 * si]
@@ -480,6 +498,15 @@ def _decode_scan(payload, data_start, frame, scan, qtabs, huff, restart_interval
     fh, fw = frame["h"], frame["w"]
     hmax = max(c["h"] for c in frame["comps"])
     vmax = max(c["v"] for c in frame["comps"])
+    if len(scan) == 1:
+        # a single-component scan is NON-interleaved per T.81: the MCU is
+        # one block and the component's sampling factors do not shape the
+        # grid (a grayscale frame declaring 2x2 sampling still lays out
+        # ceil(w/8) x ceil(h/8) blocks)
+        comp0 = dict(scan[0][0])
+        comp0["h"] = comp0["v"] = 1
+        scan = [(comp0, scan[0][1], scan[0][2])]
+        hmax = vmax = 1
     mcus_x = (fw + 8 * hmax - 1) // (8 * hmax)
     mcus_y = (fh + 8 * vmax - 1) // (8 * vmax)
 
@@ -562,7 +589,9 @@ def _decode_scan(payload, data_start, frame, scan, qtabs, huff, restart_interval
         planes.append(plane[: fh, : fw])
 
     if len(planes) == 1:
-        yv = np.clip(planes[0], 0, 255).astype(np.uint8)
+        # round like the color path — plain astype truncates and biases
+        # every grayscale decode darker by up to 1 LSB
+        yv = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
         return np.ascontiguousarray(np.stack([yv, yv, yv], axis=-1))
     y, cb, cr = planes[0], planes[1] - 128.0, planes[2] - 128.0
     r = y + 1.402 * cr

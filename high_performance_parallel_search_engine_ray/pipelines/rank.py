@@ -287,10 +287,9 @@ def bm25_from_index_expanded(
     qterms = tokenize_query(query)
     if not qterms:
         return pa.table({id_col: pa.array([]), "score": pa.array([], pa.float64())})
-    cands: set[str] = set()
-    for t in qterms:
-        cands.update((t, t + "s", t[:-1] if len(t) > 1 else t))
-    man, slice_ds = index_term_slice(index_dir, sorted(cands), id_col)
+    man, slice_ds = index_term_slice(
+        index_dir, sorted(expansion_candidates(qterms)), id_col
+    )
     if slice_ds is None or slice_ds.count() == 0:
         return pa.schema([(id_col, pa.int64()), ("score", pa.float64())]).empty_table()
     known = set(distinct_values(slice_ds.select_columns(["term"]), "term"))
@@ -505,6 +504,16 @@ def bm25_pagerank_topk(
     )
 
 
+def expansion_candidates(qterms: list[str]) -> set[str]:
+    """Every term `expand_query_terms` could pick: t, t+'s', t[:-1]. The
+    ONE definition both the corpus-pass and index-served expanded paths
+    probe with — if the fallback chain grows, the probe set grows here."""
+    cands: set[str] = set()
+    for t in qterms:
+        cands.update((t, t + "s", t[:-1] if len(t) > 1 else t))
+    return cands
+
+
 def expand_query_terms(qterms: list[str], known_terms: set[str]) -> list[str]:
     """Plural/singular fallback (`OpenMP Version/src/ranking.c:110-150`): a
     query term absent from the index retries as term+'s', then term[:-1]."""
@@ -532,10 +541,7 @@ def bm25_topk_expanded(
     the existence probe and scoring."""
     tf = term_doc_tf(docs, id_col, text_col).materialize()
     qterms = tokenize_query(query)
-    cands: set[str] = set()
-    for t in qterms:
-        cands.update((t, t + "s", t[:-1] if len(t) > 1 else t))
-    cand_arr = pa.array(sorted(cands))
+    cand_arr = pa.array(sorted(expansion_candidates(qterms)))
     # distinct_values, NOT Dataset.unique() (empty-block crash; see
     # functions/distinct.py)
     known = set(

@@ -63,10 +63,12 @@ class EngineHandle:
             self.num_docs = docs.count()
             self.tf = term_doc_tf(docs).materialize()
             return
+        import os
         import tempfile
 
         from .pipelines.index import write_term_index
 
+        self._owns_index_dir = index_dir is None
         self.index_dir = index_dir or tempfile.mkdtemp(prefix="hppse_index_")
         man = read_manifest(self.index_dir)
         if man is None:
@@ -75,9 +77,31 @@ class EngineHandle:
                     f"no index manifest under {self.index_dir} and no docs "
                     "to build one from"
                 )
+            # refuse to build into a non-empty user directory that is NOT
+            # an index: write_term_index starts with rmtree(out_dir), and a
+            # typo'd/reused --index-dir must not silently delete data
+            if (
+                not self._owns_index_dir
+                and os.path.isdir(self.index_dir)
+                and os.listdir(self.index_dir)
+            ):
+                raise ValueError(
+                    f"--index-dir {self.index_dir} exists, is non-empty and "
+                    "holds no index MANIFEST.json; refusing to overwrite it "
+                    "— point at an empty/new directory or a built index"
+                )
             man = write_term_index(docs, self.index_dir)
         self.manifest = man
         self.num_docs = int(man["n_docs"])
+
+    def close(self) -> None:
+        """Remove the auto-created temp index dir (no-op for adhoc mode or
+        a user-supplied --index-dir)."""
+        import shutil
+
+        if getattr(self, "_owns_index_dir", False) and self.index_dir:
+            shutil.rmtree(self.index_dir, ignore_errors=True)
+            self.index_dir = None
 
     def search(self, query: str, k: int = 10, variant: str = "bm25") -> dict:
         from .pipelines.rank import (
@@ -314,3 +338,4 @@ def serve(engine: EngineHandle, port: int) -> None:
         pass
     finally:
         srv.shutdown()
+        engine.close()

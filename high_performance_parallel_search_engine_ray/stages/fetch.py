@@ -166,11 +166,10 @@ class FetchParse:
         return self._busy_s, self._n_fetched
 
     def runtime_node(self) -> str:
-        """Node this actor landed on — placement diagnostics (the SPREAD
-        scheduling test asserts the fetch pool spans a multi-node cluster)."""
-        import ray
+        """Node this actor landed on — placement diagnostics."""
+        from ..functions.placement import current_node_id
 
-        return ray.get_runtime_context().get_node_id()
+        return current_node_id()
 
     def reset_emitted(self) -> None:
         """New crawl adopting this (cache-warm) fetcher: clear the

@@ -458,11 +458,10 @@ class FrontierShard:
         return len(self.seen_exact)
 
     def runtime_node(self) -> str:
-        """Node this actor landed on — placement diagnostics (the SPREAD
-        scheduling test asserts shards span a multi-node cluster)."""
-        import ray
+        """Node this actor landed on — placement diagnostics."""
+        from ..functions.placement import current_node_id
 
-        return ray.get_runtime_context().get_node_id()
+        return current_node_id()
 
     # -- snapshot / restore (per-partition checkpoint payload) -------------
     def snapshot(self) -> bytes:

@@ -396,6 +396,90 @@ def test_jpeg_progressive_rejected():
         jc.decode_jpeg(d[:i] + b"\xff\xc2" + d[i + 2 :])
 
 
+def test_jpeg_unsupported_shapes_raise_not_garble():
+    """CMYK (4-component) and non-interleaved multi-scan streams raise at
+    the seam instead of silently returning wrong pixels; a grayscale frame
+    declaring 2x2 sampling decodes via the spec's non-interleaved
+    one-block-per-MCU geometry."""
+    import struct
+
+    from high_performance_parallel_search_engine_ray.functions import jpegcodec as jc
+
+    d = jc.encode_jpeg(_gradient(8, 8), quality=90)
+    i = d.find(b"\xff\xc0")
+    (sof_len,) = struct.unpack_from(">H", d, i + 2)
+    body = bytearray(d[i + 4 : i + 2 + sof_len])
+    # 4-component SOF: bump nc and append a fake K component
+    body4 = bytes(body[:5]) + bytes([4]) + bytes(body[6:]) + bytes([4, 0x11, 1])
+    sof4 = struct.pack(">HH", 0xFFC0, len(body4) + 2) + body4
+    with pytest.raises(ValueError, match="CMYK|component"):
+        jc.decode_jpeg(d[:i] + sof4 + d[i + 2 + sof_len :])
+
+    # SOS listing only 1 of the frame's 3 components = multi-scan layout
+    j = d.find(b"\xff\xda")
+    sos1 = struct.pack(">HH", 0xFFDA, 8) + bytes([1, 1, 0x00, 0, 63, 0])
+    (sos_len,) = struct.unpack_from(">H", d, j + 2)
+    with pytest.raises(ValueError, match="multi-scan"):
+        jc.decode_jpeg(d[:j] + sos1 + d[j + 2 + sos_len :])
+
+    # grayscale with 2x2 sampling factors: same pixels as 1x1 sampling
+    def gray_stream(samp):
+        from high_performance_parallel_search_engine_ray.functions.jpegcodec import (
+            DCT_M, HT_AC_LUM, HT_DC_LUM, ZIGZAG, _BitWriter, _blockify,
+            _huff_codes, _magnitude, _quality_tables,
+        )
+
+        g = ((np.arange(16)[:, None] * 7 + np.arange(16)[None, :] * 3) % 256
+             ).astype(np.uint8)
+        qy, _ = _quality_tables(95)
+        blocks = _blockify(g.astype(float)) - 128.0
+        coef = np.einsum("ij,njk,lk->nil", DCT_M, blocks, DCT_M)
+        quant = np.round(coef / qy).astype(np.int64).reshape(-1, 64)[:, ZIGZAG]
+        dc, ac = _huff_codes(*HT_DC_LUM), _huff_codes(*HT_AC_LUM)
+        bw = _BitWriter()
+        pred = 0
+        for zz in quant:
+            size, bits = _magnitude(int(zz[0]) - pred)
+            pred = int(zz[0])
+            c, ln = dc[size]
+            bw.write(c, ln)
+            bw.write(bits, size)
+            run = 0
+            for k in range(1, 64):
+                v = int(zz[k])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    c, ln = ac[0xF0]
+                    bw.write(c, ln)
+                    run -= 16
+                size, bits = _magnitude(v)
+                c, ln = ac[(run << 4) | size]
+                bw.write(c, ln)
+                bw.write(bits, size)
+                run = 0
+            if run:
+                c, ln = ac[0x00]
+                bw.write(c, ln)
+
+        def seg(m, b):
+            return struct.pack(">HH", m, len(b) + 2) + b
+
+        data = bytearray(b"\xff\xd8")
+        data += seg(0xFFDB, bytes([0]) + bytes(qy.reshape(64)[ZIGZAG].astype(np.uint8)))
+        data += seg(0xFFC0, bytes([8]) + struct.pack(">HH", 16, 16) + bytes([1, 1, samp, 0]))
+        data += seg(0xFFC4, bytes([0x00]) + bytes(HT_DC_LUM[0]) + bytes(HT_DC_LUM[1]))
+        data += seg(0xFFC4, bytes([0x10]) + bytes(HT_AC_LUM[0]) + bytes(HT_AC_LUM[1]))
+        data += seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
+        data += bw.flush() + b"\xff\xd9"
+        return bytes(data)
+
+    out11 = jc.decode_jpeg(gray_stream(0x11))
+    out22 = jc.decode_jpeg(gray_stream(0x22))
+    assert np.array_equal(out11, out22)
+
+
 def test_png_unsupported_variants_raise():
     import struct
     import zlib

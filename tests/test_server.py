@@ -126,6 +126,38 @@ def test_dashboard_escapes_untrusted_values(server):
         assert use in html
 
 
+def test_refuses_to_overwrite_non_index_dir(server, tmp_path):
+    """A user-supplied index_dir that exists, is non-empty and holds no
+    manifest must NOT be rm-treed and rebuilt over (data-loss guard)."""
+    from high_performance_parallel_search_engine_ray.server import EngineHandle
+
+    _, eng = server
+    victim = tmp_path / "precious"
+    victim.mkdir()
+    (victim / "data.txt").write_text("not an index")
+    with pytest.raises(ValueError, match="refusing to overwrite"):
+        EngineHandle(eng.docs, index_dir=str(victim))
+    assert (victim / "data.txt").read_text() == "not an index"  # untouched
+
+
+def test_close_removes_only_owned_tempdir(server, tmp_path):
+    """close() deletes the auto-created temp index, never a user-supplied
+    --index-dir."""
+    import os
+
+    from high_performance_parallel_search_engine_ray.server import EngineHandle
+
+    _, eng = server
+    owned = EngineHandle(eng.docs)
+    d = owned.index_dir
+    assert os.path.isdir(d)
+    owned.close()
+    assert not os.path.exists(d)
+    user = EngineHandle(None, index_dir=eng.index_dir)
+    user.close()
+    assert os.path.isdir(eng.index_dir)  # user dir survives
+
+
 def test_adhoc_fallback_equality(server):
     """The --adhoc fallback (materialized tf) returns the same top-k as
     the index-served default."""
