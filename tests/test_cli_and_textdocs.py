@@ -199,6 +199,9 @@ def test_bench_one_json_line_contract():
         GRAFT_SF_DIR="/root/testdata/sf0.001",
         RAY_GRAFT_CPUS="4",
         GRAFT_BENCH_SKIP_CRAWL="1",
+        # scratch artifact: without this the test CLOBBERS the committed
+        # canonical per-query artifact under BENCH/ (bit rounds 4 and 5)
+        GRAFT_QUERY_ARTIFACT="/tmp/bench_contract_queries.json",
     )
     r = subprocess.run(
         [sys.executable, "bench.py"], capture_output=True, text=True,
