@@ -346,6 +346,12 @@ def _entropy_segments(payload: bytes, start: int) -> list[bytes]:
             if nxt == 0x00:
                 i += 2
                 continue
+            if nxt == 0xFF:
+                # T.81 B.1.1.2: markers may be preceded by any number of
+                # 0xFF fill bytes. Step past this one; a trailing raw 0xFF
+                # left inside the segment is all 1-bits = legal padding.
+                i += 1
+                continue
             segs.append(payload[seg_start:i].replace(b"\xff\x00", b"\xff"))
             if 0xD0 <= nxt <= 0xD7:  # restart marker
                 i += 2

@@ -160,7 +160,12 @@ class EngineHandle:
             "api_version": "1.0",
             "serving": "adhoc" if self.adhoc else "index",
             "num_docs": self.num_docs,
-            "versions": {v: {"available": True} for v in self.VARIANTS},
+            # pattern search is an inherent corpus scan: unavailable on an
+            # index-only server, and /api/status must say so
+            "versions": {
+                v: {"available": v != "pattern" or self.docs is not None}
+                for v in self.VARIANTS
+            },
             "ray_cpus": ray.cluster_resources().get("CPU")
             if ray.is_initialized()
             else None,
@@ -330,7 +335,11 @@ def make_server(engine: EngineHandle, port: int = 0) -> ThreadingHTTPServer:
 
 
 def serve(engine: EngineHandle, port: int) -> None:
-    srv = make_server(engine, port)
+    try:
+        srv = make_server(engine, port)
+    except Exception:
+        engine.close()  # don't leak the auto-built temp index on bind failure
+        raise
     print(json.dumps({"serving": True, "port": srv.server_address[1]}), flush=True)
     try:
         srv.serve_forever()

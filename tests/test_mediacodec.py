@@ -367,8 +367,10 @@ def test_jpeg_restart_intervals():
             bw.write(c, ln)
         return bw.flush()
 
-    # DRI=1: each MCU is its own restart segment, DC pred resets to 0
-    entropy = entropy_for(quant[0], 0) + b"\xff\xd0" + entropy_for(quant[1], 0)
+    # DRI=1: each MCU is its own restart segment, DC pred resets to 0.
+    # The restart marker is preceded by a 0xFF fill byte (T.81 B.1.1.2
+    # allows any number) — the segment splitter must step past it.
+    entropy = entropy_for(quant[0], 0) + b"\xff\xff\xd0" + entropy_for(quant[1], 0)
 
     def seg(m, b):
         return struct.pack(">HH", m, len(b) + 2) + b

@@ -111,6 +111,10 @@ def test_index_only_serving(server):
     assert exp  # expansion works from the index alone
     with pytest.raises(ValueError, match="pattern"):
         index_only.search("scan", variant="pattern")
+    # /api/status must not advertise the variant search() always rejects
+    st = index_only.status()
+    assert st["versions"]["pattern"]["available"] is False
+    assert st["versions"]["bm25"]["available"] is True
 
 
 def test_dashboard_escapes_untrusted_values(server):
